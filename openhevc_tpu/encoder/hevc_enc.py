@@ -1,0 +1,321 @@
+"""Conformant HEVC test-stream encoder (generator for the conformance suite).
+
+This image ships no HEVC bitstreams and has no network access, so the
+framework's conformance strategy (SURVEY.md §4) is: encode streams here,
+decode them with BOTH the reference decoder (tools/refdec.py, golden oracle
+built from /root/reference) and openhevc_tpu, and require bit-exact equality.
+
+The encoder is deliberately minimal but produces spec-valid Main-profile
+bitstreams. Coverage grows with the decoder: PCM intra -> residual intra
+(all 35 modes, full residual coding) -> inter P/B -> Main10/RExt -> SHVC.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.bits import BitWriter, wrap_nal
+from ..bitstream.cabac import CabacEncoder
+from ..bitstream.ctx_tables import CTX_OFFSET, init_states
+
+# NAL unit types (H.265 Table 7-1)
+NAL_TRAIL_R = 1
+NAL_IDR_W_RADL = 19
+NAL_IDR_N_LP = 20
+NAL_CRA = 21
+NAL_VPS = 32
+NAL_SPS = 33
+NAL_PPS = 34
+
+
+@dataclass
+class EncoderConfig:
+    width: int = 64
+    height: int = 64
+    bit_depth: int = 8
+    chroma_format_idc: int = 1          # 1 = 4:2:0
+    ctb_log2: int = 4                   # 16x16 CTBs (simplest CU topology)
+    min_cb_log2: int = 4
+    min_tb_log2: int = 2
+    max_tb_log2: int = 4
+    max_transform_hierarchy_depth: int = 2
+    qp: int = 26
+    pcm_enabled: bool = True
+    pcm_bit_depth: int = 8
+    pcm_min_log2: int = 4
+    pcm_max_log2: int = 4
+    pcm_loop_filter_disabled: bool = True
+    sao_enabled: bool = False
+    deblock_disabled: bool = True
+    amp_enabled: bool = False
+    strong_intra_smoothing: bool = False
+    sign_data_hiding: bool = False
+    transform_skip: bool = False
+    log2_max_poc_lsb: int = 8
+    max_num_ref: int = 1
+    level_idc: int = 120
+
+    @property
+    def ctb_size(self) -> int:
+        return 1 << self.ctb_log2
+
+    @property
+    def ctbs_w(self) -> int:
+        return -(-self.width // self.ctb_size)
+
+    @property
+    def ctbs_h(self) -> int:
+        return -(-self.height // self.ctb_size)
+
+
+def _profile_tier_level(bw: BitWriter, cfg: EncoderConfig):
+    bw.put(0, 2)            # general_profile_space
+    bw.put(0, 1)            # general_tier_flag
+    profile = 2 if cfg.bit_depth > 8 else (4 if cfg.chroma_format_idc != 1 else 1)
+    bw.put(profile, 5)      # general_profile_idc (1 Main / 2 Main10 / 4 RExt)
+    compat = (1 << (31 - profile)) | (1 << (31 - 1)) | (1 << (31 - 2))
+    bw.put(compat, 32)      # general_profile_compatibility_flag[32]
+    bw.put(1, 1)            # general_progressive_source_flag
+    bw.put(0, 1)            # general_interlaced_source_flag
+    bw.put(0, 1)            # general_non_packed_constraint_flag
+    bw.put(1, 1)            # general_frame_only_constraint_flag
+    if profile == 4:        # RExt constraint flags occupy the reserved bits
+        max_bd = 8 if cfg.bit_depth <= 8 else (10 if cfg.bit_depth <= 10 else 12)
+        bw.put(1 if max_bd <= 12 else 0, 1)   # max_12bit_constraint_flag
+        bw.put(1 if max_bd <= 10 else 0, 1)   # max_10bit_constraint_flag
+        bw.put(1 if max_bd <= 8 else 0, 1)    # max_8bit_constraint_flag
+        bw.put(0, 1)        # max_422chroma_constraint_flag
+        bw.put(0, 1)        # max_420chroma_constraint_flag
+        bw.put(0, 1)        # max_monochrome_constraint_flag
+        bw.put(0, 1)        # intra_constraint_flag
+        bw.put(0, 1)        # one_picture_only_constraint_flag
+        bw.put(0, 1)        # lower_bit_rate_constraint_flag
+        bw.put(0, 34)       # reserved_zero_34bits
+    else:
+        bw.put(0, 44)       # general_reserved_zero_44bits
+    bw.put(cfg.level_idc, 8)
+
+
+def write_vps(cfg: EncoderConfig) -> bytes:
+    bw = BitWriter()
+    bw.put(0, 4)            # vps_video_parameter_set_id
+    bw.put(3, 2)            # vps_reserved_three_2bits
+    bw.put(0, 6)            # vps_max_layers_minus1
+    bw.put(0, 3)            # vps_max_sub_layers_minus1
+    bw.put(1, 1)            # vps_temporal_id_nesting_flag
+    bw.put(0xFFFF, 16)      # vps_reserved_0xffff_16bits
+    _profile_tier_level(bw, cfg)
+    bw.put(0, 1)            # vps_sub_layer_ordering_info_present_flag
+    bw.ue(4)                # vps_max_dec_pic_buffering_minus1
+    bw.ue(0)                # vps_max_num_reorder_pics
+    bw.ue(0)                # vps_max_latency_increase_plus1
+    bw.put(0, 6)            # vps_max_layer_id
+    bw.ue(0)                # vps_num_layer_sets_minus1
+    bw.put(0, 1)            # vps_timing_info_present_flag
+    bw.put(0, 1)            # vps_extension_flag
+    bw.align_one_then_zero()
+    return wrap_nal(NAL_VPS, bw.getvalue())
+
+
+def write_sps(cfg: EncoderConfig, st_rps: list | None = None) -> bytes:
+    bw = BitWriter()
+    bw.put(0, 4)            # sps_video_parameter_set_id
+    bw.put(0, 3)            # sps_max_sub_layers_minus1
+    bw.put(1, 1)            # sps_temporal_id_nesting_flag
+    _profile_tier_level(bw, cfg)
+    bw.ue(0)                # sps_seq_parameter_set_id
+    bw.ue(cfg.chroma_format_idc)
+    if cfg.chroma_format_idc == 3:
+        bw.put(0, 1)        # separate_colour_plane_flag
+    bw.ue(cfg.width)
+    bw.ue(cfg.height)
+    bw.put(0, 1)            # conformance_window_flag
+    bw.ue(cfg.bit_depth - 8)
+    bw.ue(cfg.bit_depth - 8)
+    bw.ue(cfg.log2_max_poc_lsb - 4)
+    bw.put(0, 1)            # sps_sub_layer_ordering_info_present_flag
+    bw.ue(4)                # sps_max_dec_pic_buffering_minus1
+    bw.ue(0)                # sps_max_num_reorder_pics
+    bw.ue(0)                # sps_max_latency_increase_plus1
+    bw.ue(cfg.min_cb_log2 - 3)
+    bw.ue(cfg.ctb_log2 - cfg.min_cb_log2)
+    bw.ue(cfg.min_tb_log2 - 2)
+    bw.ue(cfg.max_tb_log2 - cfg.min_tb_log2)
+    bw.ue(cfg.max_transform_hierarchy_depth)   # inter
+    bw.ue(cfg.max_transform_hierarchy_depth)   # intra
+    bw.put(0, 1)            # scaling_list_enabled_flag
+    bw.put(1 if cfg.amp_enabled else 0, 1)
+    bw.put(1 if cfg.sao_enabled else 0, 1)
+    bw.put(1 if cfg.pcm_enabled else 0, 1)
+    if cfg.pcm_enabled:
+        bw.put(cfg.pcm_bit_depth - 1, 4)
+        bw.put(cfg.pcm_bit_depth - 1, 4)
+        bw.ue(cfg.pcm_min_log2 - 3)
+        bw.ue(cfg.pcm_max_log2 - cfg.pcm_min_log2)
+        bw.put(1 if cfg.pcm_loop_filter_disabled else 0, 1)
+    st_rps = st_rps or []
+    bw.ue(len(st_rps))      # num_short_term_ref_pic_sets
+    for i, rps in enumerate(st_rps):
+        _write_st_rps(bw, i, rps)
+    bw.put(0, 1)            # long_term_ref_pics_present_flag
+    bw.put(0, 1)            # sps_temporal_mvp_enabled_flag
+    bw.put(1 if cfg.strong_intra_smoothing else 0, 1)
+    bw.put(0, 1)            # vui_parameters_present_flag
+    bw.put(0, 1)            # sps_extension_flag
+    bw.align_one_then_zero()
+    return wrap_nal(NAL_SPS, bw.getvalue())
+
+
+def _write_st_rps(bw: BitWriter, idx: int, rps):
+    """rps: (negative_deltas:list[int] poc deltas (<0), used_flags)."""
+    if idx != 0:
+        bw.put(0, 1)        # inter_ref_pic_set_prediction_flag (not used)
+    neg = rps
+    bw.ue(len(neg))         # num_negative_pics
+    bw.ue(0)                # num_positive_pics
+    prev = 0
+    for d in neg:
+        bw.ue(prev - d - 1)  # delta_poc_s0_minus1
+        prev = d
+        bw.put(1, 1)         # used_by_curr_pic_s0_flag
+    return
+
+
+def write_pps(cfg: EncoderConfig) -> bytes:
+    bw = BitWriter()
+    bw.ue(0)                # pps_pic_parameter_set_id
+    bw.ue(0)                # pps_seq_parameter_set_id
+    bw.put(0, 1)            # dependent_slice_segments_enabled_flag
+    bw.put(0, 1)            # output_flag_present_flag
+    bw.put(0, 3)            # num_extra_slice_header_bits
+    bw.put(1 if cfg.sign_data_hiding else 0, 1)
+    bw.put(0, 1)            # cabac_init_present_flag
+    bw.ue(cfg.max_num_ref - 1)  # num_ref_idx_l0_default_active_minus1
+    bw.ue(0)                # num_ref_idx_l1_default_active_minus1
+    bw.se(cfg.qp - 26)      # init_qp_minus26
+    bw.put(0, 1)            # constrained_intra_pred_flag
+    bw.put(1 if cfg.transform_skip else 0, 1)
+    bw.put(0, 1)            # cu_qp_delta_enabled_flag
+    bw.se(0)                # pps_cb_qp_offset
+    bw.se(0)                # pps_cr_qp_offset
+    bw.put(0, 1)            # pps_slice_chroma_qp_offsets_present_flag
+    bw.put(0, 1)            # weighted_pred_flag
+    bw.put(0, 1)            # weighted_bipred_flag
+    bw.put(0, 1)            # transquant_bypass_enabled_flag
+    bw.put(0, 1)            # tiles_enabled_flag
+    bw.put(0, 1)            # entropy_coding_sync_enabled_flag
+    bw.put(1, 1)            # pps_loop_filter_across_slices_enabled_flag
+    bw.put(1, 1)            # deblocking_filter_control_present_flag
+    bw.put(0, 1)            # deblocking_filter_override_enabled_flag
+    bw.put(1 if cfg.deblock_disabled else 0, 1)  # pps_deblocking_filter_disabled_flag
+    bw.put(0, 1)            # pps_scaling_list_data_present_flag
+    bw.put(0, 1)            # lists_modification_present_flag
+    bw.ue(0)                # log2_parallel_merge_level_minus2
+    bw.put(0, 1)            # slice_segment_header_extension_present_flag
+    bw.put(0, 1)            # pps_extension_flag
+    bw.align_one_then_zero()
+    return wrap_nal(NAL_PPS, bw.getvalue())
+
+
+def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
+                       slice_type: int, poc: int = 0,
+                       st_rps_idx: int = 0, num_st_rps: int = 0):
+    """slice_type: 0=B 1=P 2=I. Only the syntax paths this encoder exercises."""
+    bw.put(1, 1)            # first_slice_segment_in_pic_flag
+    if 16 <= nal_type <= 23:
+        bw.put(0, 1)        # no_output_of_prior_pics_flag
+    bw.ue(0)                # slice_pic_parameter_set_id
+    bw.ue(slice_type)
+    if nal_type not in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+        bw.put(poc % (1 << cfg.log2_max_poc_lsb), cfg.log2_max_poc_lsb)
+        if num_st_rps == 0:
+            raise ValueError("non-IDR requires an SPS short-term RPS")
+        bw.put(1, 1)        # short_term_ref_pic_set_sps_flag
+        nbits = max(1, (num_st_rps - 1).bit_length())
+        if num_st_rps > 1:
+            bw.put(st_rps_idx, nbits)
+    if cfg.sao_enabled:
+        bw.put(1, 1)        # slice_sao_luma_flag
+        bw.put(1, 1)        # slice_sao_chroma_flag
+    if slice_type != 2:
+        bw.put(0, 1)        # num_ref_idx_active_override_flag
+        # no lists_modification (flag off in PPS)
+        if slice_type == 0:
+            bw.put(0, 1)    # mvd_l1_zero_flag
+        # cabac_init_present = 0; tmvp off; weighted pred off
+        bw.ue(cfg.max_num_ref - 1 if False else 4)  # five_minus_max_num_merge_cand -> 1 cand
+    bw.se(0)                # slice_qp_delta
+    if cfg.sao_enabled or not cfg.deblock_disabled:
+        bw.put(1, 1)        # slice_loop_filter_across_slices_enabled_flag
+    bw.put(1, 1)            # byte_alignment: alignment_bit_equal_to_one
+    bw.align_zero()
+
+
+class SliceDataEncoder:
+    """CABAC slice-data writer: owns the engine + context states."""
+
+    def __init__(self, bw: BitWriter, cfg: EncoderConfig, slice_type: int):
+        self.bw = bw
+        self.cfg = cfg
+        init_type = (0 if slice_type == 2 else
+                     1 if slice_type == 0 else 2)
+        self.ctx = init_states(init_type, cfg.qp)
+        self.cabac = CabacEncoder(bw)
+
+    def bin(self, elem: str, inc: int, val: int):
+        self.cabac.encode_bin(self.ctx, CTX_OFFSET[elem] + inc, val)
+
+    def bypass(self, val: int):
+        self.cabac.encode_bypass(val)
+
+    def bypass_bits(self, val: int, n: int):
+        self.cabac.encode_bypass_bits(val, n)
+
+    def terminate(self, val: int):
+        self.cabac.encode_terminate(val)
+
+    def pcm_payload(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """pcm_flag=1 has just been coded via terminate(1): align + raw
+        samples + engine restart (contexts persist)."""
+        self.bw.align_zero()
+        bd = self.cfg.pcm_bit_depth
+        for plane in (y, u, v):
+            for s in np.asarray(plane, dtype=np.int64).reshape(-1):
+                self.bw.put(int(s), bd)
+        self.bw.align_zero()
+        self.cabac.restart()
+
+
+def encode_pcm_frame(cfg: EncoderConfig, y: np.ndarray, u: np.ndarray,
+                     v: np.ndarray, nal_type: int = NAL_IDR_N_LP) -> bytes:
+    """All-PCM intra frame: every CTB is one PCM CU (requires
+    ctb == min_cb == pcm size and dimensions multiple of ctb)."""
+    assert cfg.ctb_log2 == cfg.min_cb_log2 == cfg.pcm_min_log2 == cfg.pcm_max_log2
+    cs = cfg.ctb_size
+    assert cfg.width % cs == 0 and cfg.height % cs == 0
+    bw = BitWriter()
+    write_slice_header(bw, cfg, nal_type, slice_type=2)
+    enc = SliceDataEncoder(bw, cfg, slice_type=2)
+    n_ctb = cfg.ctbs_w * cfg.ctbs_h
+    for addr in range(n_ctb):
+        cx = (addr % cfg.ctbs_w) * cs
+        cy = (addr // cfg.ctbs_w) * cs
+        # coding_unit(16x16 == min CB): part_mode bin0=1 (PART_2Nx2N)
+        enc.bin("part_mode", 0, 1)
+        enc.terminate(1)  # pcm_flag = 1
+        enc.pcm_payload(y[cy:cy + cs, cx:cx + cs],
+                        u[cy // 2:(cy + cs) // 2, cx // 2:(cx + cs) // 2],
+                        v[cy // 2:(cy + cs) // 2, cx // 2:(cx + cs) // 2])
+        enc.terminate(1 if addr == n_ctb - 1 else 0)  # end_of_slice
+    bw.align_zero()
+    return wrap_nal(nal_type, bw.getvalue())
+
+
+def encode_pcm_stream(frames, width: int, height: int) -> bytes:
+    """frames: list of (y, u, v) uint8 arrays. Returns an Annex-B stream."""
+    cfg = EncoderConfig(width=width, height=height)
+    out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)
+    for (y, u, v) in frames:
+        out += encode_pcm_frame(cfg, y, u, v)
+    return out
