@@ -1,0 +1,512 @@
+"""Parameter-set parsing: VPS / SPS / PPS (H.265 7.3.2).
+
+Python reference model for the native parse core. Parity target:
+hevc_ps.c (ff_hevc_decode_nal_{vps,sps,pps}) — full Main / Main10 / RExt
+syntax; SHVC VPS-extension fields are tolerated but not yet interpreted.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .bits import BitReader, unescape_rbsp
+
+
+@dataclass
+class ProfileTierLevel:
+    profile_space: int = 0
+    tier_flag: int = 0
+    profile_idc: int = 1
+    compat_flags: int = 0
+    progressive_source: int = 0
+    interlaced_source: int = 0
+    non_packed: int = 0
+    frame_only: int = 0
+    level_idc: int = 0
+
+
+def parse_ptl(r: BitReader, max_sub_layers_minus1: int) -> ProfileTierLevel:
+    p = ProfileTierLevel()
+    p.profile_space = r.read(2)
+    p.tier_flag = r.read1()
+    p.profile_idc = r.read(5)
+    p.compat_flags = r.read(32)
+    p.progressive_source = r.read1()
+    p.interlaced_source = r.read1()
+    p.non_packed = r.read1()
+    p.frame_only = r.read1()
+    r.read(44)  # RExt constraint flags / reserved
+    p.level_idc = r.read(8)
+    sub_profile_present = []
+    sub_level_present = []
+    for _ in range(max_sub_layers_minus1):
+        sub_profile_present.append(r.read1())
+        sub_level_present.append(r.read1())
+    if max_sub_layers_minus1 > 0:
+        for _ in range(max_sub_layers_minus1, 8):
+            r.read(2)
+    for i in range(max_sub_layers_minus1):
+        if sub_profile_present[i]:
+            r.read(32 + 32 + 24)  # sub-layer profile block (88 bits)
+        if sub_level_present[i]:
+            r.read(8)
+    return p
+
+
+@dataclass
+class ShortTermRPS:
+    """Resolved short-term reference picture set (5-list precursor).
+
+    delta_pocs sorted: negatives ascending-to-current then positives
+    (matching the decode order used by ff_hevc_frame_rps)."""
+    num_negative: int = 0
+    num_positive: int = 0
+    delta_poc: list = field(default_factory=list)   # signed deltas
+    used: list = field(default_factory=list)
+
+    @property
+    def num_delta_pocs(self) -> int:
+        return self.num_negative + self.num_positive
+
+
+def parse_st_rps(r: BitReader, sps: "SPS", idx: int, num_rps: int,
+                 in_slice_header: bool = False) -> ShortTermRPS:
+    """7.3.7 st_ref_pic_set, incl. inter-RPS prediction."""
+    rps = ShortTermRPS()
+    pred = 0
+    if idx != 0:
+        pred = r.read1()  # inter_ref_pic_set_prediction_flag
+    if pred:
+        if in_slice_header:
+            delta_idx = r.ue() + 1
+        else:
+            delta_idx = 1
+        ref = sps.st_rps[idx - delta_idx]
+        delta_rps_sign = r.read1()
+        abs_delta_rps = r.ue() + 1
+        delta_rps = (1 - 2 * delta_rps_sign) * abs_delta_rps
+        use_flags = []
+        for j in range(ref.num_delta_pocs + 1):
+            used_by_curr = r.read1()
+            use_delta = 1
+            if not used_by_curr:
+                use_delta = r.read1()
+            use_flags.append((used_by_curr, use_delta))
+        # derive (7-57..7-60)
+        neg, pos = [], []
+        # negative pics of new RPS
+        for j in range(ref.num_positive - 1, -1, -1):
+            d = ref.delta_poc[ref.num_negative + j] + delta_rps
+            if d < 0 and use_flags[ref.num_negative + j][1]:
+                neg.append((d, use_flags[ref.num_negative + j][0]))
+        if delta_rps < 0 and use_flags[ref.num_delta_pocs][1]:
+            neg.append((delta_rps, use_flags[ref.num_delta_pocs][0]))
+        for j in range(ref.num_negative):
+            d = ref.delta_poc[j] + delta_rps
+            if d < 0 and use_flags[j][1]:
+                neg.append((d, use_flags[j][0]))
+        neg.sort(key=lambda t: -t[0])  # closest (largest, i.e. -1) first
+        for j in range(ref.num_negative - 1, -1, -1):
+            d = ref.delta_poc[j] + delta_rps
+            if d > 0 and use_flags[j][1]:
+                pos.append((d, use_flags[j][0]))
+        if delta_rps > 0 and use_flags[ref.num_delta_pocs][1]:
+            pos.append((delta_rps, use_flags[ref.num_delta_pocs][0]))
+        for j in range(ref.num_positive):
+            d = ref.delta_poc[ref.num_negative + j] + delta_rps
+            if d > 0 and use_flags[ref.num_negative + j][1]:
+                pos.append((d, use_flags[ref.num_negative + j][0]))
+        pos.sort(key=lambda t: t[0])
+        rps.num_negative = len(neg)
+        rps.num_positive = len(pos)
+        rps.delta_poc = [d for d, _ in neg] + [d for d, _ in pos]
+        rps.used = [u for _, u in neg] + [u for _, u in pos]
+        return rps
+    rps.num_negative = r.ue()
+    rps.num_positive = r.ue()
+    prev = 0
+    for _ in range(rps.num_negative):
+        d = r.ue() + 1
+        prev -= d
+        rps.delta_poc.append(prev)
+        rps.used.append(r.read1())
+    prev = 0
+    for _ in range(rps.num_positive):
+        d = r.ue() + 1
+        prev += d
+        rps.delta_poc.append(prev)
+        rps.used.append(r.read1())
+    return rps
+
+
+def parse_scaling_list(r: BitReader) -> dict:
+    """7.3.4 scaling_list_data. Returns resolved 4 sizeIds x 6 matrixIds."""
+    out = {}
+    for size_id in range(4):
+        matrix_step = 1 if size_id < 3 else 3
+        for matrix_id in range(0, 6, matrix_step):
+            pred_flag = r.read1()
+            if not pred_flag:
+                delta = r.ue()
+                out[(size_id, matrix_id)] = ("ref", matrix_id - delta)
+            else:
+                coef_num = min(64, 1 << (4 + (size_id << 1)))
+                next_coef = 8
+                dc = 8
+                if size_id > 1:
+                    dc = r.se() + 8
+                    next_coef = dc
+                coefs = []
+                for _ in range(coef_num):
+                    next_coef = (next_coef + r.se() + 256) % 256
+                    coefs.append(next_coef)
+                out[(size_id, matrix_id)] = ("explicit", dc, coefs)
+    return out
+
+
+@dataclass
+class VPS:
+    vps_id: int = 0
+    max_layers: int = 1
+    max_sub_layers: int = 1
+    temporal_id_nesting: int = 1
+    ptl: ProfileTierLevel | None = None
+
+
+def parse_vps(rbsp: bytes) -> VPS:
+    r = BitReader(rbsp)
+    v = VPS()
+    v.vps_id = r.read(4)
+    r.read(2)
+    v.max_layers = r.read(6) + 1
+    v.max_sub_layers = r.read(3) + 1
+    v.temporal_id_nesting = r.read1()
+    r.read(16)
+    v.ptl = parse_ptl(r, v.max_sub_layers - 1)
+    # ordering info / layer sets / timing: parsed-and-ignored for now
+    return v
+
+
+@dataclass
+class SPS:
+    sps_id: int = 0
+    vps_id: int = 0
+    chroma_format_idc: int = 1
+    separate_colour_plane: int = 0
+    width: int = 0
+    height: int = 0
+    # conformance window crop (luma samples)
+    crop_left: int = 0
+    crop_right: int = 0
+    crop_top: int = 0
+    crop_bottom: int = 0
+    bit_depth: int = 8
+    bit_depth_chroma: int = 8
+    log2_max_poc_lsb: int = 8
+    max_dec_pic_buffering: int = 5
+    num_reorder_pics: int = 0
+    log2_min_cb: int = 3
+    log2_ctb: int = 6
+    log2_min_tb: int = 2
+    log2_max_tb: int = 5
+    max_transform_hierarchy_depth_inter: int = 0
+    max_transform_hierarchy_depth_intra: int = 0
+    scaling_list_enabled: int = 0
+    scaling_list: dict | None = None
+    amp_enabled: int = 0
+    sao_enabled: int = 0
+    pcm_enabled: int = 0
+    pcm_bit_depth: int = 8
+    pcm_bit_depth_chroma: int = 8
+    log2_min_pcm_cb: int = 3
+    log2_max_pcm_cb: int = 3
+    pcm_loop_filter_disabled: int = 0
+    st_rps: list = field(default_factory=list)
+    long_term_ref_pics_present: int = 0
+    lt_ref_poc_lsb: list = field(default_factory=list)
+    lt_used_by_curr: list = field(default_factory=list)
+    temporal_mvp_enabled: int = 0
+    strong_intra_smoothing: int = 0
+    ptl: ProfileTierLevel | None = None
+    # Range extensions
+    transform_skip_rotation_enabled: int = 0
+    transform_skip_context_enabled: int = 0
+    implicit_rdpcm_enabled: int = 0
+    explicit_rdpcm_enabled: int = 0
+    extended_precision: int = 0
+    intra_smoothing_disabled: int = 0
+    high_precision_offsets: int = 0
+    persistent_rice_adaptation: int = 0
+    cabac_bypass_alignment: int = 0
+
+    # ---- derived ----
+    @property
+    def ctb_size(self) -> int:
+        return 1 << self.log2_ctb
+
+    @property
+    def ctbs_w(self) -> int:
+        return -(-self.width // self.ctb_size)
+
+    @property
+    def ctbs_h(self) -> int:
+        return -(-self.height // self.ctb_size)
+
+    @property
+    def min_cb_size(self) -> int:
+        return 1 << self.log2_min_cb
+
+    @property
+    def hshift1(self) -> int:  # chroma horizontal subsample shift
+        return 1 if self.chroma_format_idc in (1, 2) else 0
+
+    @property
+    def vshift1(self) -> int:
+        return 1 if self.chroma_format_idc == 1 else 0
+
+    @property
+    def qp_bd_offset(self) -> int:
+        return 6 * (self.bit_depth - 8)
+
+
+def parse_sps(rbsp: bytes) -> SPS:
+    r = BitReader(rbsp)
+    s = SPS()
+    s.vps_id = r.read(4)
+    max_sub_layers_minus1 = r.read(3)
+    r.read1()  # sps_temporal_id_nesting_flag
+    s.ptl = parse_ptl(r, max_sub_layers_minus1)
+    s.sps_id = r.ue()
+    s.chroma_format_idc = r.ue()
+    if s.chroma_format_idc == 3:
+        s.separate_colour_plane = r.read1()
+    s.width = r.ue()
+    s.height = r.ue()
+    if r.read1():  # conformance_window_flag
+        sub_w = 2 if s.chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if s.chroma_format_idc == 1 else 1
+        s.crop_left = r.ue() * sub_w
+        s.crop_right = r.ue() * sub_w
+        s.crop_top = r.ue() * sub_h
+        s.crop_bottom = r.ue() * sub_h
+    s.bit_depth = r.ue() + 8
+    s.bit_depth_chroma = r.ue() + 8
+    s.log2_max_poc_lsb = r.ue() + 4
+    sub_layer_ordering = r.read1()
+    for i in range((0 if sub_layer_ordering else max_sub_layers_minus1),
+                   max_sub_layers_minus1 + 1):
+        s.max_dec_pic_buffering = r.ue() + 1
+        s.num_reorder_pics = r.ue()
+        r.ue()  # max_latency_increase_plus1
+    s.log2_min_cb = r.ue() + 3
+    s.log2_ctb = s.log2_min_cb + r.ue()
+    s.log2_min_tb = r.ue() + 2
+    s.log2_max_tb = s.log2_min_tb + r.ue()
+    s.max_transform_hierarchy_depth_inter = r.ue()
+    s.max_transform_hierarchy_depth_intra = r.ue()
+    s.scaling_list_enabled = r.read1()
+    if s.scaling_list_enabled:
+        if r.read1():  # sps_scaling_list_data_present_flag
+            s.scaling_list = parse_scaling_list(r)
+        else:
+            s.scaling_list = {}
+    s.amp_enabled = r.read1()
+    s.sao_enabled = r.read1()
+    s.pcm_enabled = r.read1()
+    if s.pcm_enabled:
+        s.pcm_bit_depth = r.read(4) + 1
+        s.pcm_bit_depth_chroma = r.read(4) + 1
+        s.log2_min_pcm_cb = r.ue() + 3
+        s.log2_max_pcm_cb = s.log2_min_pcm_cb + r.ue()
+        s.pcm_loop_filter_disabled = r.read1()
+    num_st_rps = r.ue()
+    for i in range(num_st_rps):
+        s.st_rps.append(parse_st_rps(r, s, i, num_st_rps))
+    s.long_term_ref_pics_present = r.read1()
+    if s.long_term_ref_pics_present:
+        n = r.ue()
+        for _ in range(n):
+            s.lt_ref_poc_lsb.append(r.read(s.log2_max_poc_lsb))
+            s.lt_used_by_curr.append(r.read1())
+    s.temporal_mvp_enabled = r.read1()
+    s.strong_intra_smoothing = r.read1()
+    if r.read1():  # vui_parameters_present_flag
+        _skip_vui(r, s)
+    if r.read1():  # sps_extension_flag (legacy single-flag form is rare;
+        # 4-flag form) — the 2013 syntax: sps_range_extension etc.
+        # We parse the modern 4+4 form used by RExt streams.
+        range_ext = 1
+        # NOTE: our own encoder never sets this; conformant RExt streams use
+        # sps_extension_present -> 4 flags. Here: treat first flag as
+        # sps_range_extension_flag per 7.3.2.2.
+        if range_ext:
+            s.transform_skip_rotation_enabled = r.read1()
+            s.transform_skip_context_enabled = r.read1()
+            s.implicit_rdpcm_enabled = r.read1()
+            s.explicit_rdpcm_enabled = r.read1()
+            s.extended_precision = r.read1()
+            s.intra_smoothing_disabled = r.read1()
+            s.high_precision_offsets = r.read1()
+            s.persistent_rice_adaptation = r.read1()
+            s.cabac_bypass_alignment = r.read1()
+    return s
+
+
+def _skip_vui(r: BitReader, s: SPS):
+    """7.3.2.2 VUI — parsed for bit-position correctness, values ignored."""
+    if r.read1():  # aspect_ratio_info_present
+        idc = r.read(8)
+        if idc == 255:
+            r.read(32)
+    if r.read1():  # overscan_info_present
+        r.read1()
+    if r.read1():  # video_signal_type_present
+        r.read(3)
+        r.read1()
+        if r.read1():  # colour_description_present
+            r.read(24)
+    if r.read1():  # chroma_loc_info_present
+        r.ue()
+        r.ue()
+    r.read(3)  # neutral_chroma + field_seq + frame_field_info
+    if r.read1():  # default_display_window
+        r.ue(), r.ue(), r.ue(), r.ue()
+    if r.read1():  # vui_timing_info_present
+        r.read(64)
+        if r.read1():
+            r.ue()
+        if r.read1():  # hrd_parameters — not supported yet
+            raise NotImplementedError("HRD in VUI")
+    if r.read1():  # bitstream_restriction
+        r.read(3)
+        r.ue(), r.ue(), r.ue(), r.ue(), r.ue()
+
+
+@dataclass
+class PPS:
+    pps_id: int = 0
+    sps_id: int = 0
+    dependent_slice_segments: int = 0
+    output_flag_present: int = 0
+    num_extra_slice_header_bits: int = 0
+    sign_data_hiding: int = 0
+    cabac_init_present: int = 0
+    num_ref_l0_default: int = 1
+    num_ref_l1_default: int = 1
+    init_qp: int = 26
+    constrained_intra_pred: int = 0
+    transform_skip_enabled: int = 0
+    cu_qp_delta_enabled: int = 0
+    diff_cu_qp_delta_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    slice_chroma_qp_offsets_present: int = 0
+    weighted_pred: int = 0
+    weighted_bipred: int = 0
+    transquant_bypass_enabled: int = 0
+    tiles_enabled: int = 0
+    entropy_coding_sync: int = 0
+    num_tile_cols: int = 1
+    num_tile_rows: int = 1
+    uniform_spacing: int = 1
+    col_widths: list = field(default_factory=list)   # in CTBs
+    row_heights: list = field(default_factory=list)
+    loop_filter_across_tiles: int = 1
+    loop_filter_across_slices: int = 1
+    deblocking_filter_control_present: int = 0
+    deblocking_filter_override_enabled: int = 0
+    deblocking_filter_disabled: int = 0
+    beta_offset: int = 0
+    tc_offset: int = 0
+    scaling_list: dict | None = None
+    lists_modification_present: int = 0
+    log2_parallel_merge_level: int = 2
+    slice_header_extension_present: int = 0
+    # RExt
+    log2_max_transform_skip_block_size: int = 2
+    cross_component_prediction_enabled: int = 0
+    chroma_qp_offset_list_enabled: int = 0
+    diff_cu_chroma_qp_offset_depth: int = 0
+    cb_qp_offset_list: list = field(default_factory=list)
+    cr_qp_offset_list: list = field(default_factory=list)
+    log2_sao_offset_scale_luma: int = 0
+    log2_sao_offset_scale_chroma: int = 0
+
+
+def parse_pps(rbsp: bytes) -> PPS:
+    r = BitReader(rbsp)
+    p = PPS()
+    p.pps_id = r.ue()
+    p.sps_id = r.ue()
+    p.dependent_slice_segments = r.read1()
+    p.output_flag_present = r.read1()
+    p.num_extra_slice_header_bits = r.read(3)
+    p.sign_data_hiding = r.read1()
+    p.cabac_init_present = r.read1()
+    p.num_ref_l0_default = r.ue() + 1
+    p.num_ref_l1_default = r.ue() + 1
+    p.init_qp = r.se() + 26
+    p.constrained_intra_pred = r.read1()
+    p.transform_skip_enabled = r.read1()
+    p.cu_qp_delta_enabled = r.read1()
+    if p.cu_qp_delta_enabled:
+        p.diff_cu_qp_delta_depth = r.ue()
+    p.cb_qp_offset = r.se()
+    p.cr_qp_offset = r.se()
+    p.slice_chroma_qp_offsets_present = r.read1()
+    p.weighted_pred = r.read1()
+    p.weighted_bipred = r.read1()
+    p.transquant_bypass_enabled = r.read1()
+    p.tiles_enabled = r.read1()
+    p.entropy_coding_sync = r.read1()
+    if p.tiles_enabled:
+        p.num_tile_cols = r.ue() + 1
+        p.num_tile_rows = r.ue() + 1
+        p.uniform_spacing = r.read1()
+        if not p.uniform_spacing:
+            p.col_widths = [r.ue() + 1 for _ in range(p.num_tile_cols - 1)]
+            p.row_heights = [r.ue() + 1 for _ in range(p.num_tile_rows - 1)]
+        p.loop_filter_across_tiles = r.read1()
+    p.loop_filter_across_slices = r.read1()
+    p.deblocking_filter_control_present = r.read1()
+    if p.deblocking_filter_control_present:
+        p.deblocking_filter_override_enabled = r.read1()
+        p.deblocking_filter_disabled = r.read1()
+        if not p.deblocking_filter_disabled:
+            p.beta_offset = r.se() * 2
+            p.tc_offset = r.se() * 2
+    if r.read1():  # pps_scaling_list_data_present_flag
+        p.scaling_list = parse_scaling_list(r)
+    p.lists_modification_present = r.read1()
+    p.log2_parallel_merge_level = r.ue() + 2
+    p.slice_header_extension_present = r.read1()
+    if r.read1():  # pps_extension_flag -> range extension
+        if p.transform_skip_enabled:
+            p.log2_max_transform_skip_block_size = r.ue() + 2
+        p.cross_component_prediction_enabled = r.read1()
+        p.chroma_qp_offset_list_enabled = r.read1()
+        if p.chroma_qp_offset_list_enabled:
+            p.diff_cu_chroma_qp_offset_depth = r.ue()
+            n = r.ue() + 1
+            for _ in range(n):
+                p.cb_qp_offset_list.append(r.se())
+                p.cr_qp_offset_list.append(r.se())
+        p.log2_sao_offset_scale_luma = r.ue()
+        p.log2_sao_offset_scale_chroma = r.ue()
+    return p
+
+
+def tile_layout(pps: PPS, sps: SPS):
+    """Column/row boundaries in CTBs (derivation 6-3/6-4)."""
+    cw, ch = sps.ctbs_w, sps.ctbs_h
+    if not pps.tiles_enabled:
+        return [cw], [ch]
+    nc, nr = pps.num_tile_cols, pps.num_tile_rows
+    if pps.uniform_spacing:
+        cols = [(i + 1) * cw // nc - i * cw // nc for i in range(nc)]
+        rows = [(i + 1) * ch // nr - i * ch // nr for i in range(nr)]
+    else:
+        cols = pps.col_widths + [cw - sum(pps.col_widths)]
+        rows = pps.row_heights + [ch - sum(pps.row_heights)]
+    return cols, rows

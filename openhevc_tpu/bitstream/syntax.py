@@ -1,0 +1,735 @@
+"""Slice-data syntax layer: CTB scan, CU quadtree, intra PU modes, transform
+tree, residual coding, PCM — emitting FrameSymbols.
+
+Python reference implementation of the host parse core (the C++ native core
+mirrors this). Parity targets: hls_decode_entry/hls_coding_quadtree/
+hls_coding_unit/hls_transform_tree (hevc.c:2644,2508,2347,1443) and
+ff_hevc_hls_residual_coding (hevc_cabac.c:1372) — re-expressed, not
+translated: this parser performs *no* reconstruction; it resolves syntax
+into dense grids and device-ready job lists.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..symbols import FrameSymbols, CoeffBlock, IntraJob, PcmBlock
+from .bits import BitReader
+from .cabac import CabacDecoder
+from .ctx_tables import CTX_OFFSET, init_states
+from .ps import SPS, PPS
+from .slice import SliceHeader, I_SLICE, P_SLICE, B_SLICE
+
+MODE_INTER, MODE_INTRA, MODE_SKIP = 0, 1, 2
+PART_2Nx2N, PART_2NxN, PART_Nx2N, PART_NxN = 0, 1, 2, 3
+PART_2NxnU, PART_2NxnD, PART_nLx2N, PART_nRx2N = 4, 5, 6, 7
+SCAN_DIAG, SCAN_HORIZ, SCAN_VERT = 0, 1, 2
+
+
+# ---------------------------------------------------------------------------
+# Scan order tables (6.5.3)
+# ---------------------------------------------------------------------------
+
+def _diag_scan(n: int):
+    """Up-right diagonal scan: list of (x, y) in scan order."""
+    out = []
+    x = y = 0
+    while len(out) < n * n:
+        while y >= 0:
+            if x < n and y < n:
+                out.append((x, y))
+            y -= 1
+            x += 1
+        y = x
+        x = 0
+    return out
+
+
+def _horiz_scan(n: int):
+    return [(x, y) for y in range(n) for x in range(n)]
+
+
+def _vert_scan(n: int):
+    return [(x, y) for x in range(n) for y in range(n)]
+
+
+_SCANS_4 = {SCAN_DIAG: _diag_scan(4), SCAN_HORIZ: _horiz_scan(4),
+            SCAN_VERT: _vert_scan(4)}
+_CG_SCANS = {}
+for _n in (1, 2, 4, 8):
+    _CG_SCANS[(SCAN_DIAG, _n)] = _diag_scan(_n)
+    _CG_SCANS[(SCAN_HORIZ, _n)] = _horiz_scan(_n)
+    _CG_SCANS[(SCAN_VERT, _n)] = _vert_scan(_n)
+
+# inverse maps: (x, y) -> scan index
+_SCANS_4_INV = {k: {xy: i for i, xy in enumerate(v)}
+                for k, v in _SCANS_4.items()}
+_CG_SCANS_INV = {k: {xy: i for i, xy in enumerate(v)}
+                 for k, v in _CG_SCANS.items()}
+
+# sig_coeff_flag ctxIdxMap (9.3.4.2.5); row 0: 4x4 TBs, rows 1-3: by
+# prevCsbf, row 4: prevCsbf==3
+SIG_CTX_MAP = (
+    (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8),
+    (1, 1, 1, 0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0),
+    (2, 2, 2, 2, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0),
+    (2, 1, 0, 0, 2, 1, 0, 0, 2, 1, 0, 0, 2, 1, 0, 0),
+    (2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2),
+)
+
+CHROMA_QP_TABLE = (29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37)
+
+
+def chroma_qp(qp_y: int, offset: int, chroma_array_type: int,
+              qp_bd_offset: int) -> int:
+    """Chroma QP mapping (8.7.1; behavior of hevc_cabac.c:1427-1480)."""
+    qp_i = max(-qp_bd_offset, min(57, qp_y + offset))
+    if chroma_array_type == 1:
+        if qp_i < 30:
+            q = qp_i
+        elif qp_i > 43:
+            q = qp_i - 6
+        else:
+            q = CHROMA_QP_TABLE[qp_i - 30]
+    else:
+        q = min(qp_i, 51)
+    return q
+
+
+def zscan_grid(sps: SPS) -> np.ndarray:
+    """z-scan order index per 4x4 block [H4, W4] (decode-order comparisons;
+    same role as the reference's min_tb_addr_zs map, hevc_ps.c PPS deriv)."""
+    w4 = (sps.ctbs_w << sps.log2_ctb) >> 2
+    h4 = (sps.ctbs_h << sps.log2_ctb) >> 2
+    ys, xs = np.mgrid[0:h4, 0:w4]
+    n4 = 1 << (sps.log2_ctb - 2)      # 4x4 blocks per CTB side
+    ctb_idx = (ys // n4) * sps.ctbs_w + (xs // n4)
+    lx = xs % n4
+    ly = ys % n4
+    morton = np.zeros_like(lx)
+    for b in range(sps.log2_ctb - 2):
+        morton |= ((lx >> b) & 1) << (2 * b)
+        morton |= ((ly >> b) & 1) << (2 * b + 1)
+    return ctb_idx * (n4 * n4) + morton
+
+
+def avail_mask(zscan: np.ndarray, pred_mode: np.ndarray, constrained: bool,
+               x: int, y: int, size: int, hs: int, vs: int,
+               W: int, H: int) -> np.ndarray:
+    """Reference-sample availability for a TB at plane coords (x, y) with
+    chroma subsampling shifts (hs, vs). Layout matches ops/intra_np.py.
+    Availability = in-picture AND earlier in z-scan decode order AND (if
+    constrained intra) intra-coded. (Role of ff_hevc_set_neighbour_available
+    + z-scan checks, hevc_mvs.c:41/:63.)"""
+    lx0, ly0 = x << hs, y << vs
+    zc = zscan[ly0 >> 2, lx0 >> 2]
+    n = 4 * size + 1
+    avail = np.zeros(n, bool)
+
+    def ok(lx, ly):
+        if lx < 0 or ly < 0 or lx >= W or ly >= H:
+            return False
+        if zscan[ly >> 2, lx >> 2] >= zc:
+            return False
+        if constrained and pred_mode[ly >> 2, lx >> 2] != MODE_INTRA:
+            return False
+        return True
+
+    for i in range(2 * size):
+        avail[i] = ok((x - 1) << hs, (y + 2 * size - 1 - i) << vs)
+    avail[2 * size] = ok((x - 1) << hs, (y - 1) << vs)
+    for j in range(2 * size):
+        avail[2 * size + 1 + j] = ok((x + j) << hs, (y - 1) << vs)
+    return avail
+
+
+class SliceDataParser:
+    def __init__(self, rbsp: bytes, sps: SPS, pps: PPS, sh: SliceHeader,
+                 nal_type: int, poc: int):
+        self.sps, self.pps, self.sh = sps, pps, sh
+        init_type = (0 if sh.slice_type == I_SLICE else
+                     (2 if sh.slice_type == P_SLICE else 1))
+        if pps.cabac_init_present and sh.cabac_init_flag and \
+                sh.slice_type != I_SLICE:
+            init_type = 3 - init_type  # swap 1<->2
+        self.ctx = init_states(init_type, max(0, min(51, sh.qp)))
+        self.rbsp = rbsp
+        self.cab = CabacDecoder(rbsp, sh.data_start_byte * 8)
+        w4 = (sps.ctbs_w << sps.log2_ctb) >> 2
+        h4 = (sps.ctbs_h << sps.log2_ctb) >> 2
+        self.w4, self.h4 = w4, h4
+        self.zscan = zscan_grid(sps)
+        fs = FrameSymbols(sps=sps, pps=pps, poc=poc,
+                          slice_type=sh.slice_type, slice_qp=sh.qp,
+                          nal_type=nal_type)
+        fs.ipm = np.full((h4, w4), 255, np.uint8)
+        fs.pred_mode = np.full((h4, w4), MODE_INTRA, np.uint8)
+        fs.is_pcm = np.zeros((h4, w4), np.uint8)
+        fs.tqb = np.zeros((h4, w4), np.uint8)
+        fs.cbf_luma4 = np.zeros((h4, w4), np.uint8)
+        fs.qp_y4 = np.full((h4, w4), sh.qp, np.int8)
+        fs.sao = np.zeros((sps.ctbs_h, sps.ctbs_w, 3, 6), np.int16)
+        fs.mvf = np.zeros((h4 // 2, w4 // 2, 2, 4), np.int32)
+        fs.deblock_disabled = bool(sh.deblocking_filter_disabled)
+        fs.beta_offset = sh.beta_offset
+        fs.tc_offset = sh.tc_offset
+        fs.sao_luma = bool(sh.sao_luma)
+        fs.sao_chroma = bool(sh.sao_chroma)
+        self.fs = fs
+        self.ct_depth = np.zeros((h4, w4), np.int8)
+        # per-CU state
+        self.cu_qp = sh.qp
+        self.cu_tqb = 0
+        self.cu_pred_mode = MODE_INTRA
+        self.cu_part_mode = PART_2Nx2N
+        self.pu_intra_modes = [1, 1, 1, 1]
+        self.intra_mode_c = 1
+
+    # -- CABAC shorthands ---------------------------------------------------
+    def bin(self, elem: str, inc: int = 0) -> int:
+        return self.cab.decode_bin(self.ctx, CTX_OFFSET[elem] + inc)
+
+    def bypass(self) -> int:
+        return self.cab.decode_bypass()
+
+    def bypass_bits(self, n: int) -> int:
+        return self.cab.decode_bypass_bits(n)
+
+    def terminate(self) -> int:
+        return self.cab.decode_terminate()
+
+    # -- top level ----------------------------------------------------------
+    def decode(self) -> FrameSymbols:
+        sps = self.sps
+        cs = 1 << sps.log2_ctb
+        n_ctb = sps.ctbs_w * sps.ctbs_h
+        for addr in range(n_ctb):
+            x0 = (addr % sps.ctbs_w) * cs
+            y0 = (addr // sps.ctbs_w) * cs
+            if sps.sao_enabled and (self.sh.sao_luma or self.sh.sao_chroma):
+                self._sao_params(x0, y0)
+            self._coding_quadtree(x0, y0, sps.log2_ctb, 0)
+            end = self.terminate()
+            if addr == n_ctb - 1:
+                assert end == 1, "missing end_of_slice"
+            elif end:
+                raise ValueError(f"premature end_of_slice at CTB {addr}")
+        return self.fs
+
+    # -- SAO ----------------------------------------------------------------
+    def _sao_params(self, x0: int, y0: int):
+        sps, sh, fs = self.sps, self.sh, self.fs
+        rx, ry = x0 >> sps.log2_ctb, y0 >> sps.log2_ctb
+        merge = 0
+        if x0 > 0:  # left in same slice+tile (single slice/tile for now)
+            if self.bin("sao_merge_flag"):
+                fs.sao[ry, rx] = fs.sao[ry, rx - 1]
+                return
+        if y0 > 0:
+            if self.bin("sao_merge_flag"):
+                fs.sao[ry, rx] = fs.sao[ry - 1, rx]
+                return
+        shift = sps.bit_depth - min(sps.bit_depth, 10)
+        for c_idx in range(3):
+            if (c_idx == 0 and not sh.sao_luma) or \
+               (c_idx == 1 and not sh.sao_chroma):
+                continue
+            if c_idx == 2:
+                # type copied from Cb; offsets parsed separately
+                sao_type = int(fs.sao[ry, rx, 1, 0])
+            else:
+                if not self.bin("sao_type_idx"):
+                    sao_type = 0
+                else:
+                    sao_type = 1 if not self.bypass() else 2
+            fs.sao[ry, rx, c_idx, 0] = sao_type
+            if sao_type == 0:
+                continue
+            offsets = []
+            length = (1 << (min(sps.bit_depth, 10) - 5)) - 1
+            for _ in range(4):
+                v = 0
+                while v < length and self.bypass():
+                    v += 1
+                offsets.append(v)
+            if sao_type == 1:  # band
+                for i in range(4):
+                    if offsets[i] and self.bypass():  # sao_offset_sign
+                        offsets[i] = -offsets[i]
+                band_pos = self.bypass_bits(5)
+                fs.sao[ry, rx, c_idx, 1] = band_pos
+            else:  # edge
+                offsets = offsets[:2] + [-offsets[2], -offsets[3]]
+                if c_idx == 2:
+                    eo = int(fs.sao[ry, rx, 1, 1])
+                else:
+                    eo = self.bypass_bits(2)
+                fs.sao[ry, rx, c_idx, 1] = eo
+            for i in range(4):
+                fs.sao[ry, rx, c_idx, 2 + i] = offsets[i]
+
+    # -- quadtree -----------------------------------------------------------
+    def _coding_quadtree(self, x0, y0, log2_cb, depth):
+        sps = self.sps
+        cb = 1 << log2_cb
+        boundary = x0 + cb > sps.width or y0 + cb > sps.height
+        if not boundary and log2_cb > sps.log2_min_cb:
+            inc = 0
+            x4, y4 = x0 >> 2, y0 >> 2
+            if x0 > 0 and self.ct_depth[y4, x4 - 1] > depth:
+                inc += 1
+            if y0 > 0 and self.ct_depth[y4 - 1, x4] > depth:
+                inc += 1
+            split = self.bin("split_cu_flag", inc)
+        else:
+            split = 1 if (log2_cb > sps.log2_min_cb) else 0
+            if boundary and log2_cb == sps.log2_min_cb:
+                split = 0
+        # (cu_qp_delta coding-group reset would go here)
+        if split:
+            h = cb >> 1
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < sps.width and y1 < sps.height:
+                    self._coding_quadtree(x1, y1, log2_cb - 1, depth + 1)
+        else:
+            self._coding_unit(x0, y0, log2_cb, depth)
+
+    # -- coding unit --------------------------------------------------------
+    def _coding_unit(self, x0, y0, log2_cb, depth):
+        sps, pps, fs = self.sps, self.pps, self.fs
+        cb = 1 << log2_cb
+        x4, y4 = x0 >> 2, y0 >> 2
+        n4 = cb >> 2
+        self.ct_depth[y4:y4 + n4, x4:x4 + n4] = depth
+        self.cu_tqb = 0
+        self.cu_qp = self.sh.qp  # (cu_qp_delta unsupported in parse v1)
+        fs.qp_y4[y4:y4 + n4, x4:x4 + n4] = self.cu_qp
+        if pps.transquant_bypass_enabled:
+            self.cu_tqb = self.bin("cu_transquant_bypass_flag")
+            fs.tqb[y4:y4 + n4, x4:x4 + n4] = self.cu_tqb
+        if self.sh.slice_type != I_SLICE:
+            raise NotImplementedError("inter slices land in the next phase")
+        self.cu_pred_mode = MODE_INTRA
+        fs.pred_mode[y4:y4 + n4, x4:x4 + n4] = MODE_INTRA
+        part_mode = PART_2Nx2N
+        if log2_cb == sps.log2_min_cb:
+            if not self.bin("part_mode"):
+                part_mode = PART_NxN
+        self.cu_part_mode = part_mode
+        pcm = 0
+        if (sps.pcm_enabled and part_mode == PART_2Nx2N and
+                sps.log2_min_pcm_cb <= log2_cb <= sps.log2_max_pcm_cb):
+            pcm = self.terminate()
+        if pcm:
+            self._pcm_sample(x0, y0, log2_cb)
+            fs.is_pcm[y4:y4 + n4, x4:x4 + n4] = 1
+            fs.ipm[y4:y4 + n4, x4:x4 + n4] = 1  # DC for neighbor derivation
+            return
+        self._intra_prediction_unit(x0, y0, log2_cb, part_mode)
+        intra_split = 1 if part_mode == PART_NxN else 0
+        max_depth = sps.max_transform_hierarchy_depth_intra + intra_split
+        self._transform_tree(x0, y0, x0, y0, log2_cb, 0, 0, max_depth,
+                             intra_split, log2_cb, (1, 1))
+
+    def _pcm_sample(self, x0, y0, log2_cb):
+        sps, fs = self.sps, self.fs
+        cb = 1 << log2_cb
+        end_byte = self.cab.consumed_bytes()
+        r = BitReader(self.rbsp, end_byte * 8)
+        bd, bdc = sps.pcm_bit_depth, sps.pcm_bit_depth_chroma
+        ys = np.array([r.read(bd) for _ in range(cb * cb)],
+                      np.int32).reshape(cb, cb)
+        csz = cb >> sps.hshift1
+        csz_v = cb >> sps.vshift1
+        cbs = np.array([r.read(bdc) for _ in range(csz * csz_v)],
+                       np.int32).reshape(csz_v, csz)
+        crs = np.array([r.read(bdc) for _ in range(csz * csz_v)],
+                       np.int32).reshape(csz_v, csz)
+        # pcm samples scale up to bit depth (put_pcm behavior)
+        ys = ys << (sps.bit_depth - bd)
+        cbs = cbs << (sps.bit_depth_chroma - bdc)
+        crs = crs << (sps.bit_depth_chroma - bdc)
+        fs.pcm_blocks.append(PcmBlock(x0, y0, cb, ys, cbs, crs))
+        assert r.pos % 8 == 0
+        self.cab.reinit(r.pos)
+
+    # -- intra modes --------------------------------------------------------
+    def _intra_prediction_unit(self, x0, y0, log2_cb, part_mode):
+        fs = self.fs
+        n_pu = 4 if part_mode == PART_NxN else 1
+        pb = (1 << log2_cb) >> (1 if part_mode == PART_NxN else 0)
+        prev_flags = [self.bin("prev_intra_luma_pred_flag")
+                      for _ in range(n_pu)]
+        modes = []
+        for i in range(n_pu):
+            px = x0 + (i & 1) * pb
+            py = y0 + (i >> 1) * pb
+            cands = self._mpm_candidates(px, py)
+            if prev_flags[i]:
+                idx = 0
+                while idx < 2 and self.bypass():
+                    idx += 1
+                mode = cands[idx]
+            else:
+                rem = self.bypass_bits(5)
+                sc = sorted(cands)
+                mode = rem
+                for c in sc:
+                    if mode >= c:
+                        mode += 1
+            modes.append(mode)
+            p4, n4 = pb >> 2, pb >> 2
+            fs.ipm[py >> 2:(py >> 2) + n4, px >> 2:(px >> 2) + n4] = mode
+        self.pu_intra_modes = (modes * 4)[:4]
+        # chroma mode (single, from top-left luma PU)
+        if not self.bin("intra_chroma_pred_mode"):
+            self.intra_mode_c = modes[0]
+        else:
+            idx = self.bypass_bits(2)
+            table = (0, 26, 10, 1)
+            m = table[idx]
+            self.intra_mode_c = 34 if m == modes[0] else m
+
+    def _mpm_candidates(self, x0, y0):
+        sps, fs = self.sps, self.fs
+        x4, y4 = x0 >> 2, y0 >> 2
+        zc = self.zscan[y4, x4]
+        # left (x0-1, y0)
+        cand_a = 1
+        if x0 > 0 and self.zscan[y4, x4 - 1] < zc and \
+                fs.pred_mode[y4, x4 - 1] == MODE_INTRA and \
+                not fs.is_pcm[y4, x4 - 1]:
+            cand_a = int(fs.ipm[y4, x4 - 1])
+        # above (x0, y0-1); outside CTB -> DC
+        cand_b = 1
+        if y0 > 0 and (y0 % (1 << sps.log2_ctb)) != 0 and \
+                self.zscan[y4 - 1, x4] < zc and \
+                fs.pred_mode[y4 - 1, x4] == MODE_INTRA and \
+                not fs.is_pcm[y4 - 1, x4]:
+            cand_b = int(fs.ipm[y4 - 1, x4])
+        if cand_a == cand_b:
+            if cand_a < 2:
+                return [0, 1, 26]
+            return [cand_a,
+                    2 + ((cand_a + 29) % 32),
+                    2 + ((cand_a - 2 + 1) % 32)]
+        lst = [cand_a, cand_b]
+        if cand_a != 0 and cand_b != 0:
+            lst.append(0)
+        elif cand_a + cand_b < 2:
+            lst.append(26)
+        else:
+            lst.append(1)
+        return lst
+
+    # -- transform tree -----------------------------------------------------
+    def _transform_tree(self, x0, y0, x_base, y_base, log2_tr, depth, blk_idx,
+                        max_depth, intra_split, log2_cb, parent_cbf_c):
+        sps = self.sps
+        cbf_cb, cbf_cr = parent_cbf_c
+        split = 0
+        if (log2_tr <= sps.log2_max_tb and log2_tr > sps.log2_min_tb and
+                depth < max_depth and not (intra_split and depth == 0)):
+            split = self.bin("split_transform_flag", 5 - log2_tr)
+        else:
+            if log2_tr > sps.log2_max_tb or (intra_split and depth == 0):
+                split = 1
+        my_cbf_cb, my_cbf_cr = cbf_cb, cbf_cr
+        if log2_tr > 2:
+            if depth == 0 or cbf_cb:
+                my_cbf_cb = self.bin("cbf_cbcr", depth)
+            else:
+                my_cbf_cb = 0
+            if depth == 0 or cbf_cr:
+                my_cbf_cr = self.bin("cbf_cbcr", depth)
+            else:
+                my_cbf_cr = 0
+        if split:
+            h = 1 << (log2_tr - 1)
+            for i, (dx, dy) in enumerate(((0, 0), (h, 0), (0, h), (h, h))):
+                self._transform_tree(x0 + dx, y0 + dy, x0, y0, log2_tr - 1,
+                                     depth + 1, i, max_depth, intra_split,
+                                     log2_cb, (my_cbf_cb, my_cbf_cr))
+            return
+        cbf_luma = 1
+        if self.cu_pred_mode == MODE_INTRA or depth != 0 or \
+                my_cbf_cb or my_cbf_cr:
+            cbf_luma = self.bin("cbf_luma", 0 if depth else 1)
+        self._transform_unit(x0, y0, x_base, y_base, log2_tr, depth, blk_idx,
+                             cbf_luma, my_cbf_cb, my_cbf_cr)
+
+    def _transform_unit(self, x0, y0, x_base, y_base, log2_tr, depth, blk_idx,
+                        cbf_luma, cbf_cb, cbf_cr):
+        sps, fs = self.sps, self.fs
+        if cbf_luma:
+            n4 = 1 << max(0, log2_tr - 2)
+            fs.cbf_luma4[y0 >> 2:(y0 >> 2) + n4,
+                         x0 >> 2:(x0 >> 2) + n4] = 1
+        if self.cu_pred_mode == MODE_INTRA:
+            # luma intra prediction for this TB (decode-order job)
+            mode = self._luma_mode_at(x0, y0)
+            size = 1 << log2_tr
+            self._emit_intra_job(0, x0, y0, size, mode)
+        if cbf_luma:
+            mode = self._luma_mode_at(x0, y0) \
+                if self.cu_pred_mode == MODE_INTRA else -1
+            self._residual(x0, y0, log2_tr, 0, mode)
+        if log2_tr > 2:
+            if self.cu_pred_mode == MODE_INTRA:
+                csize = 1 << (log2_tr - 1)
+                self._emit_intra_job(1, x0 >> 1, y0 >> 1, csize,
+                                     self.intra_mode_c)
+                self._emit_intra_job(2, x0 >> 1, y0 >> 1, csize,
+                                     self.intra_mode_c)
+            if cbf_cb:
+                self._residual(x0 >> 1, y0 >> 1, log2_tr - 1, 1,
+                               self.intra_mode_c)
+            if cbf_cr:
+                self._residual(x0 >> 1, y0 >> 1, log2_tr - 1, 2,
+                               self.intra_mode_c)
+        elif blk_idx == 3:
+            # chroma handled at the last 4x4 luma TB of the parent 8x8
+            if self.cu_pred_mode == MODE_INTRA:
+                self._emit_intra_job(1, x_base >> 1, y_base >> 1, 4,
+                                     self.intra_mode_c)
+                self._emit_intra_job(2, x_base >> 1, y_base >> 1, 4,
+                                     self.intra_mode_c)
+            if cbf_cb:
+                self._residual(x_base >> 1, y_base >> 1, 2, 1,
+                               self.intra_mode_c)
+            if cbf_cr:
+                self._residual(x_base >> 1, y_base >> 1, 2, 2,
+                               self.intra_mode_c)
+
+    def _luma_mode_at(self, x0, y0):
+        return int(self.fs.ipm[y0 >> 2, x0 >> 2])
+
+    # -- intra job emission (availability resolved here) --------------------
+    def _emit_intra_job(self, plane, x, y, size, mode):
+        sps = self.sps
+        hs = sps.hshift1 if plane else 0
+        vs = sps.vshift1 if plane else 0
+        avail = avail_mask(self.zscan, self.fs.pred_mode,
+                           bool(self.pps.constrained_intra_pred),
+                           x, y, size, hs, vs, sps.width, sps.height)
+        filt = (plane == 0 and not getattr(sps, "intra_smoothing_disabled", 0))
+        self.fs.intra_jobs.append(
+            IntraJob(plane, x, y, size, mode, avail, filt))
+
+    # -- residual coding ----------------------------------------------------
+    def _residual(self, x0, y0, log2_tr, c_idx, pred_mode_intra):
+        sps, pps, fs = self.sps, self.pps, self.fs
+        size = 1 << log2_tr
+        levels = np.zeros((size, size), np.int32)
+        transform_skip = 0
+        if (not self.cu_tqb and pps.transform_skip_enabled and
+                log2_tr <= pps.log2_max_transform_skip_block_size):
+            transform_skip = self.bin("transform_skip_flag", 1 if c_idx else 0)
+        # scan selection (7.4.9.11)
+        scan_idx = SCAN_DIAG
+        if self.cu_pred_mode == MODE_INTRA and (
+                log2_tr == 2 or (log2_tr == 3 and c_idx == 0) or
+                (log2_tr == 3 and sps.chroma_format_idc == 3)):
+            if 6 <= pred_mode_intra <= 14:
+                scan_idx = SCAN_VERT
+            elif 22 <= pred_mode_intra <= 30:
+                scan_idx = SCAN_HORIZ
+        # (explicit_rdpcm for RExt inter would be parsed here)
+        last_x = self._last_sig_prefix(c_idx, log2_tr, "last_sig_coeff_x_prefix")
+        last_y = self._last_sig_prefix(c_idx, log2_tr, "last_sig_coeff_y_prefix")
+        if last_x > 3:
+            n = (last_x >> 1) - 1
+            suffix = self.bypass_bits(n)
+            last_x = (1 << n) * (2 + (last_x & 1)) + suffix
+        if last_y > 3:
+            n = (last_y >> 1) - 1
+            suffix = self.bypass_bits(n)
+            last_y = (1 << n) * (2 + (last_y & 1)) + suffix
+        if scan_idx == SCAN_VERT:
+            last_x, last_y = last_y, last_x
+        ncg = size >> 2
+        cg_scan = _CG_SCANS[(scan_idx, ncg)] if ncg > 1 else [(0, 0)]
+        cg_inv = _CG_SCANS_INV[(scan_idx, ncg)] if ncg > 1 else {(0, 0): 0}
+        off_scan = _SCANS_4[scan_idx]
+        off_inv = _SCANS_4_INV[scan_idx]
+        x_cg_last, y_cg_last = last_x >> 2, last_y >> 2
+        num_coeff = off_inv[(last_x & 3, last_y & 3)]
+        num_coeff += cg_inv[(x_cg_last, y_cg_last)] << 4
+        num_coeff += 1
+        num_last_subset = (num_coeff - 1) >> 4
+        csbf = np.zeros((8, 8), np.uint8)
+        greater1_ctx_carry = 1
+        sign_hiding = pps.sign_data_hiding
+        for i in range(num_last_subset, -1, -1):
+            x_cg, y_cg = cg_scan[i]
+            offset = i << 4
+            implicit_nz = 0
+            if i < num_last_subset and i > 0:
+                ctx_cg = 0
+                if x_cg < ncg - 1:
+                    ctx_cg += csbf[x_cg + 1, y_cg]
+                if y_cg < ncg - 1:
+                    ctx_cg += csbf[x_cg, y_cg + 1]
+                inc = min(int(ctx_cg), 1) + (2 if c_idx else 0)
+                csbf[x_cg, y_cg] = self.bin("coded_sub_block_flag", inc)
+                implicit_nz = 1
+            else:
+                csbf[x_cg, y_cg] = int(
+                    (x_cg == x_cg_last and y_cg == y_cg_last) or
+                    (x_cg == 0 and y_cg == 0))
+            last_scan_pos = num_coeff - offset - 1
+            sig_idx = []
+            if i == num_last_subset:
+                n_end = last_scan_pos - 1
+                sig_idx.append(last_scan_pos)
+            else:
+                n_end = 15
+            prev_sig = 0
+            if x_cg < (size - 1) >> 2:
+                prev_sig = int(csbf[x_cg + 1, y_cg])
+            if y_cg < (size - 1) >> 2:
+                prev_sig += int(csbf[x_cg, y_cg + 1]) << 1
+            if csbf[x_cg, y_cg] and n_end >= 0:
+                if c_idx == 0:
+                    base_off = 0
+                    if log2_tr == 2:
+                        map_row = 0
+                    else:
+                        map_row = prev_sig + 1
+                        if x_cg > 0 or y_cg > 0:
+                            base_off += 3
+                        base_off += (9 if scan_idx == SCAN_DIAG else 15) \
+                            if log2_tr == 3 else 21
+                else:
+                    base_off = 27
+                    if log2_tr == 2:
+                        map_row = 0
+                    else:
+                        map_row = prev_sig + 1
+                        base_off += 9 if log2_tr == 3 else 12
+                for n in range(n_end, 0, -1):
+                    xc, yc = off_scan[n]
+                    inc = SIG_CTX_MAP[map_row][(yc << 2) + xc] + base_off
+                    if self.bin("sig_coeff_flag", inc):
+                        sig_idx.append(n)
+                        implicit_nz = 0
+                # DC of the sub-block
+                if implicit_nz == 0:
+                    if i == 0:
+                        dc_off = 0 if c_idx == 0 else 27
+                    else:
+                        dc_off = 2 + base_off
+                    if self.bin("sig_coeff_flag", dc_off):
+                        sig_idx.append(0)
+                else:
+                    sig_idx.append(0)
+            n_sig = len(sig_idx)
+            if n_sig == 0:
+                continue
+            # greater1 / greater2
+            ctx_set = 2 if (i > 0 and c_idx == 0) else 0
+            if i != num_last_subset and greater1_ctx_carry == 0:
+                ctx_set += 1
+            g1 = 1
+            gt1_flags = []
+            first_g1 = -1
+            for m in range(min(n_sig, 8)):
+                inc = (ctx_set << 2) + g1 + (16 if c_idx else 0)
+                f = self.bin("coeff_abs_level_greater1_flag", inc)
+                gt1_flags.append(f)
+                if f:
+                    g1 = 0
+                    if first_g1 == -1:
+                        first_g1 = m
+                elif 0 < g1 < 3:
+                    g1 += 1
+            greater1_ctx_carry = g1
+            last_nz = sig_idx[0]
+            first_nz = sig_idx[-1]
+            if self.cu_tqb:
+                hidden = False
+            elif (self.cu_pred_mode == MODE_INTRA and
+                  getattr(sps, "implicit_rdpcm_enabled", 0) and
+                  transform_skip and pred_mode_intra in (10, 26)):
+                hidden = False
+            else:
+                hidden = (last_nz - first_nz) >= 4
+            if first_g1 != -1:
+                inc = ctx_set + (4 if c_idx else 0)
+                gt1_flags[first_g1] += self.bin(
+                    "coeff_abs_level_greater2_flag", inc)
+            nb_signs = n_sig - (1 if (sign_hiding and hidden) else 0)
+            sign_bits = self.bypass_bits(nb_signs) << (16 - nb_signs) \
+                if nb_signs else 0
+            rice = 0
+            sum_abs = 0
+            for m in range(n_sig):
+                n = sig_idx[m]
+                xc = (x_cg << 2) + off_scan[n][0]
+                yc = (y_cg << 2) + off_scan[n][1]
+                if m < 8:
+                    level = 1 + gt1_flags[m]
+                    if level == (3 if m == first_g1 else 2):
+                        rem = self._abs_level_remaining(rice)
+                        level += rem
+                        if level > (3 << rice):
+                            rice = min(rice + 1, 4)
+                else:
+                    rem = self._abs_level_remaining(rice)
+                    level = 1 + rem
+                    if level > (3 << rice):
+                        rice = min(rice + 1, 4)
+                if sign_hiding and hidden:
+                    sum_abs += level
+                    if n == first_nz and (sum_abs & 1):
+                        level = -level
+                if sign_bits >> 15:
+                    level = -level
+                sign_bits = (sign_bits << 1) & 0xFFFF
+                levels[yc, xc] = level
+        is_dst = (self.cu_pred_mode == MODE_INTRA and c_idx == 0 and
+                  log2_tr == 2)
+        if c_idx == 0:
+            qp = self.cu_qp + sps.qp_bd_offset
+        else:
+            offset = (pps.cb_qp_offset + self.sh.cb_qp_offset if c_idx == 1
+                      else pps.cr_qp_offset + self.sh.cr_qp_offset)
+            cat = 0 if sps.chroma_format_idc == 0 else \
+                (1 if sps.chroma_format_idc == 1 else sps.chroma_format_idc)
+            qp = chroma_qp(self.cu_qp, offset, cat, sps.qp_bd_offset) + \
+                sps.qp_bd_offset
+        rdpcm_mode = -1
+        if self.cu_tqb or transform_skip:
+            if getattr(sps, "implicit_rdpcm_enabled", 0) and \
+                    self.cu_pred_mode == MODE_INTRA and \
+                    pred_mode_intra in (10, 26):
+                rdpcm_mode = 1 if pred_mode_intra == 26 else 0
+        fs.coeff_blocks.append(CoeffBlock(
+            plane=c_idx, x=x0, y=y0, log2_size=log2_tr, qp=qp,
+            is_dst=is_dst, transform_skip=bool(transform_skip),
+            transquant_bypass=bool(self.cu_tqb), rdpcm_mode=rdpcm_mode,
+            levels=levels))
+
+    def _last_sig_prefix(self, c_idx, log2_tr, elem):
+        if c_idx == 0:
+            ctx_offset = 3 * (log2_tr - 2) + ((log2_tr - 1) >> 2)
+            ctx_shift = (log2_tr + 1) >> 2
+        else:
+            ctx_offset = 15
+            ctx_shift = log2_tr - 2
+        i = 0
+        mx = (log2_tr << 1) - 1
+        while i < mx and self.bin(elem, (i >> ctx_shift) + ctx_offset):
+            i += 1
+        return i
+
+    def _abs_level_remaining(self, rice):
+        prefix = 0
+        while prefix < 32 and self.bypass():
+            prefix += 1
+        if prefix < 3:
+            suffix = self.bypass_bits(rice) if rice else 0
+            return (prefix << rice) + suffix
+        pm3 = prefix - 3
+        suffix = self.bypass_bits(pm3 + rice)
+        return (((1 << pm3) + 2) << rice) + suffix

@@ -1,0 +1,185 @@
+"""Top-level decoder driver: NAL dispatch, parameter-set registry, POC,
+DPB output ordering. (Parity: decode_nal_units/decode_nal_unit,
+hevc.c:3831/3288, and output bumping, hevc_refs.c:182.)
+
+The `engine` is pluggable: "np" (numpy scalar oracle) or "jax"
+(the TPU pipeline).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bitstream.bits import unescape_rbsp
+from .bitstream import ps as PS
+from .bitstream.slice import parse_slice_header, is_idr, is_irap, I_SLICE
+from .bitstream.syntax import SliceDataParser
+
+NAL_VPS, NAL_SPS, NAL_PPS = 32, 33, 34
+NAL_AUD, NAL_EOS, NAL_EOB, NAL_FD = 35, 36, 37, 38
+NAL_SEI_PREFIX, NAL_SEI_SUFFIX = 39, 40
+
+
+def split_nals(data: bytes):
+    """Annex-B start-code scan (role of ff_hevc_extract_rbsp's caller)."""
+    out = []
+    i = 0
+    n = len(data)
+    while True:
+        j = data.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        start = j + 3
+        k = data.find(b"\x00\x00\x01", start)
+        end = n if k < 0 else k
+        while end > start and data[end - 1] == 0 and k >= 0:
+            end -= 1
+        out.append(data[start:end])
+        i = start
+    return out
+
+
+@dataclass
+class DecodedPicture:
+    poc: int
+    planes: list          # [Y, Cb, Cr] int arrays (uncropped)
+    sps: object
+
+    def cropped(self):
+        s = self.sps
+        y, cb, cr = self.planes
+        H, W = s.height, s.width
+        cl, cr_, ct, cbm = s.crop_left, s.crop_right, s.crop_top, s.crop_bottom
+        yv = y[ct:H - cbm, cl:W - cr_]
+        hs, vs = s.hshift1, s.vshift1
+        uc = cb[ct >> vs:(H - cbm) >> vs, cl >> hs:(W - cr_) >> hs]
+        vc = cr[ct >> vs:(H - cbm) >> vs, cl >> hs:(W - cr_) >> hs]
+        return [yv, uc, vc]
+
+
+class Decoder:
+    def __init__(self, engine: str = "np"):
+        self.engine = engine
+        self.vps = {}
+        self.sps = {}
+        self.pps = {}
+        self.poc = 0
+        self.prev_poc_tid0 = 0
+        self.dpb: list[DecodedPicture] = []   # pending output, POC order
+        self.output: list[DecodedPicture] = []
+        self.n_output_pending = 0
+        self._jax_engine = None
+
+    # -- parameter sets ----------------------------------------------------
+    def _handle_nal(self, nal: bytes):
+        nal_type = (nal[0] >> 1) & 0x3F
+        layer_id = ((nal[0] & 1) << 5) | (nal[1] >> 3)
+        temporal_id = (nal[1] & 7) - 1
+        if layer_id != 0:
+            return  # SHVC enhancement layers: later phase
+        rbsp = unescape_rbsp(nal[2:])
+        if nal_type == NAL_VPS:
+            v = PS.parse_vps(rbsp)
+            self.vps[v.vps_id] = v
+        elif nal_type == NAL_SPS:
+            s = PS.parse_sps(rbsp)
+            self.sps[s.sps_id] = s
+        elif nal_type == NAL_PPS:
+            p = PS.parse_pps(rbsp)
+            self.pps[p.pps_id] = p
+        elif nal_type in (NAL_SEI_PREFIX, NAL_SEI_SUFFIX):
+            pass  # SEI (MD5 hash) handled by caller via sei.py later
+        elif nal_type <= 31:
+            self._decode_slice(nal_type, temporal_id, rbsp)
+
+    def _compute_poc(self, sps, sh, nal_type, temporal_id):
+        """8.3.1 (ff_hevc_compute_poc behavior)."""
+        if is_idr(nal_type):
+            poc = 0
+        else:
+            max_lsb = 1 << sps.log2_max_poc_lsb
+            prev = self.prev_poc_tid0
+            prev_lsb = prev & (max_lsb - 1)
+            prev_msb = prev - prev_lsb
+            lsb = sh.poc_lsb
+            if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+                msb = prev_msb + max_lsb
+            elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+            if nal_type in (16, 17, 18):  # BLA
+                msb = 0
+            poc = msb + lsb
+        if temporal_id == 0 and nal_type not in (0, 2, 4, 8, 9):
+            # RASL/RADL/sub-layer pics don't update prev_tid0
+            self.prev_poc_tid0 = poc
+        return poc
+
+    def _decode_slice(self, nal_type, temporal_id, rbsp):
+        sh = parse_slice_header(rbsp, nal_type,
+                                self._sps_for(rbsp, nal_type),
+                                self._pps_for(rbsp, nal_type))
+        pps = self.pps[sh.pps_id]
+        sps = self.sps[pps.sps_id]
+        poc = self._compute_poc(sps, sh, nal_type, temporal_id)
+        if sh.slice_type != I_SLICE:
+            raise NotImplementedError("inter slices: next phase")
+        parser = SliceDataParser(rbsp, sps, pps, sh, nal_type, poc)
+        fs = parser.decode()
+        planes = self._reconstruct(fs)
+        pic = DecodedPicture(poc=poc, planes=planes, sps=sps)
+        if is_irap(nal_type) and sh.no_output_of_prior_pics:
+            pass
+        self._bump(pic, sps)
+
+    def _reconstruct(self, fs):
+        if self.engine == "np":
+            from .models.recon_np import reconstruct
+            return reconstruct(fs)
+        from .models.pipeline import JaxEngine
+        if self._jax_engine is None:
+            self._jax_engine = JaxEngine()
+        return self._jax_engine.reconstruct(fs)
+
+    def _sps_for(self, rbsp, nal_type):
+        # peek pps id from slice header start to find sps
+        from .bitstream.bits import BitReader
+        r = BitReader(rbsp)
+        r.read1()
+        if is_irap(nal_type):
+            r.read1()
+        pps_id = r.ue()
+        pps = self.pps[pps_id]
+        return self.sps[pps.sps_id]
+
+    def _pps_for(self, rbsp, nal_type):
+        from .bitstream.bits import BitReader
+        r = BitReader(rbsp)
+        r.read1()
+        if is_irap(nal_type):
+            r.read1()
+        return self.pps[r.ue()]
+
+    # -- output ordering (num_reorder bumping) -----------------------------
+    def _bump(self, pic, sps):
+        self.dpb.append(pic)
+        self.dpb.sort(key=lambda p: p.poc)
+        while len(self.dpb) > sps.num_reorder_pics:
+            self.output.append(self.dpb.pop(0))
+
+    # -- public API --------------------------------------------------------
+    def decode(self, data: bytes):
+        """Feed Annex-B bytes (any number of AUs); returns newly available
+        pictures in output order."""
+        for nal in split_nals(data):
+            if len(nal) >= 2:
+                self._handle_nal(nal)
+        out, self.output = self.output, []
+        return out
+
+    def flush(self):
+        out = self.output + self.dpb
+        self.output, self.dpb = [], []
+        return out

@@ -1,0 +1,591 @@
+"""Intra-frame HEVC encoder with full residual coding (test-stream generator).
+
+Exercises the decoder's complete intra tool set: CU quadtree (split_cu_flag
+with depth contexts), part 2Nx2N / NxN, all 35 luma modes + 5 chroma modes,
+TU trees (split_transform_flag, cbf inheritance), DST 4x4, DCT 4-32,
+mode-dependent scans, full residual CABAC (last-sig, CG flags, sig map,
+greater1/2, Rice remaining), optional PCM interleaving.
+
+Closed-loop: predicts from its own reconstruction using the *decoder's*
+exact ops (ops/intra_np.py, ops/transforms_np.py) and the shared
+availability logic (bitstream/syntax.avail_mask), so the decoded output is
+bit-identical to the encoder's recon — which the tests then cross-check
+against the reference decoder's output.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.bits import BitWriter, wrap_nal
+from ..bitstream.syntax import (avail_mask, zscan_grid, _SCANS_4, _CG_SCANS,
+                                SIG_CTX_MAP, chroma_qp,
+                                SCAN_DIAG, SCAN_HORIZ, SCAN_VERT)
+from ..ops import intra_np as I
+from ..ops import transforms_np as T
+from .hevc_enc import (EncoderConfig, SliceDataEncoder, write_vps, write_sps,
+                       write_pps, write_slice_header, NAL_IDR_N_LP)
+
+
+class _Sps:
+    """Just enough SPS-shaped geometry for zscan_grid."""
+    def __init__(self, cfg: EncoderConfig):
+        self.log2_ctb = cfg.ctb_log2
+        self.ctbs_w = cfg.ctbs_w
+        self.ctbs_h = cfg.ctbs_h
+
+
+class IntraFrameEncoder:
+    def __init__(self, cfg: EncoderConfig, rng: np.random.Generator):
+        self.cfg = cfg
+        self.rng = rng
+        self.zscan = zscan_grid(_Sps(cfg))
+        w4 = (cfg.ctbs_w << cfg.ctb_log2) >> 2
+        h4 = (cfg.ctbs_h << cfg.ctb_log2) >> 2
+        self.w4, self.h4 = w4, h4
+
+    def encode_frame(self, y, u, v, nal_type=NAL_IDR_N_LP) -> bytes:
+        cfg = self.cfg
+        self.target = [np.asarray(y, np.int64), np.asarray(u, np.int64),
+                       np.asarray(v, np.int64)]
+        W, H = cfg.width, cfg.height
+        self.recon = [np.zeros((H, W), np.int64),
+                      np.zeros((H // 2, W // 2), np.int64),
+                      np.zeros((H // 2, W // 2), np.int64)]
+        self.ipm = np.full((self.h4, self.w4), 255, np.uint8)
+        self.pred_mode = np.ones((self.h4, self.w4), np.uint8)  # all intra
+        self.ct_depth = np.zeros((self.h4, self.w4), np.int8)
+        bw = BitWriter()
+        write_slice_header(bw, cfg, nal_type, slice_type=2)
+        self.enc = SliceDataEncoder(bw, cfg, slice_type=2)
+        cs = cfg.ctb_size
+        n_ctb = cfg.ctbs_w * cfg.ctbs_h
+        for addr in range(n_ctb):
+            x0 = (addr % cfg.ctbs_w) * cs
+            y0 = (addr // cfg.ctbs_w) * cs
+            self._quadtree(x0, y0, cfg.ctb_log2, 0)
+            self.enc.terminate(1 if addr == n_ctb - 1 else 0)
+        bw.align_zero()
+        return wrap_nal(nal_type, bw.getvalue())
+
+    # ----- coding tree ----------------------------------------------------
+    def _quadtree(self, x0, y0, log2_cb, depth):
+        cfg = self.cfg
+        cb = 1 << log2_cb
+        boundary = x0 + cb > cfg.width or y0 + cb > cfg.height
+        can_split = log2_cb > cfg.min_cb_log2
+        if boundary:
+            split = 1 if can_split else 0
+        elif can_split:
+            split = int(self.rng.random() < 0.5)
+            inc = 0
+            x4, y4 = x0 >> 2, y0 >> 2
+            if x0 > 0 and self.ct_depth[y4, x4 - 1] > depth:
+                inc += 1
+            if y0 > 0 and self.ct_depth[y4 - 1, x4] > depth:
+                inc += 1
+            self.enc.bin("split_cu_flag", inc, split)
+        else:
+            split = 0
+        if split:
+            h = cb >> 1
+            for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < cfg.width and y1 < cfg.height:
+                    self._quadtree(x1, y1, log2_cb - 1, depth + 1)
+        else:
+            self._coding_unit(x0, y0, log2_cb, depth)
+
+    def _coding_unit(self, x0, y0, log2_cb, depth):
+        cfg = self.cfg
+        n4 = 1 << (log2_cb - 2)
+        x4, y4 = x0 >> 2, y0 >> 2
+        self.ct_depth[y4:y4 + n4, x4:x4 + n4] = depth
+        part_nxn = False
+        if log2_cb == cfg.min_cb_log2:
+            part_nxn = bool(self.rng.random() < 0.4)
+            self.enc.bin("part_mode", 0, 0 if part_nxn else 1)
+        if (cfg.pcm_enabled and not part_nxn and
+                cfg.pcm_min_log2 <= log2_cb <= cfg.pcm_max_log2):
+            use_pcm = bool(self.rng.random() < 0.2)
+            self.enc.terminate(1 if use_pcm else 0)
+            if use_pcm:
+                self._pcm(x0, y0, log2_cb)
+                return
+        self._intra_cu(x0, y0, log2_cb, part_nxn)
+
+    def _pcm(self, x0, y0, log2_cb):
+        cb = 1 << log2_cb
+        ys = self.target[0][y0:y0 + cb, x0:x0 + cb]
+        us = self.target[1][y0 // 2:(y0 + cb) // 2, x0 // 2:(x0 + cb) // 2]
+        vs = self.target[2][y0 // 2:(y0 + cb) // 2, x0 // 2:(x0 + cb) // 2]
+        self.enc.pcm_payload(ys, us, vs)
+        self.recon[0][y0:y0 + cb, x0:x0 + cb] = ys
+        self.recon[1][y0 // 2:(y0 + cb) // 2, x0 // 2:(x0 + cb) // 2] = us
+        self.recon[2][y0 // 2:(y0 + cb) // 2, x0 // 2:(x0 + cb) // 2] = vs
+        n4 = cb >> 2
+        self.ipm[y0 >> 2:(y0 >> 2) + n4, x0 >> 2:(x0 >> 2) + n4] = 1
+
+    # ----- intra CU -------------------------------------------------------
+    def _intra_cu(self, x0, y0, log2_cb, part_nxn):
+        cfg = self.cfg
+        rng = self.rng
+        n_pu = 4 if part_nxn else 1
+        pb = (1 << log2_cb) >> (1 if part_nxn else 0)
+        modes = []
+        flags = []
+        mpm_data = []
+        for i in range(n_pu):
+            px = x0 + (i & 1) * pb
+            py = y0 + (i >> 1) * pb
+            mode = int(rng.integers(0, 35))
+            cands = self._mpm_candidates(px, py)
+            # store mode into grid immediately (next PU's cands use it)
+            nn = pb >> 2
+            self.ipm[py >> 2:(py >> 2) + nn, px >> 2:(px >> 2) + nn] = mode
+            if mode in cands:
+                flags.append(1)
+                mpm_data.append(cands.index(mode))
+            else:
+                flags.append(0)
+                rem = mode
+                for c in sorted(cands, reverse=True):
+                    if rem > c:
+                        rem -= 1
+                mpm_data.append(rem)
+            modes.append(mode)
+        for f in flags:
+            self.enc.bin("prev_intra_luma_pred_flag", 0, f)
+        for i in range(n_pu):
+            if flags[i]:
+                idx = mpm_data[i]
+                self.enc.bypass(1 if idx > 0 else 0)
+                if idx > 0:
+                    self.enc.bypass(idx - 1)
+            else:
+                self.enc.bypass_bits(mpm_data[i], 5)
+        # chroma mode
+        chroma_idx = int(rng.integers(0, 5))
+        table = (0, 26, 10, 1)
+        if chroma_idx == 4:
+            mode_c = modes[0]
+            self.enc.bin("intra_chroma_pred_mode", 0, 0)
+        else:
+            m = table[chroma_idx]
+            mode_c = 34 if m == modes[0] else m
+            self.enc.bin("intra_chroma_pred_mode", 0, 1)
+            self.enc.bypass_bits(chroma_idx, 2)
+        self.cu_modes = (modes * 4)[:4]
+        self.mode_c = mode_c
+        # transform tree: plan splits, process (closed loop), then emit
+        intra_split = 1 if part_nxn else 0
+        max_depth = cfg.max_transform_hierarchy_depth + intra_split
+        plan = self._plan_tree(x0, y0, log2_cb, 0, max_depth, intra_split)
+        self._process_tree(plan, x0, y0, log2_cb, 0, 0)
+        self._emit_tree(plan, x0, y0, x0, y0, log2_cb, 0, 0, (1, 1))
+
+    def _mpm_candidates(self, px, py):
+        cfg = self.cfg
+        x4, y4 = px >> 2, py >> 2
+        zc = self.zscan[y4, x4]
+        cand_a = 1
+        if px > 0 and self.zscan[y4, x4 - 1] < zc and \
+                self.ipm[y4, x4 - 1] != 255:
+            cand_a = int(self.ipm[y4, x4 - 1])
+        cand_b = 1
+        if py > 0 and (py % cfg.ctb_size) != 0 and \
+                self.zscan[y4 - 1, x4] < zc and self.ipm[y4 - 1, x4] != 255:
+            cand_b = int(self.ipm[y4 - 1, x4])
+        if cand_a == cand_b:
+            if cand_a < 2:
+                return [0, 1, 26]
+            return [cand_a, 2 + ((cand_a + 29) % 32), 2 + ((cand_a - 1) % 32)]
+        lst = [cand_a, cand_b]
+        if cand_a != 0 and cand_b != 0:
+            lst.append(0)
+        elif cand_a + cand_b < 2:
+            lst.append(26)
+        else:
+            lst.append(1)
+        return lst
+
+    # ----- transform tree: plan / process / emit ---------------------------
+    def _plan_tree(self, x0, y0, log2_tr, depth, max_depth, intra_split):
+        cfg = self.cfg
+        node = {"x": x0, "y": y0, "log2": log2_tr, "depth": depth}
+        must_split = log2_tr > cfg.max_tb_log2 or (intra_split and depth == 0)
+        may_split = (log2_tr > cfg.min_tb_log2 and depth < max_depth)
+        split = must_split or (may_split and self.rng.random() < 0.4)
+        node["split"] = split
+        node["explicit_split"] = (may_split and not must_split and
+                                  log2_tr <= cfg.max_tb_log2)
+        if split:
+            h = 1 << (log2_tr - 1)
+            node["children"] = [
+                self._plan_tree(x0 + dx, y0 + dy, log2_tr - 1, depth + 1,
+                                max_depth, intra_split)
+                for dx, dy in ((0, 0), (h, 0), (0, h), (h, h))]
+        return node
+
+    def _luma_mode_at(self, x, y):
+        return int(self.ipm[y >> 2, x >> 2])
+
+    def _pred_block(self, plane, x, y, size, mode):
+        cfg = self.cfg
+        hs = 1 if plane else 0
+        av = avail_mask(self.zscan, self.pred_mode, False, x, y, size,
+                        hs, hs, cfg.width, cfg.height)
+        return I.intra_predict_block(
+            self.recon[plane], x, y, size, mode, av,
+            is_luma=(plane == 0), bit_depth=cfg.bit_depth,
+            filter_enabled=(plane == 0),
+            strong_smoothing=cfg.strong_intra_smoothing)
+
+    def _tu_levels(self, plane, x, y, size, mode):
+        """Closed-loop: pred, transform+quant, recon update. Returns levels."""
+        cfg = self.cfg
+        log2 = size.bit_length() - 1
+        pred = self._pred_block(plane, x, y, size, mode)
+        resid = self.target[plane][y:y + size, x:x + size] - pred
+        is_dst = (plane == 0 and size == 4)
+        coefs = T.forward_transform(resid, cfg.bit_depth, is_dst=is_dst)
+        qp = self._tu_qp(plane)
+        levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
+        levels = np.clip(levels, -32768, 32767)
+        if np.any(levels):
+            d = T.dequant(levels, log2, qp, cfg.bit_depth)
+            rec_res = T.inverse_transform(d, cfg.bit_depth, is_dst=is_dst)
+        else:
+            rec_res = 0
+        rec = np.clip(pred + rec_res, 0, (1 << cfg.bit_depth) - 1)
+        self.recon[plane][y:y + size, x:x + size] = rec
+        return levels
+
+    def _tu_qp(self, plane):
+        cfg = self.cfg
+        if plane == 0:
+            return cfg.qp
+        return chroma_qp(cfg.qp, 0, cfg.chroma_format_idc, 0)
+
+    def _process_tree(self, node, x_base, y_base, log2_cb, depth, blk_idx):
+        """Decode-order closed loop, storing levels on the plan nodes."""
+        if node["split"]:
+            for i, ch in enumerate(node["children"]):
+                self._process_tree(ch, node["x"], node["y"], log2_cb,
+                                   depth + 1, i)
+            # chroma at this level if children are 4x4 luma
+            if node["log2"] == 3:
+                node["chroma_levels"] = self._chroma_tu(node["x"], node["y"],
+                                                        4)
+            return
+        x0, y0, log2 = node["x"], node["y"], node["log2"]
+        size = 1 << log2
+        mode = self._luma_mode_at(x0, y0)
+        node["luma_levels"] = self._tu_levels(0, x0, y0, size, mode)
+        node["luma_mode"] = mode
+        if log2 > 2:
+            node["chroma_levels"] = self._chroma_tu(x0, y0, size >> 1)
+
+    def _chroma_tu(self, x0, y0, csize):
+        cb = self._tu_levels(1, x0 >> 1, y0 >> 1, csize, self.mode_c)
+        cr = self._tu_levels(2, x0 >> 1, y0 >> 1, csize, self.mode_c)
+        return (cb, cr)
+
+    def _emit_tree(self, node, x0, y0, x_base, y_base, log2_tr, depth,
+                   blk_idx, parent_cbf):
+        cfg = self.cfg
+        if node["explicit_split"]:
+            self.enc.bin("split_transform_flag", 5 - log2_tr,
+                         1 if node["split"] else 0)
+        cbf_cb_p, cbf_cr_p = parent_cbf
+        cbf_cb = cbf_cr = 0
+        if log2_tr > 2:
+            cbf_cb, cbf_cr = self._subtree_chroma_cbf(node)
+            if depth == 0 or cbf_cb_p:
+                self.enc.bin("cbf_cbcr", depth, cbf_cb)
+            if depth == 0 or cbf_cr_p:
+                self.enc.bin("cbf_cbcr", depth, cbf_cr)
+        if node["split"]:
+            for i, ch in enumerate(node["children"]):
+                self._emit_tree(ch, ch["x"], ch["y"], node["x"], node["y"],
+                                log2_tr - 1, depth + 1, i, (cbf_cb, cbf_cr))
+            return
+        luma = node["luma_levels"]
+        cbf_luma = int(np.any(luma))
+        # intra: cbf_luma always explicit
+        self.enc.bin("cbf_luma", 0 if depth else 1, cbf_luma)
+        # transform_unit emission
+        mode = node["luma_mode"]
+        if cbf_luma:
+            scan = self._scan_for(log2_tr, 0, mode)
+            self._encode_residual(luma, log2_tr, 0, scan)
+        if log2_tr > 2:
+            cbl, crl = node["chroma_levels"]
+            scan = self._scan_for(log2_tr - 1, 1, self.mode_c)
+            if np.any(cbl):
+                self._encode_residual(cbl, log2_tr - 1, 1, scan)
+            if np.any(crl):
+                self._encode_residual(crl, log2_tr - 1, 2, scan)
+        elif blk_idx == 3:
+            parent = self._find_parent(x_base, y_base)
+            cbl, crl = parent
+            scan = self._scan_for(2, 1, self.mode_c)
+            if np.any(cbl):
+                self._encode_residual(cbl, 2, 1, scan)
+            if np.any(crl):
+                self._encode_residual(crl, 2, 2, scan)
+
+    def _find_parent(self, x_base, y_base):
+        # located chroma levels stored during process at the 8x8 parent
+        return self._parent_chroma[(x_base, y_base)]
+
+    def _subtree_chroma_cbf(self, node):
+        if not node["split"]:
+            cb, cr = node["chroma_levels"]
+            return int(np.any(cb)), int(np.any(cr))
+        if node["log2"] == 3:
+            cb, cr = node["chroma_levels"]
+            self._parent_chroma[(node["x"], node["y"])] = (cb, cr)
+            return int(np.any(cb)), int(np.any(cr))
+        a = [self._subtree_chroma_cbf(ch) for ch in node["children"]]
+        return (int(any(x[0] for x in a)), int(any(x[1] for x in a)))
+
+    def _scan_for(self, log2_tr, c_idx, mode):
+        cfg = self.cfg
+        if log2_tr == 2 or (log2_tr == 3 and c_idx == 0) or \
+                (log2_tr == 3 and cfg.chroma_format_idc == 3):
+            if 6 <= mode <= 14:
+                return SCAN_VERT
+            if 22 <= mode <= 30:
+                return SCAN_HORIZ
+        return SCAN_DIAG
+
+    # ----- residual CABAC encoding ----------------------------------------
+    def _encode_residual(self, levels, log2_tr, c_idx, scan_idx):
+        enc = self.enc
+        size = 1 << log2_tr
+        ncg = max(1, size >> 2)
+        cg_scan = _CG_SCANS[(scan_idx, ncg)] if ncg > 1 else [(0, 0)]
+        off_scan = _SCANS_4[scan_idx]
+        # build full scan order list of (x,y)
+        order = []
+        for (xc_g, yc_g) in cg_scan:
+            for (ox, oy) in off_scan:
+                order.append(((xc_g << 2) + ox, (yc_g << 2) + oy))
+        nz = [i for i, (x, y) in enumerate(order) if levels[y, x] != 0]
+        assert nz, "cbf=1 with all-zero levels"
+        num_coeff = nz[-1] + 1
+        last_x, last_y = order[num_coeff - 1]
+        lx, ly = (last_y, last_x) if scan_idx == SCAN_VERT else (last_x, last_y)
+        self._encode_last_prefix(lx, c_idx, log2_tr, "last_sig_coeff_x_prefix")
+        self._encode_last_prefix(ly, c_idx, log2_tr, "last_sig_coeff_y_prefix")
+        for v in (lx, ly):
+            if v > 3:
+                p = self._group_idx(v)
+                n = (p >> 1) - 1
+                suffix = v - self._min_in_group(p)
+                enc.bypass_bits(suffix, n)
+        num_last_subset = (num_coeff - 1) >> 4
+        csbf = np.zeros((8, 8), np.uint8)
+        # precompute per-subset nonzero presence
+        sub_has = [any(levels[order[i << 4 | k][1], order[i << 4 | k][0]] != 0
+                       for k in range(16) if (i << 4 | k) < num_coeff)
+                   for i in range(ncg * ncg)]
+        g1_carry = 1
+        for i in range(num_last_subset, -1, -1):
+            x_cg, y_cg = cg_scan[i]
+            coded = 1 if sub_has[i] else 0
+            if i < num_last_subset and i > 0:
+                ctx_cg = 0
+                if x_cg < ncg - 1:
+                    ctx_cg += csbf[x_cg + 1, y_cg]
+                if y_cg < ncg - 1:
+                    ctx_cg += csbf[x_cg, y_cg + 1]
+                inc = min(int(ctx_cg), 1) + (2 if c_idx else 0)
+                enc.bin("coded_sub_block_flag", inc, coded)
+                csbf[x_cg, y_cg] = coded
+                implicit_nz = 1
+            else:
+                csbf[x_cg, y_cg] = 1
+                implicit_nz = 0
+                coded = 1
+            if not coded:
+                continue
+            offset = i << 4
+            last_scan_pos = num_coeff - offset - 1
+            sig_idx = []
+            if i == num_last_subset:
+                n_end = last_scan_pos - 1
+                sig_idx.append(last_scan_pos)
+                implicit_nz = 0
+            else:
+                n_end = 15
+            prev_sig = 0
+            if x_cg < (size - 1) >> 2:
+                prev_sig = int(csbf[x_cg + 1, y_cg])
+            if y_cg < (size - 1) >> 2:
+                prev_sig += int(csbf[x_cg, y_cg + 1]) << 1
+            if n_end >= 0:
+                map_row, base_off = self._sig_ctx_base(c_idx, log2_tr,
+                                                       scan_idx, x_cg, y_cg,
+                                                       prev_sig)
+                for n in range(n_end, 0, -1):
+                    xc, yc = off_scan[n]
+                    gx, gy = (x_cg << 2) + xc, (y_cg << 2) + yc
+                    sig = int(levels[gy, gx] != 0)
+                    inc = SIG_CTX_MAP[map_row][(yc << 2) + xc] + base_off
+                    enc.bin("sig_coeff_flag", inc, sig)
+                    if sig:
+                        sig_idx.append(n)
+                        implicit_nz = 0
+                gx, gy = x_cg << 2, y_cg << 2
+                dc_sig = int(levels[gy, gx] != 0)
+                if implicit_nz == 0:
+                    if i == 0:
+                        dc_off = 0 if c_idx == 0 else 27
+                    else:
+                        dc_off = 2 + base_off
+                    enc.bin("sig_coeff_flag", dc_off, dc_sig)
+                    if dc_sig:
+                        sig_idx.append(0)
+                else:
+                    assert dc_sig, "inferred DC must be nonzero"
+                    sig_idx.append(0)
+            n_sig = len(sig_idx)
+            if n_sig == 0:
+                continue
+            vals = []
+            for n in sig_idx:
+                xc, yc = off_scan[n]
+                vals.append(int(levels[(y_cg << 2) + yc, (x_cg << 2) + xc]))
+            ctx_set = 2 if (i > 0 and c_idx == 0) else 0
+            if i != num_last_subset and g1_carry == 0:
+                ctx_set += 1
+            g1 = 1
+            first_g1 = -1
+            gt1 = []
+            for m in range(min(n_sig, 8)):
+                f = int(abs(vals[m]) > 1)
+                inc = (ctx_set << 2) + g1 + (16 if c_idx else 0)
+                enc.bin("coeff_abs_level_greater1_flag", inc, f)
+                gt1.append(f)
+                if f:
+                    g1 = 0
+                    if first_g1 == -1:
+                        first_g1 = m
+                elif 0 < g1 < 3:
+                    g1 += 1
+            g1_carry = g1
+            if first_g1 != -1:
+                f2 = int(abs(vals[first_g1]) > 2)
+                inc = ctx_set + (4 if c_idx else 0)
+                enc.bin("coeff_abs_level_greater2_flag", inc, f2)
+            # signs (sign hiding off in encoder configs)
+            for vv in vals:
+                enc.bypass(1 if vv < 0 else 0)
+            rice = 0
+            for m in range(n_sig):
+                a = abs(vals[m])
+                if m < 8:
+                    base = 1 + (1 if a > 1 else 0)
+                    if m == first_g1:
+                        base += (1 if a > 2 else 0)
+                    threshold = 3 if m == first_g1 else 2
+                    if base == threshold:
+                        rem = a - base
+                        self._encode_remaining(rem, rice)
+                        if a > (3 << rice):
+                            rice = min(rice + 1, 4)
+                else:
+                    rem = a - 1
+                    self._encode_remaining(rem, rice)
+                    if a > (3 << rice):
+                        rice = min(rice + 1, 4)
+
+    def _sig_ctx_base(self, c_idx, log2_tr, scan_idx, x_cg, y_cg, prev_sig):
+        if c_idx == 0:
+            base_off = 0
+            if log2_tr == 2:
+                return 0, 0
+            map_row = prev_sig + 1
+            if x_cg > 0 or y_cg > 0:
+                base_off += 3
+            base_off += (9 if scan_idx == SCAN_DIAG else 15) \
+                if log2_tr == 3 else 21
+            return map_row, base_off
+        base_off = 27
+        if log2_tr == 2:
+            return 0, base_off
+        map_row = prev_sig + 1
+        base_off += 9 if log2_tr == 3 else 12
+        return map_row, base_off
+
+    @staticmethod
+    def _min_in_group(p):
+        return p if p < 4 else (2 + (p & 1)) << ((p >> 1) - 1)
+
+    def _group_idx(self, v):
+        p = 0
+        while self._min_in_group(p + 1) <= v:
+            p += 1
+            if p >= 31:
+                break
+        return p
+
+    def _encode_last_prefix(self, v, c_idx, log2_tr, elem):
+        if c_idx == 0:
+            ctx_offset = 3 * (log2_tr - 2) + ((log2_tr - 1) >> 2)
+            ctx_shift = (log2_tr + 1) >> 2
+        else:
+            ctx_offset = 15
+            ctx_shift = log2_tr - 2
+        p = self._group_idx(v)
+        mx = (log2_tr << 1) - 1
+        for i in range(p):
+            self.enc.bin(elem, (i >> ctx_shift) + ctx_offset, 1)
+        if p < mx:
+            self.enc.bin(elem, (p >> ctx_shift) + ctx_offset, 0)
+
+    def _encode_remaining(self, r, rice):
+        enc = self.enc
+        if r < (3 << rice):
+            p = r >> rice
+            for _ in range(p):
+                enc.bypass(1)
+            enc.bypass(0)
+            if rice:
+                enc.bypass_bits(r & ((1 << rice) - 1), rice)
+        else:
+            pm3 = 0
+            while ((1 << (pm3 + 1)) + 2) << rice <= r:
+                pm3 += 1
+            for _ in range(3 + pm3):
+                enc.bypass(1)
+            enc.bypass(0)
+            suffix = r - (((1 << pm3) + 2) << rice)
+            enc.bypass_bits(suffix, pm3 + rice)
+
+    # storage for blkIdx==3 chroma
+    _parent_chroma: dict = {}
+
+
+def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
+                        min_cb_log2=3, max_tb_log2=None, seed=0,
+                        pcm=False) -> bytes:
+    cfg = EncoderConfig(width=width, height=height, qp=qp,
+                        ctb_log2=ctb_log2, min_cb_log2=min_cb_log2,
+                        min_tb_log2=2,
+                        max_tb_log2=max_tb_log2 or min(5, ctb_log2),
+                        max_transform_hierarchy_depth=2,
+                        pcm_enabled=pcm,
+                        pcm_min_log2=max(3, min_cb_log2),
+                        pcm_max_log2=max(3, min_cb_log2),
+                        sao_enabled=False, deblock_disabled=True)
+    rng = np.random.default_rng(seed)
+    out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)
+    enc = IntraFrameEncoder(cfg, rng)
+    recons = []
+    for (y, u, v) in frames:
+        enc._parent_chroma = {}
+        out += enc.encode_frame(y, u, v)
+        recons.append([p.copy() for p in enc.recon])
+    return out, recons

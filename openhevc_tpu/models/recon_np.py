@@ -1,0 +1,75 @@
+"""Frame reconstruction from FrameSymbols — numpy reference engine.
+
+Bit-exact scalar ground truth for the TPU pipeline (models/pipeline.py):
+residual assembly -> PCM placement -> decode-order intra scan -> (inter MC)
+-> deblock -> SAO. Used to validate the host parser against the reference
+decoder, and each Pallas kernel against this.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..symbols import FrameSymbols
+from ..ops import transforms_np as T
+from ..ops import intra_np as I
+
+
+def residual_planes(fs: FrameSymbols):
+    sps = fs.sps
+    W, H = sps.width, sps.height
+    cw, ch = W >> sps.hshift1, H >> sps.vshift1
+    res = [np.zeros((H, W), np.int32),
+           np.zeros((ch, cw), np.int32),
+           np.zeros((ch, cw), np.int32)]
+    bd = sps.bit_depth
+    for cb in fs.coeff_blocks:
+        s = 1 << cb.log2_size
+        if cb.transquant_bypass:
+            r = cb.levels.astype(np.int32)
+            if cb.rdpcm_mode >= 0:
+                r = T.rdpcm(r, cb.rdpcm_mode == 1)
+        elif cb.transform_skip:
+            d = T.dequant(cb.levels, cb.log2_size, cb.qp, bd)
+            r = T.transform_skip(d, cb.log2_size, bd)
+            if cb.rdpcm_mode >= 0:
+                r = T.rdpcm(r, cb.rdpcm_mode == 1)
+        else:
+            d = T.dequant(cb.levels, cb.log2_size, cb.qp, bd)
+            r = T.inverse_transform(d, bd, is_dst=cb.is_dst)
+        res[cb.plane][cb.y:cb.y + s, cb.x:cb.x + s] = r
+    return res
+
+
+def reconstruct(fs: FrameSymbols, ref_planes=None):
+    """Returns [Y, Cb, Cr] int32 planes (pre-crop)."""
+    sps = fs.sps
+    W, H = sps.width, sps.height
+    cw, ch = W >> sps.hshift1, H >> sps.vshift1
+    bd = sps.bit_depth
+    maxv = (1 << bd) - 1
+    planes = [np.zeros((H, W), np.int32),
+              np.zeros((ch, cw), np.int32),
+              np.zeros((ch, cw), np.int32)]
+    res = residual_planes(fs)
+    # PCM blocks place directly (pre-filter recon)
+    for p in fs.pcm_blocks:
+        s = p.size
+        planes[0][p.y:p.y + s, p.x:p.x + s] = p.samples_y
+        cs_h = s >> sps.hshift1
+        cs_v = s >> sps.vshift1
+        cy, cx = p.y >> sps.vshift1, p.x >> sps.hshift1
+        planes[1][cy:cy + cs_v, cx:cx + cs_h] = p.samples_cb
+        planes[2][cy:cy + cs_v, cx:cx + cs_h] = p.samples_cr
+    # (inter prediction would fill inter regions here)
+    # decode-order intra scan
+    for job in fs.intra_jobs:
+        pl = planes[job.plane]
+        pred = I.intra_predict_block(
+            pl, job.x, job.y, job.size, job.mode, job.avail,
+            is_luma=(job.plane == 0), bit_depth=bd,
+            filter_enabled=job.filter_refs,
+            strong_smoothing=bool(sps.strong_intra_smoothing))
+        r = res[job.plane][job.y:job.y + job.size, job.x:job.x + job.size]
+        pl[job.y:job.y + job.size, job.x:job.x + job.size] = \
+            np.clip(pred + r, 0, maxv)
+    return planes

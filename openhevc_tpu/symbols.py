@@ -1,0 +1,98 @@
+"""FrameSymbols — the host→device handoff contract.
+
+The host parse core (bitstream/syntax.py in Python; native C++ later) emits
+one FrameSymbols per coded picture: every syntax decision of the bitstream,
+resolved into dense grids + per-TU job lists. Reconstruction engines (numpy
+oracle in models/recon_np.py; JAX/Pallas pipeline in models/pipeline.py)
+consume only this — they never touch the bitstream.
+
+Mirrors the reference's flat sideband layout (tab_ipm / cbf_luma / tab_mvf /
+qp_y_tab, hevc.h:1227-1241) which is already the tensor layout we want.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class CoeffBlock:
+    """One transform block's raw levels (post-parse, pre-dequant)."""
+    plane: int            # 0=Y 1=Cb 2=Cr
+    x: int                # plane coords (chroma coords for chroma planes)
+    y: int
+    log2_size: int
+    qp: int               # final QP for dequant (incl. chroma mapping)
+    is_dst: bool          # 4x4 intra luma -> DST
+    transform_skip: bool
+    transquant_bypass: bool
+    rdpcm_mode: int       # -1 none, 0 horizontal, 1 vertical
+    levels: np.ndarray    # int32 [s, s] raster order
+
+
+@dataclass
+class IntraJob:
+    """One intra-predicted TB in decode order (prediction + residual add)."""
+    plane: int
+    x: int                # plane coords
+    y: int
+    size: int
+    mode: int             # 0..34
+    avail: np.ndarray     # bool [4*size+1], layout of ops/intra_np.py
+    filter_refs: bool     # neighbour smoothing enabled for this TB
+
+
+@dataclass
+class PcmBlock:
+    x: int                # luma coords
+    y: int
+    size: int
+    samples_y: np.ndarray
+    samples_cb: np.ndarray
+    samples_cr: np.ndarray
+
+
+@dataclass
+class InterPb:
+    """One inter prediction block (PU)."""
+    x: int; y: int; w: int; h: int       # luma coords
+    # per list: (valid, mvx, mvy, ref_dpb_slot) quarter-pel luma MVs
+    l0: tuple | None
+    l1: tuple | None
+
+
+@dataclass
+class FrameSymbols:
+    sps: object
+    pps: object
+    poc: int
+    slice_type: int               # 0=B 1=P 2=I
+    slice_qp: int
+    nal_type: int = 19
+    # decode-order job lists
+    pcm_blocks: list = field(default_factory=list)
+    coeff_blocks: list = field(default_factory=list)
+    intra_jobs: list = field(default_factory=list)
+    inter_pbs: list = field(default_factory=list)
+    # dense per-4x4 sideband grids [H4, W4]
+    ipm: np.ndarray | None = None        # luma intra mode (255 if n/a)
+    pred_mode: np.ndarray | None = None  # 0 inter, 1 intra, 2 skip
+    is_pcm: np.ndarray | None = None
+    tqb: np.ndarray | None = None        # cu_transquant_bypass per 4x4
+    cbf_luma4: np.ndarray | None = None  # cbf_luma at 4x4 granularity
+    qp_y4: np.ndarray | None = None      # QP_Y per 4x4
+    # per-8x8 MV field [H8, W8, 2, 4]: (mvx, mvy, ref_poc_slot, valid)
+    mvf: np.ndarray | None = None
+    # per-CTB SAO: [ctbs_h, ctbs_w, 3(planes), 6] =
+    #   (type 0/1/2=off/band/edge, band_pos or eo_class, offset[4])
+    sao: np.ndarray | None = None
+    # ref lists: DPB POCs for L0/L1 (resolved by the runtime to plane stacks)
+    ref_poc_l0: list = field(default_factory=list)
+    ref_poc_l1: list = field(default_factory=list)
+    # in-loop filter controls
+    deblock_disabled: bool = False
+    beta_offset: int = 0
+    tc_offset: int = 0
+    sao_luma: bool = False
+    sao_chroma: bool = False

@@ -1,0 +1,56 @@
+"""End-to-end conformance: encoder-generated streams must decode bit-exact
+in BOTH the reference decoder (golden oracle) and openhevc_tpu.
+
+This is the framework's analogue of the JCT-VC conformance suite
+(SURVEY.md §4): the reference repo ships no bitstreams, so we generate our
+own per-profile streams and cross-check three ways:
+  encoder closed-loop recon == reference decode == openhevc_tpu decode.
+"""
+import numpy as np
+import pytest
+
+from conftest import make_frames, ref_decode, ref_planes
+
+from openhevc_tpu.encoder.hevc_enc import encode_pcm_stream
+from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+from openhevc_tpu.decoder import Decoder
+
+
+def check_stream(data, recons, W, H):
+    ref = ref_decode(data)
+    assert len(ref) == len(recons)
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(ref_planes(f), recons[i])):
+            assert np.array_equal(got, want), \
+                f"reference decode mismatch frame {i} plane {p}"
+    d = Decoder("np")
+    mine = d.decode(data) + d.flush()
+    assert len(mine) == len(recons)
+    for i, pic in enumerate(mine):
+        for p, (got, want) in enumerate(zip(pic.cropped(), recons[i])):
+            assert np.array_equal(got, want), \
+                f"openhevc_tpu decode mismatch frame {i} plane {p}"
+
+
+def test_pcm_stream(rng):
+    W, H = 64, 48
+    frames = make_frames(W, H, 2, rng, smooth=False)
+    data = encode_pcm_stream(frames, W, H)
+    recons = [[f[0].astype(np.int64), f[1].astype(np.int64),
+               f[2].astype(np.int64)] for f in frames]
+    check_stream(data, recons, W, H)
+
+
+@pytest.mark.parametrize("W,H,qp,ctb,seed,pcm", [
+    (64, 64, 30, 4, 1, False),
+    (64, 64, 10, 5, 2, False),
+    (128, 64, 37, 6, 3, False),     # CTB 64 -> DCT-32 path
+    (64, 64, 26, 4, 4, True),       # PCM CUs interleaved with coded CUs
+    (96, 48, 45, 5, 5, False),      # high QP, non-square
+])
+def test_intra_stream(W, H, qp, ctb, seed, pcm):
+    rng = np.random.default_rng(seed)
+    frames = make_frames(W, H, 2, rng)
+    data, recons = encode_intra_stream(frames, W, H, qp=qp, ctb_log2=ctb,
+                                       seed=seed, pcm=pcm)
+    check_stream(data, recons, W, H)
