@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Benchmark: decode throughput vs the reference decoder on this machine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value = openhevc_tpu frames/s on the i_main-style intra config
+(832x480 Main 8-bit, BASELINE.md config 1); vs_baseline = ratio vs the
+reference openHEVC decoder (pure-C build, 1 thread) decoding the same
+stream on this host's CPU.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+STREAM = "/tmp/bench_i_main_832x480.265"
+NFRAMES = 3
+W, H = 832, 480
+
+
+def make_stream():
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for i in range(NFRAMES):
+        y = ((xx * 2 + yy * 3 + i * 10) % 256 * 0.7 +
+             rng.integers(0, 60, (H, W))).astype(np.uint8)
+        u = ((xx[::2, ::2] + 128) % 256).astype(np.uint8)
+        v = ((yy[::2, ::2] * 2) % 256).astype(np.uint8)
+        frames.append((y, u, v))
+    data, recons = encode_intra_stream(frames, W, H, qp=32, ctb_log2=6,
+                                       seed=0)
+    with open(STREAM, "wb") as f:
+        f.write(data)
+    np.save(STREAM + ".golden.npy", np.stack([r[0] for r in recons]))
+    return data
+
+
+def bench_mine(data):
+    from openhevc_tpu.decoder import Decoder
+    dec = Decoder("jax")
+    # warm-up parse+compile on first frame happens inside; time whole decode
+    t0 = time.perf_counter()
+    pics = dec.decode(data) + dec.flush()
+    dt = time.perf_counter() - t0
+    golden = np.load(STREAM + ".golden.npy")
+    ok = all(np.array_equal(p.cropped()[0], golden[i])
+             for i, p in enumerate(pics))
+    return len(pics) / dt, ok
+
+
+def bench_reference(data):
+    try:
+        from tools.refdec import RefDecoder, ensure_built
+        ensure_built()
+        dec = RefDecoder(nb_threads=1, thread_type=1)
+        t0 = time.perf_counter()
+        out = dec.decode_stream(data)
+        dt = time.perf_counter() - t0
+        dec.close()
+        if not out:
+            return None
+        return len(out) / dt
+    except Exception:
+        return None
+
+
+def main():
+    if os.path.exists(STREAM) and os.path.exists(STREAM + ".golden.npy"):
+        with open(STREAM, "rb") as f:
+            data = f.read()
+    else:
+        data = make_stream()
+    fps, ok = bench_mine(data)
+    ref_fps = bench_reference(data)
+    vs = (fps / ref_fps) if ref_fps else 0.0
+    print(json.dumps({
+        "metric": "i_main_832x480_intra_fps" + ("" if ok else "_MISMATCH"),
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,8 @@ class SliceDataParser:
         fs.is_pcm = np.zeros((h4, w4), np.uint8)
         fs.tqb = np.zeros((h4, w4), np.uint8)
         fs.cbf_luma4 = np.zeros((h4, w4), np.uint8)
+        fs.bounds_v = np.zeros((h4, w4), np.uint8)
+        fs.bounds_h = np.zeros((h4, w4), np.uint8)
         fs.qp_y4 = np.full((h4, w4), sh.qp, np.int8)
         fs.sao = np.zeros((sps.ctbs_h, sps.ctbs_w, 3, 6), np.int16)
         fs.mvf = np.zeros((h4 // 2, w4 // 2, 2, 4), np.int32)
@@ -324,6 +326,8 @@ class SliceDataParser:
             self._pcm_sample(x0, y0, log2_cb)
             fs.is_pcm[y4:y4 + n4, x4:x4 + n4] = 1
             fs.ipm[y4:y4 + n4, x4:x4 + n4] = 1  # DC for neighbor derivation
+            fs.bounds_v[y4:y4 + n4, x4] = 1
+            fs.bounds_h[y4, x4:x4 + n4] = 1
             return
         self._intra_prediction_unit(x0, y0, log2_cb, part_mode)
         intra_split = 1 if part_mode == PART_NxN else 0
@@ -461,10 +465,12 @@ class SliceDataParser:
     def _transform_unit(self, x0, y0, x_base, y_base, log2_tr, depth, blk_idx,
                         cbf_luma, cbf_cb, cbf_cr):
         sps, fs = self.sps, self.fs
+        n4 = 1 << max(0, log2_tr - 2)
+        x4, y4 = x0 >> 2, y0 >> 2
+        fs.bounds_v[y4:y4 + n4, x4] = 1
+        fs.bounds_h[y4, x4:x4 + n4] = 1
         if cbf_luma:
-            n4 = 1 << max(0, log2_tr - 2)
-            fs.cbf_luma4[y0 >> 2:(y0 >> 2) + n4,
-                         x0 >> 2:(x0 >> 2) + n4] = 1
+            fs.cbf_luma4[y4:y4 + n4, x4:x4 + n4] = 1
         if self.cu_pred_mode == MODE_INTRA:
             # luma intra prediction for this TB (decode-order job)
             mode = self._luma_mode_at(x0, y0)

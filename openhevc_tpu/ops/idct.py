@@ -1,0 +1,90 @@
+"""Residual assembly on device: dequant + inverse transforms as batched
+matrix math over TU size buckets, scattered into per-plane residual images.
+
+TPU mapping: the two IDCT stages are constant-matrix matmuls -> MXU. All
+arithmetic is int32 with the exact clipping of the scalar reference
+(ops/transforms_np.py; parity hevcdsp_template.c). TUs of one size are
+s-aligned so the scatter is block-granular.
+
+The fully-parallel structure (no dependency between TUs) is why this whole
+stage is one fused XLA program per size bucket.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .transforms_np import DCT, DST4, LEVEL_SCALE
+
+_LEVEL_SCALE = jnp.asarray(np.asarray(LEVEL_SCALE, np.int32))
+
+
+def _clip16(x):
+    return jnp.clip(x, -32768, 32767)
+
+
+@partial(jax.jit, static_argnames=("s", "bit_depth"))
+def residual_bucket(levels, qp, is_dst, tskip, bypass, rdpcm_vert, has_rdpcm,
+                    s: int, bit_depth: int):
+    """levels: int32 [N, s, s] raw; returns residual int32 [N, s, s].
+
+    qp [N] int32; flags [N] bool. has_rdpcm: [N] bool (apply cumsum)."""
+    log2s = int(np.log2(s))
+    bd_shift = bit_depth + log2s - 5
+    scale = (_LEVEL_SCALE[qp % 6] << (qp // 6)).astype(jnp.int32)
+    lv = levels.astype(jnp.int32)
+    d = (lv * 16 * scale[:, None, None] + (1 << (bd_shift - 1))) >> bd_shift
+    d = _clip16(d)
+    # --- full inverse transform path ---
+    if s == 4:
+        mats_l = jnp.stack([jnp.asarray(DCT[4].T, jnp.int32),
+                            jnp.asarray(DST4, jnp.int32)])
+        mats_r = jnp.stack([jnp.asarray(DCT[4], jnp.int32),
+                            jnp.asarray(DST4.T, jnp.int32)])
+        sel = is_dst.astype(jnp.int32)
+        L = mats_l[sel]          # [N, 4, 4]
+        R = mats_r[sel]
+        t = jnp.einsum("nij,njk->nik", L, d, preferred_element_type=jnp.int32)
+    else:
+        L = jnp.asarray(DCT[s].T, jnp.int32)
+        R = jnp.asarray(DCT[s], jnp.int32)
+        t = jnp.einsum("ij,njk->nik", L, d, preferred_element_type=jnp.int32)
+    t = _clip16((t + 64) >> 7)
+    shift2 = 20 - bit_depth
+    if s == 4:
+        r_full = jnp.einsum("nij,njk->nik", t, R,
+                            preferred_element_type=jnp.int32)
+    else:
+        r_full = jnp.einsum("nij,jk->nik", t, R,
+                            preferred_element_type=jnp.int32)
+    r_full = _clip16((r_full + (1 << (shift2 - 1))) >> shift2)
+    # --- transform-skip path (hevcdsp_template.c:139 behavior) ---
+    ts_shift = 15 - bit_depth - log2s
+    if ts_shift > 0:
+        r_ts = (d + (1 << (ts_shift - 1))) >> ts_shift
+    else:
+        r_ts = d << -ts_shift
+    # --- bypass path: raw levels ---
+    r = jnp.where(bypass[:, None, None], lv,
+                  jnp.where(tskip[:, None, None], r_ts, r_full))
+    # rdpcm accumulation (bypass or transform-skip blocks only)
+    r_v = jnp.cumsum(r, axis=1, dtype=jnp.int32)
+    r_h = jnp.cumsum(r, axis=2, dtype=jnp.int32)
+    r_dpcm = jnp.where(rdpcm_vert[:, None, None], r_v, r_h)
+    r = jnp.where(has_rdpcm[:, None, None], r_dpcm, r)
+    return r
+
+
+@partial(jax.jit, static_argnames=("s",), donate_argnums=(0,))
+def scatter_blocks(res_planes, r, plane_idx, bx, by, s: int):
+    """res_planes: int32 [4, Hp, Wp] (plane 3 = trash for padding).
+    r: [N, s, s]; plane_idx/bx/by: [N] (block coords in units of s)."""
+    n = r.shape[0]
+    ar = jnp.arange(s)
+    ys = by[:, None, None] * s + ar[None, :, None]
+    xs = bx[:, None, None] * s + ar[None, None, :]
+    pi = plane_idx[:, None, None] * jnp.ones((n, s, s), jnp.int32)
+    return res_planes.at[pi, ys, xs].add(r, mode="drop")

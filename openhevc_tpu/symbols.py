@@ -82,6 +82,9 @@ class FrameSymbols:
     tqb: np.ndarray | None = None        # cu_transquant_bypass per 4x4
     cbf_luma4: np.ndarray | None = None  # cbf_luma at 4x4 granularity
     qp_y4: np.ndarray | None = None      # QP_Y per 4x4
+    # per-4x4 TU/PU/CU boundary flags (left edge / top edge of a block)
+    bounds_v: np.ndarray | None = None
+    bounds_h: np.ndarray | None = None
     # per-8x8 MV field [H8, W8, 2, 4]: (mvx, mvy, ref_poc_slot, valid)
     mvf: np.ndarray | None = None
     # per-CTB SAO: [ctbs_h, ctbs_w, 3(planes), 6] =
