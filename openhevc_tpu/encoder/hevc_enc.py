@@ -48,6 +48,8 @@ class EncoderConfig:
     pcm_loop_filter_disabled: bool = True
     sao_enabled: bool = False
     deblock_disabled: bool = True
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
     amp_enabled: bool = False
     strong_intra_smoothing: bool = False
     sign_data_hiding: bool = False
@@ -209,6 +211,9 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     bw.put(1, 1)            # deblocking_filter_control_present_flag
     bw.put(0, 1)            # deblocking_filter_override_enabled_flag
     bw.put(1 if cfg.deblock_disabled else 0, 1)  # pps_deblocking_filter_disabled_flag
+    if not cfg.deblock_disabled:
+        bw.se(cfg.beta_offset_div2)   # pps_beta_offset_div2
+        bw.se(cfg.tc_offset_div2)     # pps_tc_offset_div2
     bw.put(0, 1)            # pps_scaling_list_data_present_flag
     bw.put(0, 1)            # lists_modification_present_flag
     bw.ue(0)                # log2_parallel_merge_level_minus2

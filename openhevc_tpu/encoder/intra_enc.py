@@ -59,13 +59,71 @@ class IntraFrameEncoder:
         self.enc = SliceDataEncoder(bw, cfg, slice_type=2)
         cs = cfg.ctb_size
         n_ctb = cfg.ctbs_w * cfg.ctbs_h
+        self.sao_params = np.zeros((cfg.ctbs_h, cfg.ctbs_w, 3, 6), np.int16)
         for addr in range(n_ctb):
             x0 = (addr % cfg.ctbs_w) * cs
             y0 = (addr // cfg.ctbs_w) * cs
+            if cfg.sao_enabled:
+                self._encode_sao(x0 >> cfg.ctb_log2, y0 >> cfg.ctb_log2)
             self._quadtree(x0, y0, cfg.ctb_log2, 0)
             self.enc.terminate(1 if addr == n_ctb - 1 else 0)
         bw.align_zero()
         return wrap_nal(nal_type, bw.getvalue())
+
+    # ----- SAO parameters (random, mirrors SliceDataParser._sao_params) ---
+    def _encode_sao(self, rx, ry):
+        cfg, rng, enc = self.cfg, self.rng, self.enc
+        sp = self.sao_params
+        if rx > 0:
+            merge = int(rng.random() < 0.2)
+            enc.bin("sao_merge_flag", 0, merge)
+            if merge:
+                sp[ry, rx] = sp[ry, rx - 1]
+                return
+        if ry > 0:
+            merge = int(rng.random() < 0.2)
+            enc.bin("sao_merge_flag", 0, merge)
+            if merge:
+                sp[ry, rx] = sp[ry - 1, rx]
+                return
+        length = (1 << (min(cfg.bit_depth, 10) - 5)) - 1
+        for c_idx in range(3):
+            if c_idx == 2:
+                sao_type = int(sp[ry, rx, 1, 0])
+            else:
+                sao_type = int(rng.integers(0, 3))
+                enc.bin("sao_type_idx", 0, 1 if sao_type else 0)
+                if sao_type:
+                    enc.bypass(sao_type - 1)   # 0 -> band, 1 -> edge
+            sp[ry, rx, c_idx, 0] = sao_type
+            if sao_type == 0:
+                continue
+            offs = [int(rng.integers(0, length + 1)) for _ in range(4)]
+            for v in offs:
+                for _ in range(v):
+                    enc.bypass(1)
+                if v < length:
+                    enc.bypass(0)
+            if sao_type == 1:  # band
+                for i in range(4):
+                    if offs[i]:
+                        sign = int(rng.random() < 0.5)
+                        enc.bypass(sign)
+                        if sign:
+                            offs[i] = -offs[i]
+                band_pos = int(rng.integers(0, 32))
+                enc.bypass_bits(band_pos, 5)
+                sp[ry, rx, c_idx, 1] = band_pos
+            else:  # edge
+                offs = offs[:2] + [-offs[2], -offs[3]]
+                if c_idx == 2:
+                    eo = int(sp[ry, rx, 1, 1])
+                else:
+                    eo = int(rng.integers(0, 4))
+                    enc.bypass_bits(eo, 2)
+                sp[ry, rx, c_idx, 1] = eo
+            for i in range(4):
+                sp[ry, rx, c_idx, 2 + i] = offs[i]
 
     # ----- coding tree ----------------------------------------------------
     def _quadtree(self, x0, y0, log2_cb, depth):
@@ -570,7 +628,16 @@ class IntraFrameEncoder:
 
 def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         min_cb_log2=3, max_tb_log2=None, seed=0,
-                        pcm=False) -> bytes:
+                        pcm=False, sao=False, deblock=False,
+                        beta_offset_div2=0, tc_offset_div2=0,
+                        pcm_loop_filter_disabled=None) -> bytes:
+    # NOTE: the reference decoder never clears its is_pcm no-filter map
+    # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
+    # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
+    # filters decode differently there than the spec prescribes. Default to
+    # the interoperable setting when filters are on.
+    if pcm_loop_filter_disabled is None:
+        pcm_loop_filter_disabled = not (sao or deblock)
     cfg = EncoderConfig(width=width, height=height, qp=qp,
                         ctb_log2=ctb_log2, min_cb_log2=min_cb_log2,
                         min_tb_log2=2,
@@ -579,7 +646,10 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         pcm_enabled=pcm,
                         pcm_min_log2=max(3, min_cb_log2),
                         pcm_max_log2=max(3, min_cb_log2),
-                        sao_enabled=False, deblock_disabled=True)
+                        pcm_loop_filter_disabled=pcm_loop_filter_disabled,
+                        sao_enabled=sao, deblock_disabled=not deblock,
+                        beta_offset_div2=beta_offset_div2,
+                        tc_offset_div2=tc_offset_div2)
     rng = np.random.default_rng(seed)
     out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)
     enc = IntraFrameEncoder(cfg, rng)

@@ -165,7 +165,10 @@ class JaxEngine:
         y = np.asarray(planes[0, :H, :W])
         u = np.asarray(planes[1, :H >> vs, :W >> hs])
         v = np.asarray(planes[2, :H >> vs, :W >> hs])
-        return [y, u, v]
+        # in-loop filters currently run via the scalar reference
+        # (device deblock/SAO stencil kernels are the next optimization)
+        from .recon_np import apply_loop_filters
+        return apply_loop_filters([y, u, v], fs)
 
     def _run(self, pf: PackedFrame):
         bd = pf.bit_depth

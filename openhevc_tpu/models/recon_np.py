@@ -72,4 +72,17 @@ def reconstruct(fs: FrameSymbols, ref_planes=None):
         r = res[job.plane][job.y:job.y + job.size, job.x:job.x + job.size]
         pl[job.y:job.y + job.size, job.x:job.x + job.size] = \
             np.clip(pred + r, 0, maxv)
+    return apply_loop_filters(planes, fs)
+
+
+def apply_loop_filters(planes, fs: FrameSymbols):
+    """Deblocking then SAO (in-loop filter order, 8.7)."""
+    from ..ops.deblock_np import deblock
+    from ..ops.sao_np import sao
+    vstage = None
+    if not fs.deblock_disabled:
+        planes, vstage = deblock([p.copy() for p in planes], fs,
+                                 return_vstage=True)
+    if fs.sao_luma or fs.sao_chroma:
+        planes = sao(planes, fs, chroma_vstage=vstage)
     return planes

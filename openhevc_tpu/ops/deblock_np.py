@@ -113,10 +113,13 @@ def _no_filter_mask(fs: FrameSymbols):
     return mask  # per 4x4, True = don't modify samples of this block
 
 
-def deblock(planes, fs: FrameSymbols):
-    """In-place deblocking of [Y, Cb, Cr] int planes. Returns planes."""
+def deblock(planes, fs: FrameSymbols, return_vstage: bool = False):
+    """In-place deblocking of [Y, Cb, Cr] int planes. Returns planes, or
+    (planes, chroma_vstage) when return_vstage: chroma planes captured after
+    the vertical pass (needed to reproduce the reference's SAO halo timing
+    for 16x16 CTBs — see ops/sao_np.py)."""
     if fs.deblock_disabled:
-        return planes
+        return (planes, [planes[1], planes[2]]) if return_vstage else planes
     sps = fs.sps
     bd = sps.bit_depth
     vbs, hbs = boundary_strengths(fs)
@@ -160,6 +163,7 @@ def deblock(planes, fs: FrameSymbols):
             no_q = get_nf(x4, y >> 2)
             _luma_edge_seg(y_plane, x, y, False, beta, tc, no_p, no_q, bd)
     # ---------------- chroma (4:2:0) ----------------
+    chroma_vstage = [planes[1], planes[2]]
     if sps.chroma_format_idc:
         bdc = sps.bit_depth_chroma
         for c_idx in (1, 2):
@@ -183,6 +187,7 @@ def deblock(planes, fs: FrameSymbols):
                     no_q = get_nf(x >> 2, (cy4 * 8) >> 2)
                     _chroma_edge_seg(pl, cx8 * 8, cy4 * 4, True, tc,
                                      no_p, no_q, bdc)
+            chroma_vstage[c_idx - 1] = pl.copy()
             # horizontal chroma edges: luma y multiple of 16
             for cy8 in range(1, Hc >> 3):
                 y = cy8 * 16
@@ -199,6 +204,8 @@ def deblock(planes, fs: FrameSymbols):
                     no_q = get_nf((cx4 * 8) >> 2, y >> 2)
                     _chroma_edge_seg(pl, cx4 * 4, cy8 * 8, False, tc,
                                      no_p, no_q, bdc)
+    if return_vstage:
+        return planes, chroma_vstage
     return planes
 
 
