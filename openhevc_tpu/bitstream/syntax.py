@@ -12,7 +12,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..symbols import FrameSymbols, CoeffBlock, IntraJob, PcmBlock
+from ..symbols import FrameSymbols, CoeffBlock, IntraJob, PcmBlock, InterPb
+
+
+def _wrap16(v: int) -> int:
+    """MV component wraparound (8.5.3.2.9)."""
+    v &= 0xFFFF
+    return v - 0x10000 if v >= 0x8000 else v
 from .bits import BitReader
 from .cabac import CabacDecoder
 from .ctx_tables import CTX_OFFSET, init_states
@@ -142,12 +148,16 @@ def avail_mask(zscan: np.ndarray, pred_mode: np.ndarray, constrained: bool,
     return avail
 
 
+PRED_L0, PRED_L1, PRED_BI = 0, 1, 2
+
+
 class SliceDataParser:
     def __init__(self, rbsp: bytes, sps: SPS, pps: PPS, sh: SliceHeader,
-                 nal_type: int, poc: int):
+                 nal_type: int, poc: int, ref_list=None):
         self.sps, self.pps, self.sh = sps, pps, sh
+        # initType (9.3.2.2): I->0, P->1, B->2; cabac_init_flag swaps P/B
         init_type = (0 if sh.slice_type == I_SLICE else
-                     (2 if sh.slice_type == P_SLICE else 1))
+                     (1 if sh.slice_type == P_SLICE else 2))
         if pps.cabac_init_present and sh.cabac_init_flag and \
                 sh.slice_type != I_SLICE:
             init_type = 3 - init_type  # swap 1<->2
@@ -178,6 +188,15 @@ class SliceDataParser:
         fs.sao_chroma = bool(sh.sao_chroma)
         self.fs = fs
         self.ct_depth = np.zeros((h4, w4), np.int8)
+        self.skip_grid = np.zeros((h4, w4), np.uint8)
+        from .mvs import MotionContext
+        self.ref_list = ref_list or [[], []]
+        fs.ref_poc_l0 = [p for p, _ in self.ref_list[0]]
+        fs.ref_poc_l1 = [p for p, _ in self.ref_list[1]]
+        self.mc = MotionContext(
+            sps, self.zscan, poc, sh.slice_type, sh.max_num_merge_cand,
+            self.ref_list, pps.log2_parallel_merge_level)
+        fs.motion = self.mc
         # per-CU state
         self.cu_qp = sh.qp
         self.cu_tqb = 0
@@ -310,9 +329,27 @@ class SliceDataParser:
             self.cu_tqb = self.bin("cu_transquant_bypass_flag")
             fs.tqb[y4:y4 + n4, x4:x4 + n4] = self.cu_tqb
         if self.sh.slice_type != I_SLICE:
-            raise NotImplementedError("inter slices land in the next phase")
+            inc = 0
+            if x0 > 0 and self.skip_grid[y4, x4 - 1]:
+                inc += 1
+            if y0 > 0 and self.skip_grid[y4 - 1, x4]:
+                inc += 1
+            skip = self.bin("cu_skip_flag", inc)
+            if skip:
+                self.skip_grid[y4:y4 + n4, x4:x4 + n4] = 1
+                self.cu_pred_mode = MODE_INTER
+                fs.pred_mode[y4:y4 + n4, x4:x4 + n4] = MODE_INTER
+                cb_l = 1 << log2_cb
+                self._prediction_unit(x0, y0, cb_l, cb_l, PART_2Nx2N, 0,
+                                      log2_cb, x0, y0, is_skip=True)
+                fs.bounds_v[y4:y4 + n4, x4] = 1
+                fs.bounds_h[y4, x4:x4 + n4] = 1
+                return
+            if not self.bin("pred_mode_flag"):
+                return self._inter_cu(x0, y0, log2_cb, depth)
         self.cu_pred_mode = MODE_INTRA
         fs.pred_mode[y4:y4 + n4, x4:x4 + n4] = MODE_INTRA
+        self.mc.set_intra(x0, y0, 1 << log2_cb)
         part_mode = PART_2Nx2N
         if log2_cb == sps.log2_min_cb:
             if not self.bin("part_mode"):
@@ -334,6 +371,192 @@ class SliceDataParser:
         max_depth = sps.max_transform_hierarchy_depth_intra + intra_split
         self._transform_tree(x0, y0, x0, y0, log2_cb, 0, 0, max_depth,
                              intra_split, log2_cb, (1, 1))
+
+    # -- inter CU -----------------------------------------------------------
+    def _inter_cu(self, x0, y0, log2_cb, depth):
+        sps, fs = self.sps, self.fs
+        cb = 1 << log2_cb
+        x4, y4 = x0 >> 2, y0 >> 2
+        n4 = cb >> 2
+        self.cu_pred_mode = MODE_INTER
+        self.cu_depth = depth
+        fs.pred_mode[y4:y4 + n4, x4:x4 + n4] = MODE_INTER
+        part_mode = self._part_mode_inter(log2_cb)
+        self.cu_part_mode = part_mode
+        pus = self._pu_geometry(x0, y0, cb, part_mode)
+        first_merge = False
+        for idx, (px, py, pw, ph) in enumerate(pus):
+            mf = self._prediction_unit(px, py, pw, ph, part_mode, idx,
+                                       log2_cb, x0, y0, is_skip=False)
+            if idx == 0:
+                first_merge = mf
+        # rqt_root_cbf
+        rqt_root_cbf = 1
+        if not (part_mode == PART_2Nx2N and first_merge):
+            rqt_root_cbf = self.bin("rqt_root_cbf")
+        if rqt_root_cbf:
+            inter_split = (sps.max_transform_hierarchy_depth_inter == 0 and
+                           part_mode != PART_2Nx2N)
+            max_depth = (sps.max_transform_hierarchy_depth_inter +
+                         (1 if inter_split else 0))
+            self._transform_tree(x0, y0, x0, y0, log2_cb, 0, 0, max_depth,
+                                 1 if inter_split else 0, log2_cb, (1, 1))
+        else:
+            fs.bounds_v[y4:y4 + n4, x4] = 1
+            fs.bounds_h[y4, x4:x4 + n4] = 1
+
+    def _part_mode_inter(self, log2_cb):
+        """ff_hevc_part_mode_decode behavior for inter CUs."""
+        sps = self.sps
+        if self.bin("part_mode", 0):
+            return PART_2Nx2N
+        if log2_cb == sps.log2_min_cb:
+            if self.bin("part_mode", 1):
+                return PART_2NxN
+            if log2_cb == 3:
+                return PART_Nx2N
+            if self.bin("part_mode", 2):
+                return PART_Nx2N
+            return PART_NxN
+        if not sps.amp_enabled:
+            if self.bin("part_mode", 1):
+                return PART_2NxN
+            return PART_Nx2N
+        if self.bin("part_mode", 1):
+            if self.bin("part_mode", 3):
+                return PART_2NxN
+            if self.bypass():
+                return PART_2NxnD
+            return PART_2NxnU
+        if self.bin("part_mode", 3):
+            return PART_Nx2N
+        if self.bypass():
+            return PART_nRx2N
+        return PART_nLx2N
+
+    @staticmethod
+    def _pu_geometry(x0, y0, cb, part_mode):
+        h = cb >> 1
+        q = cb >> 2
+        if part_mode == PART_2Nx2N:
+            return [(x0, y0, cb, cb)]
+        if part_mode == PART_2NxN:
+            return [(x0, y0, cb, h), (x0, y0 + h, cb, h)]
+        if part_mode == PART_Nx2N:
+            return [(x0, y0, h, cb), (x0 + h, y0, h, cb)]
+        if part_mode == PART_NxN:
+            return [(x0, y0, h, h), (x0 + h, y0, h, h),
+                    (x0, y0 + h, h, h), (x0 + h, y0 + h, h, h)]
+        if part_mode == PART_2NxnU:
+            return [(x0, y0, cb, q), (x0, y0 + q, cb, cb - q)]
+        if part_mode == PART_2NxnD:
+            return [(x0, y0, cb, cb - q), (x0, y0 + cb - q, cb, q)]
+        if part_mode == PART_nLx2N:
+            return [(x0, y0, q, cb), (x0 + q, y0, cb - q, cb)]
+        return [(x0, y0, cb - q, cb), (x0 + cb - q, y0, q, cb)]
+
+    def _prediction_unit(self, x0, y0, w, h, part_mode, part_idx, log2_cb,
+                         cu_x, cu_y, is_skip):
+        """Returns True if this PU used merge. (hls_prediction_unit)"""
+        from .mvs import MvField, PF_L0, PF_L1, PF_BI
+        sh = self.sh
+        merge = True
+        if is_skip:
+            merge_idx = self._merge_idx()
+            f = self.mc.merge_mode(x0, y0, w, h, log2_cb, part_mode,
+                                   part_idx, merge_idx, cu_x, cu_y)
+        elif self.bin("merge_flag"):
+            merge_idx = self._merge_idx()
+            f = self.mc.merge_mode(x0, y0, w, h, log2_cb, part_mode,
+                                   part_idx, merge_idx, cu_x, cu_y)
+        else:
+            merge = False
+            if sh.slice_type == B_SLICE:
+                idc = self._inter_pred_idc(w, h)
+            else:
+                idc = PRED_L0
+            mv = [(0, 0), (0, 0)]
+            ref = [0, 0]
+            poc = [0, 0]
+            if idc != PRED_L1:
+                ref[0] = self._ref_idx(sh.num_ref_idx[0])
+                mvd0 = self._mvd_coding()
+                mvp0 = self.bin("mvp_l0_flag")
+                pred = self.mc.amvp(x0, y0, w, h, 0, ref[0], mvp0)
+                mv[0] = (_wrap16(pred[0] + mvd0[0]),
+                         _wrap16(pred[1] + mvd0[1]))
+                poc[0] = self.ref_list[0][ref[0]][0]
+            if idc != PRED_L0:
+                ref[1] = self._ref_idx(sh.num_ref_idx[1])
+                if sh.mvd_l1_zero and idc == PRED_BI:
+                    mvd1 = (0, 0)
+                else:
+                    mvd1 = self._mvd_coding()
+                mvp1 = self.bin("mvp_l0_flag")
+                pred = self.mc.amvp(x0, y0, w, h, 1, ref[1], mvp1)
+                mv[1] = (_wrap16(pred[0] + mvd1[0]),
+                         _wrap16(pred[1] + mvd1[1]))
+                poc[1] = self.ref_list[1][ref[1]][0]
+            pf = (PF_BI if idc == PRED_BI else
+                  (PF_L0 if idc == PRED_L0 else PF_L1))
+            f = MvField(pf, (tuple(mv[0]), tuple(mv[1])),
+                        (ref[0], ref[1]), (poc[0], poc[1]))
+        self.mc.set_pu(x0, y0, w, h, f)
+        self.fs.inter_pbs.append(InterPb(
+            x=x0, y=y0, w=w, h=h,
+            l0=(f.mv[0][0], f.mv[0][1], f.poc[0]) if f.pred_flag & 1 else None,
+            l1=(f.mv[1][0], f.mv[1][1], f.poc[1]) if f.pred_flag & 2 else None))
+        return merge
+
+    def _merge_idx(self):
+        if self.sh.max_num_merge_cand <= 1:
+            return 0
+        i = self.bin("merge_idx")
+        if i:
+            while i < self.sh.max_num_merge_cand - 1 and self.bypass():
+                i += 1
+        return i
+
+    def _inter_pred_idc(self, w, h):
+        if w + h == 12:
+            return PRED_L1 if self.bin("inter_pred_idc", 4) else PRED_L0
+        if self.bin("inter_pred_idc", self.cu_depth):
+            return PRED_BI
+        return PRED_L1 if self.bin("inter_pred_idc", 4) else PRED_L0
+
+    def _ref_idx(self, num_ref):
+        i = 0
+        mx = num_ref - 1
+        max_ctx = min(mx, 2)
+        while i < max_ctx and self.bin("ref_idx_l0", i):
+            i += 1
+        if i == 2:
+            while i < mx and self.bypass():
+                i += 1
+        return i
+
+    def _mvd_coding(self):
+        gx = self.bin("abs_mvd_greater0_flag", 0)
+        gy = self.bin("abs_mvd_greater0_flag", 0)
+        if gx:
+            gx += self.bin("abs_mvd_greater1_flag", 1)
+        if gy:
+            gy += self.bin("abs_mvd_greater1_flag", 1)
+        mvd = [0, 0]
+        for k, g in ((0, gx), (1, gy)):
+            if g == 2:
+                v = 2
+                kk = 1
+                while kk < 32 and self.bypass():
+                    v += 1 << kk
+                    kk += 1
+                while kk:
+                    kk -= 1
+                    v += self.bypass() << kk
+                mvd[k] = -v if self.bypass() else v
+            elif g == 1:
+                mvd[k] = -1 if self.bypass() else 1
+        return tuple(mvd)
 
     def _pcm_sample(self, x0, y0, log2_cb):
         sps, fs = self.sps, self.fs

@@ -68,6 +68,7 @@ class Decoder:
         self.prev_poc_tid0 = 0
         self.dpb: list[DecodedPicture] = []   # pending output, POC order
         self.output: list[DecodedPicture] = []
+        self.ref_pics: dict[int, DecodedPicture] = {}
         self.n_output_pending = 0
         self._jax_engine = None
 
@@ -124,24 +125,55 @@ class Decoder:
         pps = self.pps[sh.pps_id]
         sps = self.sps[pps.sps_id]
         poc = self._compute_poc(sps, sh, nal_type, temporal_id)
-        if sh.slice_type != I_SLICE:
-            raise NotImplementedError("inter slices: next phase")
-        parser = SliceDataParser(rbsp, sps, pps, sh, nal_type, poc)
+        if is_idr(nal_type):
+            self.ref_pics = {}
+        ref_list = self._build_ref_lists(sh, sps, poc)
+        parser = SliceDataParser(rbsp, sps, pps, sh, nal_type, poc,
+                                 ref_list=ref_list)
         fs = parser.decode()
         planes = self._reconstruct(fs)
         pic = DecodedPicture(poc=poc, planes=planes, sps=sps)
-        if is_irap(nal_type) and sh.no_output_of_prior_pics:
-            pass
+        self.ref_pics[poc] = pic
+        # simple sliding-window eviction (DPB capacity)
+        while len(self.ref_pics) > 17:
+            del self.ref_pics[min(self.ref_pics)]
         self._bump(pic, sps)
 
+    def _build_ref_lists(self, sh, sps, poc):
+        """RPS -> L0/L1 reference POC lists (ff_hevc_frame_rps +
+        ff_hevc_slice_rpl behavior; no long-term support yet)."""
+        if sh.slice_type == I_SLICE or sh.st_rps is None:
+            return [[], []]
+        rps = sh.st_rps
+        before, after = [], []
+        for delta, used in zip(rps.delta_poc, rps.used):
+            p = poc + delta
+            if not used:
+                continue
+            (before if delta < 0 else after).append((p, False))
+        n0, n1 = sh.num_ref_idx
+        cands0 = before + after
+        cands1 = after + before
+        l0 = [cands0[i % len(cands0)] for i in range(n0)] if cands0 else []
+        l1 = [cands1[i % len(cands1)] for i in range(n1)] if cands1 else []
+        if sh.list_mod_l0:
+            l0 = [cands0[i] for i in sh.list_mod_l0]
+        if sh.list_mod_l1:
+            l1 = [cands1[i] for i in sh.list_mod_l1]
+        if sh.slice_type == 1:  # P
+            l1 = []
+        return [l0, l1]
+
     def _reconstruct(self, fs):
+        refs = {p: pic.planes for p, pic in
+                getattr(self, "ref_pics", {}).items()}
         if self.engine == "np":
             from .models.recon_np import reconstruct
-            return reconstruct(fs)
+            return reconstruct(fs, ref_planes=refs)
         from .models.pipeline import JaxEngine
         if self._jax_engine is None:
             self._jax_engine = JaxEngine()
-        return self._jax_engine.reconstruct(fs)
+        return self._jax_engine.reconstruct(fs, ref_planes=refs)
 
     def _sps_for(self, rbsp, nal_type):
         # peek pps id from slice header start to find sps

@@ -56,6 +56,7 @@ class EncoderConfig:
     transform_skip: bool = False
     log2_max_poc_lsb: int = 8
     max_num_ref: int = 1
+    max_merge_cand: int = 5
     level_idc: int = 120
 
     @property
@@ -225,7 +226,9 @@ def write_pps(cfg: EncoderConfig) -> bytes:
 
 def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
                        slice_type: int, poc: int = 0,
-                       st_rps_idx: int = 0, num_st_rps: int = 0):
+                       st_rps_idx: int = 0, num_st_rps: int = 0,
+                       num_ref_l0: int | None = None,
+                       num_ref_l1: int | None = None):
     """slice_type: 0=B 1=P 2=I. Only the syntax paths this encoder exercises."""
     bw.put(1, 1)            # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:
@@ -244,12 +247,20 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
         bw.put(1, 1)        # slice_sao_luma_flag
         bw.put(1, 1)        # slice_sao_chroma_flag
     if slice_type != 2:
-        bw.put(0, 1)        # num_ref_idx_active_override_flag
+        override = (num_ref_l0 is not None and
+                    (num_ref_l0 != cfg.max_num_ref or
+                     (slice_type == 0 and num_ref_l1 not in
+                      (None, cfg.max_num_ref))))
+        bw.put(1 if override else 0, 1)  # num_ref_idx_active_override_flag
+        if override:
+            bw.ue(num_ref_l0 - 1)
+            if slice_type == 0:
+                bw.ue((num_ref_l1 or num_ref_l0) - 1)
         # no lists_modification (flag off in PPS)
         if slice_type == 0:
             bw.put(0, 1)    # mvd_l1_zero_flag
         # cabac_init_present = 0; tmvp off; weighted pred off
-        bw.ue(cfg.max_num_ref - 1 if False else 4)  # five_minus_max_num_merge_cand -> 1 cand
+        bw.ue(5 - cfg.max_merge_cand)  # five_minus_max_num_merge_cand
     bw.se(0)                # slice_qp_delta
     if cfg.sao_enabled or not cfg.deblock_disabled:
         bw.put(1, 1)        # slice_loop_filter_across_slices_enabled_flag
@@ -264,7 +275,7 @@ class SliceDataEncoder:
         self.bw = bw
         self.cfg = cfg
         init_type = (0 if slice_type == 2 else
-                     1 if slice_type == 0 else 2)
+                     2 if slice_type == 0 else 1)
         self.ctx = init_states(init_type, cfg.qp)
         self.cabac = CabacEncoder(bw)
 

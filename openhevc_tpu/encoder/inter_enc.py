@@ -1,0 +1,391 @@
+"""P-slice encoder (inter test-stream generator).
+
+Extends the intra encoder with skip / merge / AMVP CUs over one reference
+frame. MV candidate lists are derived with the same shared module the
+decoder uses (bitstream/mvs.py) — the encoder chooses indices, the decoder
+re-derives the same lists; prediction runs through the decoder's exact MC
+ops (ops/mc_np.py). Coverage: cu_skip_flag, merge_flag/idx, ref_idx, mvd
+coding, mvp flags, part 2Nx2N/2NxN/Nx2N(/NxN at min), rqt_root_cbf,
+inter TU trees, intra CUs inside P slices.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.bits import BitWriter, wrap_nal
+from ..bitstream.mvs import MotionContext, MvField, PF_L0
+from ..bitstream.syntax import zscan_grid
+from ..ops import mc_np
+from ..symbols import InterPb
+from .hevc_enc import (EncoderConfig, SliceDataEncoder, write_vps, write_sps,
+                       write_pps, write_slice_header, NAL_IDR_N_LP,
+                       NAL_TRAIL_R)
+from .intra_enc import IntraFrameEncoder, _Sps
+
+
+class PFrameEncoder(IntraFrameEncoder):
+    num_st_rps = 1
+
+    def encode_frame_p(self, y, u, v, poc, ref_pics, nal_type=NAL_TRAIL_R):
+        """ref_pics: [(poc, [Y,Cb,Cr])] in L0 order."""
+        cfg = self.cfg
+        self.target = [np.asarray(y, np.int64), np.asarray(u, np.int64),
+                       np.asarray(v, np.int64)]
+        W, H = cfg.width, cfg.height
+        self.recon = [np.zeros((H, W), np.int64),
+                      np.zeros((H // 2, W // 2), np.int64),
+                      np.zeros((H // 2, W // 2), np.int64)]
+        self.ipm = np.full((self.h4, self.w4), 255, np.uint8)
+        self.pred_mode = np.zeros((self.h4, self.w4), np.uint8)
+        self.ct_depth = np.zeros((self.h4, self.w4), np.int8)
+        self.skip_grid = np.zeros((self.h4, self.w4), np.uint8)
+        self.ref_planes = {p: pl for p, pl in ref_pics}
+        ref_list = [[(p, False) for p, _ in ref_pics], []]
+        self.mvctx = MotionContext(_Sps2(cfg), self.zscan, poc, 1,
+                                   cfg.max_merge_cand, ref_list)
+        self.is_p = True
+        bw = BitWriter()
+        write_slice_header(bw, cfg, nal_type, slice_type=1, poc=poc,
+                           st_rps_idx=len(ref_pics) - 1,
+                           num_st_rps=self.num_st_rps,
+                           num_ref_l0=len(ref_pics))
+        self.enc = SliceDataEncoder(bw, cfg, slice_type=1)
+        cs = cfg.ctb_size
+        n_ctb = cfg.ctbs_w * cfg.ctbs_h
+        self.sao_params = np.zeros((cfg.ctbs_h, cfg.ctbs_w, 3, 6), np.int16)
+        for addr in range(n_ctb):
+            x0 = (addr % cfg.ctbs_w) * cs
+            y0 = (addr // cfg.ctbs_w) * cs
+            if cfg.sao_enabled:
+                self._encode_sao(x0 >> cfg.ctb_log2, y0 >> cfg.ctb_log2)
+            self._quadtree(x0, y0, cfg.ctb_log2, 0)
+            self.enc.terminate(1 if addr == n_ctb - 1 else 0)
+        bw.align_zero()
+        return wrap_nal(nal_type, bw.getvalue())
+
+    # ----- CU dispatch ------------------------------------------------------
+    def _coding_unit(self, x0, y0, log2_cb, depth):
+        if not getattr(self, "is_p", False):
+            return super()._coding_unit(x0, y0, log2_cb, depth)
+        cfg, rng, enc = self.cfg, self.rng, self.enc
+        n4 = 1 << (log2_cb - 2)
+        x4, y4 = x0 >> 2, y0 >> 2
+        self.ct_depth[y4:y4 + n4, x4:x4 + n4] = depth
+        self.cu_depth = depth
+        # skip flag
+        skip = rng.random() < 0.3
+        inc = 0
+        if x0 > 0 and self.skip_grid[y4, x4 - 1]:
+            inc += 1
+        if y0 > 0 and self.skip_grid[y4 - 1, x4]:
+            inc += 1
+        enc.bin("cu_skip_flag", inc, 1 if skip else 0)
+        if skip:
+            self.skip_grid[y4:y4 + n4, x4:x4 + n4] = 1
+            self.pred_mode[y4:y4 + n4, x4:x4 + n4] = 0
+            cb = 1 << log2_cb
+            merge_idx = int(rng.integers(0, cfg.max_merge_cand))
+            self._encode_merge_idx(merge_idx)
+            f = self.mvctx.merge_mode(x0, y0, cb, cb, log2_cb, 0, 0,
+                                      merge_idx, x0, y0)
+            self._apply_inter_pu(x0, y0, cb, cb, f)
+            # recon = pred (no residual)
+            pb = self._pred_buf_for(x0, y0, cb, cb)
+            for c in range(3):
+                sh = 1 if c else 0
+                xs, ys = x0 >> sh, y0 >> sh
+                ss = cb >> sh
+                self.recon[c][ys:ys + ss, xs:xs + ss] = \
+                    pb[c][ys:ys + ss, xs:xs + ss]
+            return
+        intra = rng.random() < 0.25
+        enc.bin("pred_mode_flag", 0, 1 if intra else 0)
+        if intra:
+            self.pred_mode[y4:y4 + n4, x4:x4 + n4] = 1
+            self.mvctx.set_intra(x0, y0, 1 << log2_cb)
+            part_nxn = False
+            if log2_cb == cfg.min_cb_log2:
+                part_nxn = bool(rng.random() < 0.4)
+                enc.bin("part_mode", 0, 0 if part_nxn else 1)
+            self._intra_cu(x0, y0, log2_cb, part_nxn)
+            return
+        self._inter_cu(x0, y0, log2_cb, depth)
+
+    # ----- inter CU ---------------------------------------------------------
+    def _inter_cu(self, x0, y0, log2_cb, depth):
+        cfg, rng, enc = self.cfg, self.rng, self.enc
+        self.cu_is_intra = False
+        cb = 1 << log2_cb
+        n4 = cb >> 2
+        x4, y4 = x0 >> 2, y0 >> 2
+        self.pred_mode[y4:y4 + n4, x4:x4 + n4] = 0
+        # part mode: 2Nx2N (60%), 2NxN, Nx2N
+        r = rng.random()
+        part = 0 if r < 0.6 else (1 if r < 0.8 else 2)
+        self._encode_part_mode_inter(part, log2_cb)
+        pus = self._pu_geom(x0, y0, cb, part)
+        any_merge_first = False
+        for idx, (px, py, pw, ph) in enumerate(pus):
+            merged = self._encode_pu(px, py, pw, ph, part, idx, log2_cb,
+                                     x0, y0)
+            if idx == 0:
+                any_merge_first = merged
+        self.pred_buf = self._pred_buf_for(x0, y0, cb, cb)
+        # transform tree
+        force_tree = part == 0 and any_merge_first  # rqt_root_cbf inferred 1
+        plan = self._plan_tree(x0, y0, log2_cb, 0,
+                               cfg.max_transform_hierarchy_depth, 0)
+        if force_tree and not plan["split"]:
+            # depth-0 leaf with inferred cbf_luma=1 needs nonzero luma or a
+            # split; force the split when allowed
+            if plan.get("explicit_split"):
+                plan["split"] = True
+                h = cb >> 1
+                plan["children"] = [
+                    self._plan_tree(x0 + dx, y0 + dy, log2_cb - 1, 1,
+                                    cfg.max_transform_hierarchy_depth, 0)
+                    for dx, dy in ((0, 0), (h, 0), (0, h), (h, h))]
+        self._process_tree(plan, x0, y0, log2_cb, 0, 0)
+        cbf_any = self._tree_has_coeffs(plan)
+        if not force_tree:
+            enc.bin("rqt_root_cbf", 0, 1 if cbf_any else 0)
+            if not cbf_any:
+                # recon = pred
+                pb = self.pred_buf
+                for c in range(3):
+                    sh = 1 if c else 0
+                    xs, ys = x0 >> sh, y0 >> sh
+                    ss = cb >> sh
+                    self.recon[c][ys:ys + ss, xs:xs + ss] = \
+                        pb[c][ys:ys + ss, xs:xs + ss]
+                return
+        else:
+            if not cbf_any and not plan["split"]:
+                # ensure inferred cbf_luma=1 holds: force a DC coefficient
+                self._force_dc_level(plan)
+        self._emit_tree(plan, x0, y0, x0, y0, log2_cb, 0, 0, (1, 1))
+
+    def _force_dc_level(self, plan):
+        """Give the depth-0 luma TB a nonzero DC level and redo its recon."""
+        cfg = self.cfg
+        x0, y0, log2 = plan["x"], plan["y"], plan["log2"]
+        size = 1 << log2
+        lv = plan["luma_levels"]
+        lv[0, 0] = 1
+        from ..ops import transforms_np as T
+        qp = self._tu_qp(0)
+        d = T.dequant(lv, log2, qp, cfg.bit_depth)
+        rec_res = T.inverse_transform(d, cfg.bit_depth, is_dst=False)
+        pred = self.pred_buf[0][y0:y0 + size, x0:x0 + size]
+        self.recon[0][y0:y0 + size, x0:x0 + size] = \
+            np.clip(pred + rec_res, 0, (1 << cfg.bit_depth) - 1)
+
+    def _tree_has_coeffs(self, node):
+        if node["split"]:
+            r = any(self._tree_has_coeffs(ch) for ch in node["children"])
+            if node["log2"] == 3 and "chroma_levels" in node:
+                cb, cr = node["chroma_levels"]
+                r = r or np.any(cb) or np.any(cr)
+            return r
+        r = bool(np.any(node["luma_levels"]))
+        if "chroma_levels" in node:
+            cb, cr = node["chroma_levels"]
+            r = r or bool(np.any(cb)) or bool(np.any(cr))
+        return r
+
+    # ----- PU encoding ------------------------------------------------------
+    def _encode_pu(self, x0, y0, w, h, part_mode, part_idx, log2_cb,
+                   cu_x, cu_y):
+        cfg, rng, enc = self.cfg, self.rng, self.enc
+        use_merge = rng.random() < 0.4
+        enc.bin("merge_flag", 0, 1 if use_merge else 0)
+        if use_merge:
+            merge_idx = int(rng.integers(0, cfg.max_merge_cand))
+            self._encode_merge_idx(merge_idx)
+            f = self.mvctx.merge_mode(x0, y0, w, h, log2_cb, part_mode,
+                                      part_idx, merge_idx, cu_x, cu_y)
+        else:
+            # P slice: PRED_L0 implied, no inter_pred_idc
+            nref = len(self.mvctx.ref_list[0])
+            ref = int(rng.integers(0, nref))
+            self._encode_ref_idx(ref, nref)
+            mvd = (int(rng.integers(-24, 25)), int(rng.integers(-24, 25)))
+            self._encode_mvd(mvd)
+            mvp_flag = int(rng.integers(0, 2))
+            enc.bin("mvp_l0_flag", 0, mvp_flag)
+            pred = self.mvctx.amvp(x0, y0, w, h, 0, ref, mvp_flag)
+            mv = (pred[0] + mvd[0], pred[1] + mvd[1])
+            f = MvField(PF_L0, (mv, (0, 0)), (ref, 0),
+                        (self.mvctx.ref_list[0][ref][0], 0))
+        self._apply_inter_pu(x0, y0, w, h, f)
+        return use_merge
+
+    def _apply_inter_pu(self, x0, y0, w, h, f: MvField):
+        self.mvctx.set_pu(x0, y0, w, h, f)
+        pb = InterPb(x=x0, y=y0, w=w, h=h,
+                     l0=(f.mv[0][0], f.mv[0][1], f.poc[0])
+                     if f.pred_flag & 1 else None,
+                     l1=(f.mv[1][0], f.mv[1][1], f.poc[1])
+                     if f.pred_flag & 2 else None)
+        self._pu_list.append(pb)
+
+    def _pred_buf_for(self, x0, y0, w, h):
+        """Frame-sized planes with MC prediction filled for PUs parsed so
+        far in this CU (cheap: only the CU area is consumed)."""
+        cfg = self.cfg
+        W, H = cfg.width, cfg.height
+        bufs = [np.zeros((H, W), np.int64),
+                np.zeros((H // 2, W // 2), np.int64),
+                np.zeros((H // 2, W // 2), np.int64)]
+        for pb in self._pu_list:
+            if not (x0 <= pb.x < x0 + w and y0 <= pb.y < y0 + h):
+                continue
+            l0p = self.ref_planes.get(pb.l0[2]) if pb.l0 else None
+            l1p = self.ref_planes.get(pb.l1[2]) if pb.l1 else None
+            pred = mc_np.predict_inter_block(l0p, l1p, pb, cfg.bit_depth)
+            bufs[0][pb.y:pb.y + pb.h, pb.x:pb.x + pb.w] = pred[0]
+            cx, cy, cw, ch = pb.x >> 1, pb.y >> 1, pb.w >> 1, pb.h >> 1
+            bufs[1][cy:cy + ch, cx:cx + cw] = pred[1]
+            bufs[2][cy:cy + ch, cx:cx + cw] = pred[2]
+        return bufs
+
+    # ----- binarization helpers --------------------------------------------
+    def _encode_merge_idx(self, idx):
+        cfg, enc = self.cfg, self.enc
+        if cfg.max_merge_cand <= 1:
+            assert idx == 0
+            return
+        enc.bin("merge_idx", 0, 1 if idx > 0 else 0)
+        if idx > 0:
+            for k in range(1, idx):
+                enc.bypass(1)
+            if idx < cfg.max_merge_cand - 1:
+                enc.bypass(0)
+
+    def _encode_ref_idx(self, ref, nref):
+        enc = self.enc
+        mx = nref - 1
+        max_ctx = min(mx, 2)
+        i = 0
+        while i < max_ctx and i < ref:
+            enc.bin("ref_idx_l0", i, 1)
+            i += 1
+        if i < max_ctx:
+            enc.bin("ref_idx_l0", i, 0)
+            return
+        if i == 2:
+            while i < mx and i < ref:
+                enc.bypass(1)
+                i += 1
+            if i < mx:
+                enc.bypass(0)
+
+    def _encode_mvd(self, mvd):
+        enc = self.enc
+        gx = min(2, abs(mvd[0]))
+        gy = min(2, abs(mvd[1]))
+        enc.bin("abs_mvd_greater0_flag", 0, 1 if gx else 0)
+        enc.bin("abs_mvd_greater0_flag", 0, 1 if gy else 0)
+        if gx:
+            enc.bin("abs_mvd_greater1_flag", 1, 1 if gx == 2 else 0)
+        if gy:
+            enc.bin("abs_mvd_greater1_flag", 1, 1 if gy == 2 else 0)
+        for v, g in ((mvd[0], gx), (mvd[1], gy)):
+            a = abs(v)
+            if g == 2:
+                # EG1-style: a = 2 + sum(1<<k over prefix) + suffix
+                rem = a - 2
+                k = 1
+                while rem >= (1 << k):
+                    enc.bypass(1)
+                    rem -= 1 << k
+                    k += 1
+                enc.bypass(0)
+                for b in range(k - 1, -1, -1):
+                    enc.bypass((rem >> b) & 1)
+                enc.bypass(1 if v < 0 else 0)
+            elif g == 1:
+                enc.bypass(1 if v < 0 else 0)
+
+    def _encode_part_mode_inter(self, part, log2_cb):
+        cfg, enc = self.cfg, self.enc
+        if part == 0:
+            enc.bin("part_mode", 0, 1)
+            return
+        enc.bin("part_mode", 0, 0)
+        # (min-CB NxN / AMP not generated yet)
+        if log2_cb == cfg.min_cb_log2:
+            enc.bin("part_mode", 1, 1 if part == 1 else 0)
+            if part != 1:
+                if log2_cb != 3:
+                    enc.bin("part_mode", 2, 1)
+            return
+        enc.bin("part_mode", 1, 1 if part == 1 else 0)
+
+    @staticmethod
+    def _pu_geom(x0, y0, cb, part):
+        h = cb >> 1
+        if part == 0:
+            return [(x0, y0, cb, cb)]
+        if part == 1:
+            return [(x0, y0, cb, h), (x0, y0 + h, cb, h)]
+        return [(x0, y0, h, cb), (x0 + h, y0, h, cb)]
+
+
+class _Sps2:
+    def __init__(self, cfg):
+        self.log2_ctb = cfg.ctb_log2
+        self.ctbs_w = cfg.ctbs_w
+        self.ctbs_h = cfg.ctbs_h
+        self.width = cfg.width
+        self.height = cfg.height
+
+
+def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
+                           min_cb_log2=3, seed=0, sao=False, deblock=False,
+                           n_refs=1, max_merge=5):
+    """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
+    expected recons). Expected output only valid without loop filters;
+    with filters on, compare against the reference decoder."""
+    cfg = EncoderConfig(width=width, height=height, qp=qp,
+                        ctb_log2=ctb_log2, min_cb_log2=min_cb_log2,
+                        min_tb_log2=2, max_tb_log2=min(5, ctb_log2),
+                        max_transform_hierarchy_depth=2,
+                        pcm_enabled=False, sao_enabled=sao,
+                        deblock_disabled=not deblock,
+                        max_num_ref=n_refs, max_merge_cand=max_merge)
+    rng = np.random.default_rng(seed)
+    # one RPS per possible reference count (early frames have fewer refs)
+    st_rps = [[-(i + 1) for i in range(k + 1)] for k in range(n_refs)]
+    headers = write_vps(cfg) + write_sps(cfg, st_rps=st_rps) + write_pps(cfg)
+    out = headers
+    enc = PFrameEncoder(cfg, rng)
+    enc.num_st_rps = len(st_rps)
+    recons = []
+    filtered = []
+    # with loop filters on, reference pictures are the *filtered* recon;
+    # run our own decoder in-loop to produce them (conformant closed loop)
+    self_dec = None
+    if sao or deblock:
+        from ..decoder import Decoder
+        self_dec = Decoder("np")
+        self_dec.decode(headers)
+    for i, (y, u, v) in enumerate(frames):
+        enc._parent_chroma = {}
+        enc._pu_list = []
+        if i == 0:
+            enc.is_p = False
+            nal = enc.encode_frame(y, u, v, nal_type=NAL_IDR_N_LP)
+        else:
+            refs = [(p, filtered[p]) for p in
+                    sorted(range(len(filtered)), reverse=True)[:n_refs]]
+            nal = enc.encode_frame_p(y, u, v, i, refs)
+        out += nal
+        recons.append([p.copy() for p in enc.recon])
+        if self_dec is not None:
+            self_dec.decode(nal)
+            filtered.append([np.asarray(p, np.int64)
+                             for p in self_dec.ref_pics[i].planes])
+        else:
+            filtered.append([p.copy() for p in enc.recon])
+    return out, recons

@@ -187,6 +187,7 @@ class IntraFrameEncoder:
     def _intra_cu(self, x0, y0, log2_cb, part_nxn):
         cfg = self.cfg
         rng = self.rng
+        self.cu_is_intra = True
         n_pu = 4 if part_nxn else 1
         pb = (1 << log2_cb) >> (1 if part_nxn else 0)
         modes = []
@@ -298,13 +299,19 @@ class IntraFrameEncoder:
             filter_enabled=(plane == 0),
             strong_smoothing=cfg.strong_intra_smoothing)
 
+    cu_is_intra = True   # PFrameEncoder toggles per CU
+    pred_buf = None      # inter CU prediction planes (MC output)
+
     def _tu_levels(self, plane, x, y, size, mode):
         """Closed-loop: pred, transform+quant, recon update. Returns levels."""
         cfg = self.cfg
         log2 = size.bit_length() - 1
-        pred = self._pred_block(plane, x, y, size, mode)
+        if self.cu_is_intra:
+            pred = self._pred_block(plane, x, y, size, mode)
+        else:
+            pred = self.pred_buf[plane][y:y + size, x:x + size]
         resid = self.target[plane][y:y + size, x:x + size] - pred
-        is_dst = (plane == 0 and size == 4)
+        is_dst = (plane == 0 and size == 4 and self.cu_is_intra)
         coefs = T.forward_transform(resid, cfg.bit_depth, is_dst=is_dst)
         qp = self._tu_qp(plane)
         levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
@@ -369,8 +376,11 @@ class IntraFrameEncoder:
             return
         luma = node["luma_levels"]
         cbf_luma = int(np.any(luma))
-        # intra: cbf_luma always explicit
-        self.enc.bin("cbf_luma", 0 if depth else 1, cbf_luma)
+        # explicit unless inferred 1 (inter, depth 0, no chroma cbf)
+        if self.cu_is_intra or depth != 0 or cbf_cb or cbf_cr:
+            self.enc.bin("cbf_luma", 0 if depth else 1, cbf_luma)
+        else:
+            assert cbf_luma, "inferred cbf_luma=1 requires nonzero levels"
         # transform_unit emission
         mode = node["luma_mode"]
         if cbf_luma:
@@ -409,8 +419,9 @@ class IntraFrameEncoder:
 
     def _scan_for(self, log2_tr, c_idx, mode):
         cfg = self.cfg
-        if log2_tr == 2 or (log2_tr == 3 and c_idx == 0) or \
-                (log2_tr == 3 and cfg.chroma_format_idc == 3):
+        if self.cu_is_intra and (
+                log2_tr == 2 or (log2_tr == 3 and c_idx == 0) or
+                (log2_tr == 3 and cfg.chroma_format_idc == 3)):
             if 6 <= mode <= 14:
                 return SCAN_VERT
             if 22 <= mode <= 30:

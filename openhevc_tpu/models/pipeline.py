@@ -157,11 +157,31 @@ class JaxEngine:
     def __init__(self):
         self._cache = {}
 
-    def reconstruct(self, fs: FrameSymbols):
+    def reconstruct(self, fs: FrameSymbols, ref_planes=None):
         pf = pack_frame(fs)
-        planes = self._run(pf)
         H, W = pf.height, pf.width
         hs, vs = fs.sps.hshift1, fs.sps.vshift1
+        if fs.inter_pbs:
+            # inter MC currently runs via the scalar reference into the
+            # initial planes (device gather kernels are the next step)
+            from ..ops.mc_np import predict_inter_block
+            from .recon_np import residual_planes
+            res = residual_planes(fs)
+            maxv = (1 << pf.bit_depth) - 1
+            for pb in fs.inter_pbs:
+                l0p = ref_planes.get(pb.l0[2]) if pb.l0 else None
+                l1p = ref_planes.get(pb.l1[2]) if pb.l1 else None
+                pred = predict_inter_block(l0p, l1p, pb, pf.bit_depth,
+                                           hs, vs)
+                x, y, w, h = pb.x, pb.y, pb.w, pb.h
+                pf.planes0[0, y:y + h, x:x + w] = np.clip(
+                    pred[0] + res[0][y:y + h, x:x + w], 0, maxv)
+                cx, cy = x >> hs, y >> vs
+                cw2, ch2 = w >> hs, h >> vs
+                for c in (1, 2):
+                    pf.planes0[c, cy:cy + ch2, cx:cx + cw2] = np.clip(
+                        pred[c] + res[c][cy:cy + ch2, cx:cx + cw2], 0, maxv)
+        planes = self._run(pf)
         y = np.asarray(planes[0, :H, :W])
         u = np.asarray(planes[1, :H >> vs, :W >> hs])
         v = np.asarray(planes[2, :H >> vs, :W >> hs])

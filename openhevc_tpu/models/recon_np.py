@@ -41,7 +41,10 @@ def residual_planes(fs: FrameSymbols):
 
 
 def reconstruct(fs: FrameSymbols, ref_planes=None):
-    """Returns [Y, Cb, Cr] int32 planes (pre-crop)."""
+    """Returns [Y, Cb, Cr] int32 planes (pre-crop).
+
+    ref_planes: {poc: [Y, Cb, Cr]} decoded reference pictures."""
+    ref_planes = ref_planes or {}
     sps = fs.sps
     W, H = sps.width, sps.height
     cw, ch = W >> sps.hshift1, H >> sps.vshift1
@@ -60,7 +63,22 @@ def reconstruct(fs: FrameSymbols, ref_planes=None):
         cy, cx = p.y >> sps.vshift1, p.x >> sps.hshift1
         planes[1][cy:cy + cs_v, cx:cx + cs_h] = p.samples_cb
         planes[2][cy:cy + cs_v, cx:cx + cs_h] = p.samples_cr
-    # (inter prediction would fill inter regions here)
+    # inter prediction: PUs are independent of current-frame recon
+    if fs.inter_pbs:
+        from ..ops.mc_np import predict_inter_block
+        for pb in fs.inter_pbs:
+            l0_planes = ref_planes.get(pb.l0[2]) if pb.l0 else None
+            l1_planes = ref_planes.get(pb.l1[2]) if pb.l1 else None
+            pred = predict_inter_block(l0_planes, l1_planes, pb, bd,
+                                       sps.hshift1, sps.vshift1)
+            x, y, w, h = pb.x, pb.y, pb.w, pb.h
+            planes[0][y:y + h, x:x + w] = np.clip(
+                pred[0] + res[0][y:y + h, x:x + w], 0, maxv)
+            cx, cy = x >> sps.hshift1, y >> sps.vshift1
+            cw2, ch2 = w >> sps.hshift1, h >> sps.vshift1
+            for c in (1, 2):
+                planes[c][cy:cy + ch2, cx:cx + cw2] = np.clip(
+                    pred[c] + res[c][cy:cy + ch2, cx:cx + cw2], 0, maxv)
     # decode-order intra scan
     for job in fs.intra_jobs:
         pl = planes[job.plane]
@@ -76,13 +94,8 @@ def reconstruct(fs: FrameSymbols, ref_planes=None):
 
 
 def apply_loop_filters(planes, fs: FrameSymbols):
-    """Deblocking then SAO (in-loop filter order, 8.7)."""
-    from ..ops.deblock_np import deblock
-    from ..ops.sao_np import sao
-    vstage = None
-    if not fs.deblock_disabled:
-        planes, vstage = deblock([p.copy() for p in planes], fs,
-                                 return_vstage=True)
-    if fs.sao_luma or fs.sao_chroma:
-        planes = sao(planes, fs, chroma_vstage=vstage)
-    return planes
+    """Deblocking then SAO, driven on the reference's exact CTB schedule
+    (bit-exactness at CTB-halo samples depends on the interleaving —
+    see ops/filters_sched.py)."""
+    from ..ops.filters_sched import apply_loop_filters as _sched
+    return _sched(planes, fs)

@@ -26,8 +26,9 @@ BETA_TABLE = np.array([
 def boundary_strengths(fs: FrameSymbols):
     """BS per 4-sample edge segment: vbs[H4, W8], hbs[H8, W4].
 
-    Intra rule: either side intra -> 2 (hevc_filter.c boundary_strength).
-    Inter rules (cbf/MV deltas) are applied when MV data is present."""
+    Whole-frame equivalent of ff_hevc_deblocking_boundary_strengths
+    (hevc_filter.c:805): at TU boundaries -> intra=2 / cbf=1 / MV rule;
+    at 8-aligned lines interior to inter TUs -> MV rule only."""
     sps = fs.sps
     h4 = sps.height >> 2
     w4 = sps.width >> 2
@@ -36,69 +37,73 @@ def boundary_strengths(fs: FrameSymbols):
     vbs = np.zeros((h4, w8), np.int32)
     hbs = np.zeros((h8, w4), np.int32)
     pm = fs.pred_mode
-    # vertical edges: x = 8*k (k>=1)
     for x8 in range(1, w8):
         x4 = x8 * 2
         for y4 in range(h4):
-            if not fs.bounds_v[y4, x4]:
-                continue
-            intra = pm[y4, x4] == 1 or pm[y4, x4 - 1] == 1
-            if intra:
-                vbs[y4, x8] = 2
-            else:
-                vbs[y4, x8] = _inter_bs(fs, x4 - 1, y4, x4, y4)
+            vbs[y4, x8] = _edge_bs(fs, pm, x4 - 1, y4, x4, y4,
+                                   fs.bounds_v[y4, x4])
     for y8 in range(1, h8):
         y4 = y8 * 2
         for x4 in range(w4):
-            if not fs.bounds_h[y4, x4]:
-                continue
-            intra = pm[y4, x4] == 1 or pm[y4 - 1, x4] == 1
-            if intra:
-                hbs[y8, x4] = 2
-            else:
-                hbs[y8, x4] = _inter_bs(fs, x4, y4 - 1, x4, y4)
+            hbs[y8, x4] = _edge_bs(fs, pm, x4, y4 - 1, x4, y4,
+                                   fs.bounds_h[y4, x4])
     return vbs, hbs
 
 
-def _inter_bs(fs, px4, py4, qx4, qy4):
-    """BS 1/0 for an inter-inter edge (cbf + MV rules)."""
-    if fs.cbf_luma4[py4, px4] or fs.cbf_luma4[qy4, qx4]:
-        return 1
-    if fs.mvf is None:
+def _edge_bs(fs, pm, px4, py4, qx4, qy4, is_tu_edge):
+    if is_tu_edge:
+        if pm[qy4, qx4] == 1 or pm[py4, px4] == 1:
+            return 2
+        if fs.cbf_luma4[py4, px4] or fs.cbf_luma4[qy4, qx4]:
+            return 1
+        return _mv_bs(fs.motion, px4, py4, qx4, qy4)
+    # line interior to a TU: MV rule for inter-inter only
+    if pm[qy4, qx4] == 1 or pm[py4, px4] == 1:
         return 0
-    p = fs.mvf[py4 >> 1, px4 >> 1]
-    q = fs.mvf[qy4 >> 1, qx4 >> 1]
-    return _mv_bs(p, q)
+    return _mv_bs(fs.motion, px4, py4, qx4, qy4)
 
 
-def _mv_bs(p, q):
-    """MV-difference rule (8.7.2.4; TEST_MV_POC boundary_strength)."""
-    p_refs = sorted([int(p[l][2]) for l in range(2) if p[l][3]])
-    q_refs = sorted([int(q[l][2]) for l in range(2) if q[l][3]])
-    if p_refs != q_refs:
-        return 1
-    p_mvs = [(int(p[l][0]), int(p[l][1]), int(p[l][2]))
-             for l in range(2) if p[l][3]]
-    q_mvs = [(int(q[l][0]), int(q[l][1]), int(q[l][2]))
-             for l in range(2) if q[l][3]]
-    if len(p_mvs) != len(q_mvs):
-        return 1
+def _mv_bs(mc, px4, py4, qx4, qy4):
+    """MV-difference rule (boundary_strength, hevc_filter.c:584,
+    TEST_MV_POC variant)."""
+    if mc is None:
+        return 0
+    PF_BI = 3
+    p_pf = int(mc.pred_flag[py4, px4])
+    q_pf = int(mc.pred_flag[qy4, qx4])
+    p_mv = mc.mv[py4, px4]
+    q_mv = mc.mv[qy4, qx4]
+    p_poc = mc.refpoc[py4, px4]
+    q_poc = mc.refpoc[qy4, qx4]
+    if (p_pf == q_pf and np.array_equal(p_mv, q_mv) and
+            np.array_equal(p_poc, q_poc) and
+            np.array_equal(mc.ref_idx[py4, px4], mc.ref_idx[qy4, qx4])):
+        return 0
 
     def far(a, b):
-        return abs(a[0] - b[0]) >= 4 or abs(a[1] - b[1]) >= 4
+        return abs(int(a[0]) - int(b[0])) >= 4 or \
+            abs(int(a[1]) - int(b[1])) >= 4
 
-    if len(p_mvs) == 1:
-        return 1 if far(p_mvs[0], q_mvs[0]) else 0
-    # bi: match by ref
-    if p_mvs[0][2] == p_mvs[1][2]:
-        ok = ((not far(p_mvs[0], q_mvs[0]) and not far(p_mvs[1], q_mvs[1])) or
-              (not far(p_mvs[0], q_mvs[1]) and not far(p_mvs[1], q_mvs[0])))
-        return 0 if ok else 1
-    for pm in p_mvs:
-        qm = next((q2 for q2 in q_mvs if q2[2] == pm[2]), None)
-        if qm is None or far(pm, qm):
-            return 1
-    return 0
+    if q_pf == PF_BI and p_pf == PF_BI:
+        if (q_poc[0] == p_poc[0] and q_poc[0] == q_poc[1] and
+                p_poc[0] == p_poc[1]):
+            straight = not far(p_mv[0], q_mv[0]) and not far(p_mv[1], q_mv[1])
+            crossed = not far(p_mv[1], q_mv[0]) and not far(p_mv[0], q_mv[1])
+            return 0 if (straight or crossed) else 1
+        if p_poc[0] == q_poc[0] and p_poc[1] == q_poc[1]:
+            return 0 if (not far(p_mv[0], q_mv[0]) and
+                         not far(p_mv[1], q_mv[1])) else 1
+        if p_poc[1] == q_poc[0] and p_poc[0] == q_poc[1]:
+            return 0 if (not far(p_mv[1], q_mv[0]) and
+                         not far(p_mv[0], q_mv[1])) else 1
+        return 1
+    if q_pf != PF_BI and p_pf != PF_BI:
+        lq = 0 if (q_pf & 1) else 1
+        lp = 0 if (p_pf & 1) else 1
+        if q_poc[lq] == p_poc[lp]:
+            return 1 if far(q_mv[lq], p_mv[lp]) else 0
+        return 1
+    return 1
 
 
 def _no_filter_mask(fs: FrameSymbols):

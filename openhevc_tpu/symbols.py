@@ -87,6 +87,9 @@ class FrameSymbols:
     bounds_h: np.ndarray | None = None
     # per-8x8 MV field [H8, W8, 2, 4]: (mvx, mvy, ref_poc_slot, valid)
     mvf: np.ndarray | None = None
+    # full motion state (bitstream.mvs.MotionContext): per-4x4 pred_flag /
+    # mv / ref poc grids, used by deblocking BS and (later) TMVP
+    motion: object = None
     # per-CTB SAO: [ctbs_h, ctbs_w, 3(planes), 6] =
     #   (type 0/1/2=off/band/edge, band_pos or eo_class, offset[4])
     sao: np.ndarray | None = None
