@@ -54,6 +54,7 @@ class EncoderConfig:
     strong_intra_smoothing: bool = False
     sign_data_hiding: bool = False
     transform_skip: bool = False
+    transquant_bypass: bool = False
     log2_max_poc_lsb: int = 8
     max_num_ref: int = 1
     max_merge_cand: int = 5
@@ -195,7 +196,7 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     bw.put(1 if cfg.sign_data_hiding else 0, 1)
     bw.put(0, 1)            # cabac_init_present_flag
     bw.ue(cfg.max_num_ref - 1)  # num_ref_idx_l0_default_active_minus1
-    bw.ue(0)                # num_ref_idx_l1_default_active_minus1
+    bw.ue(cfg.max_num_ref - 1)  # num_ref_idx_l1_default_active_minus1
     bw.se(cfg.qp - 26)      # init_qp_minus26
     bw.put(0, 1)            # constrained_intra_pred_flag
     bw.put(1 if cfg.transform_skip else 0, 1)
@@ -205,7 +206,7 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     bw.put(0, 1)            # pps_slice_chroma_qp_offsets_present_flag
     bw.put(0, 1)            # weighted_pred_flag
     bw.put(0, 1)            # weighted_bipred_flag
-    bw.put(0, 1)            # transquant_bypass_enabled_flag
+    bw.put(1 if cfg.transquant_bypass else 0, 1)  # transquant_bypass_enabled_flag
     bw.put(0, 1)            # tiles_enabled_flag
     bw.put(0, 1)            # entropy_coding_sync_enabled_flag
     bw.put(1, 1)            # pps_loop_filter_across_slices_enabled_flag

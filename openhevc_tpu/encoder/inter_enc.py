@@ -26,8 +26,10 @@ from .intra_enc import IntraFrameEncoder, _Sps
 class PFrameEncoder(IntraFrameEncoder):
     num_st_rps = 1
 
-    def encode_frame_p(self, y, u, v, poc, ref_pics, nal_type=NAL_TRAIL_R):
-        """ref_pics: [(poc, [Y,Cb,Cr])] in L0 order."""
+    def encode_frame_p(self, y, u, v, poc, ref_pics, nal_type=NAL_TRAIL_R,
+                       slice_type=1):
+        """ref_pics: [(poc, [Y,Cb,Cr])] in L0 order. slice_type 1=P,
+        0=low-delay B (L1 == L0)."""
         cfg = self.cfg
         self.target = [np.asarray(y, np.int64), np.asarray(u, np.int64),
                        np.asarray(v, np.int64)]
@@ -40,16 +42,19 @@ class PFrameEncoder(IntraFrameEncoder):
         self.ct_depth = np.zeros((self.h4, self.w4), np.int8)
         self.skip_grid = np.zeros((self.h4, self.w4), np.uint8)
         self.ref_planes = {p: pl for p, pl in ref_pics}
-        ref_list = [[(p, False) for p, _ in ref_pics], []]
-        self.mvctx = MotionContext(_Sps2(cfg), self.zscan, poc, 1,
+        l0 = [(p, False) for p, _ in ref_pics]
+        ref_list = [l0, list(l0) if slice_type == 0 else []]
+        self.slice_type = slice_type
+        self.mvctx = MotionContext(_Sps2(cfg), self.zscan, poc, slice_type,
                                    cfg.max_merge_cand, ref_list)
         self.is_p = True
         bw = BitWriter()
-        write_slice_header(bw, cfg, nal_type, slice_type=1, poc=poc,
+        write_slice_header(bw, cfg, nal_type, slice_type=slice_type, poc=poc,
                            st_rps_idx=len(ref_pics) - 1,
                            num_st_rps=self.num_st_rps,
-                           num_ref_l0=len(ref_pics))
-        self.enc = SliceDataEncoder(bw, cfg, slice_type=1)
+                           num_ref_l0=len(ref_pics),
+                           num_ref_l1=len(ref_pics))
+        self.enc = SliceDataEncoder(bw, cfg, slice_type=slice_type)
         cs = cfg.ctb_size
         n_ctb = cfg.ctbs_w * cfg.ctbs_h
         self.sao_params = np.zeros((cfg.ctbs_h, cfg.ctbs_w, 3, 6), np.int16)
@@ -72,6 +77,7 @@ class PFrameEncoder(IntraFrameEncoder):
         x4, y4 = x0 >> 2, y0 >> 2
         self.ct_depth[y4:y4 + n4, x4:x4 + n4] = depth
         self.cu_depth = depth
+        self.cu_tqb = False
         # skip flag
         skip = rng.random() < 0.3
         inc = 0
@@ -184,12 +190,12 @@ class PFrameEncoder(IntraFrameEncoder):
         if node["split"]:
             r = any(self._tree_has_coeffs(ch) for ch in node["children"])
             if node["log2"] == 3 and "chroma_levels" in node:
-                cb, cr = node["chroma_levels"]
+                cb, cr = node["chroma_levels"][:2]
                 r = r or np.any(cb) or np.any(cr)
             return r
         r = bool(np.any(node["luma_levels"]))
         if "chroma_levels" in node:
-            cb, cr = node["chroma_levels"]
+            cb, cr = node["chroma_levels"][:2]
             r = r or bool(np.any(cb)) or bool(np.any(cr))
         return r
 
@@ -205,18 +211,36 @@ class PFrameEncoder(IntraFrameEncoder):
             f = self.mvctx.merge_mode(x0, y0, w, h, log2_cb, part_mode,
                                       part_idx, merge_idx, cu_x, cu_y)
         else:
-            # P slice: PRED_L0 implied, no inter_pred_idc
-            nref = len(self.mvctx.ref_list[0])
-            ref = int(rng.integers(0, nref))
-            self._encode_ref_idx(ref, nref)
-            mvd = (int(rng.integers(-24, 25)), int(rng.integers(-24, 25)))
-            self._encode_mvd(mvd)
-            mvp_flag = int(rng.integers(0, 2))
-            enc.bin("mvp_l0_flag", 0, mvp_flag)
-            pred = self.mvctx.amvp(x0, y0, w, h, 0, ref, mvp_flag)
-            mv = (pred[0] + mvd[0], pred[1] + mvd[1])
-            f = MvField(PF_L0, (mv, (0, 0)), (ref, 0),
-                        (self.mvctx.ref_list[0][ref][0], 0))
+            is_b = getattr(self, "slice_type", 1) == 0
+            if is_b:
+                idc = int(rng.integers(0, 3))  # 0 L0, 1 L1, 2 BI
+                if w + h == 12 and idc == 2:
+                    idc = int(rng.integers(0, 2))
+                self._encode_inter_pred_idc(idc, w, h)
+            else:
+                idc = 0
+            mv = [(0, 0), (0, 0)]
+            refs = [0, 0]
+            pocs = [0, 0]
+            pf = 0
+            for lx in range(2):
+                if (lx == 0 and idc == 1) or (lx == 1 and idc == 0):
+                    continue
+                nref = len(self.mvctx.ref_list[lx])
+                ref = int(rng.integers(0, nref))
+                self._encode_ref_idx(ref, nref)
+                mvd = (int(rng.integers(-24, 25)),
+                       int(rng.integers(-24, 25)))
+                self._encode_mvd(mvd)
+                mvp_flag = int(rng.integers(0, 2))
+                enc.bin("mvp_l0_flag", 0, mvp_flag)
+                pred = self.mvctx.amvp(x0, y0, w, h, lx, ref, mvp_flag)
+                mv[lx] = (pred[0] + mvd[0], pred[1] + mvd[1])
+                refs[lx] = ref
+                pocs[lx] = self.mvctx.ref_list[lx][ref][0]
+                pf |= 1 << lx
+            f = MvField(pf, (tuple(mv[0]), tuple(mv[1])),
+                        (refs[0], refs[1]), (pocs[0], pocs[1]))
         self._apply_inter_pu(x0, y0, w, h, f)
         return use_merge
 
@@ -248,6 +272,16 @@ class PFrameEncoder(IntraFrameEncoder):
             bufs[1][cy:cy + ch, cx:cx + cw] = pred[1]
             bufs[2][cy:cy + ch, cx:cx + cw] = pred[2]
         return bufs
+
+    def _encode_inter_pred_idc(self, idc, w, h):
+        """Mirror of ff_hevc_inter_pred_idc_decode (0 L0, 1 L1, 2 BI)."""
+        enc = self.enc
+        if w + h == 12:
+            enc.bin("inter_pred_idc", 4, 1 if idc == 1 else 0)
+            return
+        enc.bin("inter_pred_idc", self.cu_depth, 1 if idc == 2 else 0)
+        if idc != 2:
+            enc.bin("inter_pred_idc", 4, 1 if idc == 1 else 0)
 
     # ----- binarization helpers --------------------------------------------
     def _encode_merge_idx(self, idx):
@@ -343,11 +377,13 @@ class _Sps2:
 
 def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                            min_cb_log2=3, seed=0, sao=False, deblock=False,
-                           n_refs=1, max_merge=5):
+                           n_refs=1, max_merge=5, b_slices=False,
+                           bit_depth=8):
     """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
     expected recons). Expected output only valid without loop filters;
     with filters on, compare against the reference decoder."""
     cfg = EncoderConfig(width=width, height=height, qp=qp,
+                        bit_depth=bit_depth,
                         ctb_log2=ctb_log2, min_cb_log2=min_cb_log2,
                         min_tb_log2=2, max_tb_log2=min(5, ctb_log2),
                         max_transform_hierarchy_depth=2,
@@ -379,7 +415,8 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
         else:
             refs = [(p, filtered[p]) for p in
                     sorted(range(len(filtered)), reverse=True)[:n_refs]]
-            nal = enc.encode_frame_p(y, u, v, i, refs)
+            nal = enc.encode_frame_p(y, u, v, i, refs,
+                                     slice_type=0 if b_slices else 1)
         out += nal
         recons.append([p.copy() for p in enc.recon])
         if self_dec is not None:

@@ -158,6 +158,11 @@ class IntraFrameEncoder:
         n4 = 1 << (log2_cb - 2)
         x4, y4 = x0 >> 2, y0 >> 2
         self.ct_depth[y4:y4 + n4, x4:x4 + n4] = depth
+        self.cu_tqb = False
+        if cfg.transquant_bypass:
+            self.cu_tqb = bool(self.rng.random() < 0.3)
+            self.enc.bin("cu_transquant_bypass_flag", 0,
+                         1 if self.cu_tqb else 0)
         part_nxn = False
         if log2_cb == cfg.min_cb_log2:
             part_nxn = bool(self.rng.random() < 0.4)
@@ -300,10 +305,12 @@ class IntraFrameEncoder:
             strong_smoothing=cfg.strong_intra_smoothing)
 
     cu_is_intra = True   # PFrameEncoder toggles per CU
+    cu_tqb = False       # cu_transquant_bypass for the current CU
     pred_buf = None      # inter CU prediction planes (MC output)
 
     def _tu_levels(self, plane, x, y, size, mode):
-        """Closed-loop: pred, transform+quant, recon update. Returns levels."""
+        """Closed-loop: pred, transform+quant, recon update.
+        Returns (levels, transform_skip_flag)."""
         cfg = self.cfg
         log2 = size.bit_length() - 1
         if self.cu_is_intra:
@@ -311,19 +318,39 @@ class IntraFrameEncoder:
         else:
             pred = self.pred_buf[plane][y:y + size, x:x + size]
         resid = self.target[plane][y:y + size, x:x + size] - pred
-        is_dst = (plane == 0 and size == 4 and self.cu_is_intra)
-        coefs = T.forward_transform(resid, cfg.bit_depth, is_dst=is_dst)
         qp = self._tu_qp(plane)
-        levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
-        levels = np.clip(levels, -32768, 32767)
-        if np.any(levels):
+        if self.cu_tqb:
+            # lossless: levels ARE the residual
+            levels = np.clip(resid, -32768, 32767).astype(np.int32)
+            rec = np.clip(pred + levels, 0, (1 << cfg.bit_depth) - 1)
+            self.recon[plane][y:y + size, x:x + size] = rec
+            return levels, False
+        ts = (cfg.transform_skip and size == 4 and
+              bool(self.rng.random() < 0.5))
+        if ts:
+            # spatial-domain coding: forward shift mirrors the inverse
+            # transform_skip scaling (15 - bd - log2)
+            sh = 15 - cfg.bit_depth - log2
+            coefs = resid << sh if sh > 0 else resid >> -sh
+            levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
+            levels = np.clip(levels, -32768, 32767)
             d = T.dequant(levels, log2, qp, cfg.bit_depth)
-            rec_res = T.inverse_transform(d, cfg.bit_depth, is_dst=is_dst)
+            rec_res = T.transform_skip(d, log2, cfg.bit_depth) \
+                if np.any(levels) else 0
         else:
-            rec_res = 0
+            is_dst = (plane == 0 and size == 4 and self.cu_is_intra)
+            coefs = T.forward_transform(resid, cfg.bit_depth, is_dst=is_dst)
+            levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
+            levels = np.clip(levels, -32768, 32767)
+            if np.any(levels):
+                d = T.dequant(levels, log2, qp, cfg.bit_depth)
+                rec_res = T.inverse_transform(d, cfg.bit_depth,
+                                              is_dst=is_dst)
+            else:
+                rec_res = 0
         rec = np.clip(pred + rec_res, 0, (1 << cfg.bit_depth) - 1)
         self.recon[plane][y:y + size, x:x + size] = rec
-        return levels
+        return levels, ts
 
     def _tu_qp(self, plane):
         cfg = self.cfg
@@ -345,15 +372,17 @@ class IntraFrameEncoder:
         x0, y0, log2 = node["x"], node["y"], node["log2"]
         size = 1 << log2
         mode = self._luma_mode_at(x0, y0)
-        node["luma_levels"] = self._tu_levels(0, x0, y0, size, mode)
+        node["luma_levels"], node["luma_ts"] = \
+            self._tu_levels(0, x0, y0, size, mode)
         node["luma_mode"] = mode
+        node["tqb"] = self.cu_tqb
         if log2 > 2:
             node["chroma_levels"] = self._chroma_tu(x0, y0, size >> 1)
 
     def _chroma_tu(self, x0, y0, csize):
-        cb = self._tu_levels(1, x0 >> 1, y0 >> 1, csize, self.mode_c)
-        cr = self._tu_levels(2, x0 >> 1, y0 >> 1, csize, self.mode_c)
-        return (cb, cr)
+        cb, ts_cb = self._tu_levels(1, x0 >> 1, y0 >> 1, csize, self.mode_c)
+        cr, ts_cr = self._tu_levels(2, x0 >> 1, y0 >> 1, csize, self.mode_c)
+        return (cb, cr, ts_cb, ts_cr)
 
     def _emit_tree(self, node, x0, y0, x_base, y_base, log2_tr, depth,
                    blk_idx, parent_cbf):
@@ -385,22 +414,27 @@ class IntraFrameEncoder:
         mode = node["luma_mode"]
         if cbf_luma:
             scan = self._scan_for(log2_tr, 0, mode)
-            self._encode_residual(luma, log2_tr, 0, scan)
+            self._encode_residual(luma, log2_tr, 0, scan,
+                                  ts=node.get("luma_ts", False),
+                                  tqb=node.get("tqb", False))
         if log2_tr > 2:
-            cbl, crl = node["chroma_levels"]
+            cbl, crl, tsb, tsr = node["chroma_levels"]
             scan = self._scan_for(log2_tr - 1, 1, self.mode_c)
             if np.any(cbl):
-                self._encode_residual(cbl, log2_tr - 1, 1, scan)
+                self._encode_residual(cbl, log2_tr - 1, 1, scan, ts=tsb,
+                                      tqb=node.get("tqb", False))
             if np.any(crl):
-                self._encode_residual(crl, log2_tr - 1, 2, scan)
+                self._encode_residual(crl, log2_tr - 1, 2, scan, ts=tsr,
+                                      tqb=node.get("tqb", False))
         elif blk_idx == 3:
-            parent = self._find_parent(x_base, y_base)
-            cbl, crl = parent
+            cbl, crl, tsb, tsr = self._find_parent(x_base, y_base)
             scan = self._scan_for(2, 1, self.mode_c)
             if np.any(cbl):
-                self._encode_residual(cbl, 2, 1, scan)
+                self._encode_residual(cbl, 2, 1, scan, ts=tsb,
+                                      tqb=node.get("tqb", False))
             if np.any(crl):
-                self._encode_residual(crl, 2, 2, scan)
+                self._encode_residual(crl, 2, 2, scan, ts=tsr,
+                                      tqb=node.get("tqb", False))
 
     def _find_parent(self, x_base, y_base):
         # located chroma levels stored during process at the 8x8 parent
@@ -408,11 +442,12 @@ class IntraFrameEncoder:
 
     def _subtree_chroma_cbf(self, node):
         if not node["split"]:
-            cb, cr = node["chroma_levels"]
+            cb, cr = node["chroma_levels"][:2]
             return int(np.any(cb)), int(np.any(cr))
         if node["log2"] == 3:
-            cb, cr = node["chroma_levels"]
-            self._parent_chroma[(node["x"], node["y"])] = (cb, cr)
+            cb, cr = node["chroma_levels"][:2]
+            self._parent_chroma[(node["x"], node["y"])] = \
+                node["chroma_levels"]
             return int(np.any(cb)), int(np.any(cr))
         a = [self._subtree_chroma_cbf(ch) for ch in node["children"]]
         return (int(any(x[0] for x in a)), int(any(x[1] for x in a)))
@@ -429,8 +464,13 @@ class IntraFrameEncoder:
         return SCAN_DIAG
 
     # ----- residual CABAC encoding ----------------------------------------
-    def _encode_residual(self, levels, log2_tr, c_idx, scan_idx):
+    def _encode_residual(self, levels, log2_tr, c_idx, scan_idx,
+                         ts=False, tqb=False):
         enc = self.enc
+        cfg = self.cfg
+        if (not tqb and cfg.transform_skip and
+                log2_tr <= 2):  # pps log2_max_transform_skip default 4x4
+            enc.bin("transform_skip_flag", 1 if c_idx else 0, 1 if ts else 0)
         size = 1 << log2_tr
         ncg = max(1, size >> 2)
         cg_scan = _CG_SCANS[(scan_idx, ncg)] if ncg > 1 else [(0, 0)]
@@ -641,7 +681,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         min_cb_log2=3, max_tb_log2=None, seed=0,
                         pcm=False, sao=False, deblock=False,
                         beta_offset_div2=0, tc_offset_div2=0,
-                        pcm_loop_filter_disabled=None) -> bytes:
+                        pcm_loop_filter_disabled=None, bit_depth=8,
+                        transform_skip=False, transquant_bypass=False) -> bytes:
     # NOTE: the reference decoder never clears its is_pcm no-filter map
     # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
     # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
@@ -650,6 +691,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
     if pcm_loop_filter_disabled is None:
         pcm_loop_filter_disabled = not (sao or deblock)
     cfg = EncoderConfig(width=width, height=height, qp=qp,
+                        bit_depth=bit_depth,
+                        pcm_bit_depth=min(bit_depth, 8) if pcm else 8,
                         ctb_log2=ctb_log2, min_cb_log2=min_cb_log2,
                         min_tb_log2=2,
                         max_tb_log2=max_tb_log2 or min(5, ctb_log2),
@@ -660,7 +703,9 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         pcm_loop_filter_disabled=pcm_loop_filter_disabled,
                         sao_enabled=sao, deblock_disabled=not deblock,
                         beta_offset_div2=beta_offset_div2,
-                        tc_offset_div2=tc_offset_div2)
+                        tc_offset_div2=tc_offset_div2,
+                        transform_skip=transform_skip,
+                        transquant_bypass=transquant_bypass)
     rng = np.random.default_rng(seed)
     out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)
     enc = IntraFrameEncoder(cfg, rng)

@@ -1,0 +1,100 @@
+"""Main10 / transform-skip / transquant-bypass / B-slice conformance."""
+import numpy as np
+import pytest
+
+from conftest import ref_decode, ref_planes
+
+from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+from openhevc_tpu.encoder.inter_enc import encode_lowdelay_stream
+from openhevc_tpu.decoder import Decoder
+from test_inter import moving_frames
+
+
+def frames10(W, H, n, rng):
+    yy, xx = np.mgrid[0:H, 0:W]
+    fr = []
+    for i in range(n):
+        y = ((xx * 8 + yy * 12 + i * 40) % 1024 * 0.7 +
+             rng.integers(0, 240, (H, W))).astype(np.uint16)
+        u = ((xx[::2, ::2] * 4 + 512) % 1024).astype(np.uint16)
+        v = ((yy[::2, ::2] * 8) % 1024).astype(np.uint16)
+        fr.append((y, u, v))
+    return fr
+
+
+def check(data, n, W, H):
+    ref = ref_decode(data)
+    d = Decoder("np")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == n
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
+
+
+def test_main10_intra():
+    rng = np.random.default_rng(24)
+    frames = frames10(64, 64, 2, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                  seed=24, bit_depth=10)
+    check(data, 2, 64, 64)
+
+
+def test_main10_intra_filters():
+    rng = np.random.default_rng(25)
+    frames = frames10(64, 64, 2, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=26, ctb_log2=5,
+                                  seed=25, bit_depth=10, sao=True,
+                                  deblock=True)
+    check(data, 2, 64, 64)
+
+
+def test_transform_skip():
+    rng = np.random.default_rng(21)
+    frames = moving_frames(64, 64, 2, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                  seed=21, transform_skip=True)
+    check(data, 2, 64, 64)
+
+
+def test_transquant_bypass_with_filters_single_frame():
+    # single frame: the reference's cross-frame is_pcm/tqb no-filter leak
+    # (hevc_frame_start never resets is_pcm) cannot manifest
+    rng = np.random.default_rng(23)
+    frames = moving_frames(64, 64, 1, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=28, ctb_log2=5,
+                                  seed=23, transform_skip=True,
+                                  transquant_bypass=True, sao=True,
+                                  deblock=True)
+    check(data, 1, 64, 64)
+
+
+def test_transquant_bypass_multiframe_nofilters():
+    rng = np.random.default_rng(22)
+    frames = moving_frames(64, 64, 3, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                  seed=22, transquant_bypass=True)
+    check(data, 3, 64, 64)
+
+
+@pytest.mark.parametrize("seed,nref,sao,dbk,mm", [
+    (11, 1, False, False, 5),
+    (13, 2, True, True, 4),
+])
+def test_lowdelay_b(seed, nref, sao, dbk, mm):
+    rng = np.random.default_rng(seed)
+    frames = moving_frames(64, 64, 4, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                     seed=seed, n_refs=nref, sao=sao,
+                                     deblock=dbk, max_merge=mm,
+                                     b_slices=True)
+    check(data, 4, 64, 64)
+
+
+def test_main10_lowdelay_p():
+    rng = np.random.default_rng(31)
+    frames = frames10(64, 64, 3, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                     seed=31, bit_depth=10)
+    check(data, 3, 64, 64)
