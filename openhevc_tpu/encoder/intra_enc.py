@@ -682,7 +682,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         pcm=False, sao=False, deblock=False,
                         beta_offset_div2=0, tc_offset_div2=0,
                         pcm_loop_filter_disabled=None, bit_depth=8,
-                        transform_skip=False, transquant_bypass=False) -> bytes:
+                        transform_skip=False, transquant_bypass=False,
+                        md5_sei=False) -> bytes:
     # NOTE: the reference decoder never clears its is_pcm no-filter map
     # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
     # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
@@ -714,4 +715,9 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
         enc._parent_chroma = {}
         out += enc.encode_frame(y, u, v)
         recons.append([p.copy() for p in enc.recon])
+        if md5_sei:
+            assert not (sao or deblock), \
+                "md5_sei needs the final (filtered) picture; filters off only"
+            from ..bitstream.sei import write_picture_hash_sei
+            out += write_picture_hash_sei(enc.recon, bit_depth)
     return out, recons

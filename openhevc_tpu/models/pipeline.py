@@ -58,7 +58,18 @@ def pack_frame(fs: FrameSymbols) -> PackedFrame:
         planes0[1, cy:cy + cs_v, cx:cx + cs_h] = p.samples_cb
         planes0[2, cy:cy + cs_v, cx:cx + cs_h] = p.samples_cr
 
-    # ---- residual buckets -------------------------------------------------
+    if fs.native_raw is not None:
+        res, intra, n_levels = _pack_from_raw(fs)
+    else:
+        res, intra, n_levels = _pack_from_objects(fs, W, H)
+    return PackedFrame(width=W, height=H, bit_depth=bd,
+                       strong_smoothing=bool(sps.strong_intra_smoothing),
+                       planes0=planes0, res=res, intra=intra,
+                       n_levels=n_levels)
+
+
+def _pack_from_objects(fs: FrameSymbols, W, H):
+    """Reference packing path over Python object lists."""
     res = {}
     by_size = {s: [] for s in SIZES}
     for cb in fs.coeff_blocks:
@@ -95,7 +106,6 @@ def pack_frame(fs: FrameSymbols) -> PackedFrame:
         x, y, pl = job.x, job.y, job.plane
         deps = 0
         av = job.avail
-        # ref sample coords (plane coords)
         coords = []
         for i in range(2 * s):
             if av[i]:
@@ -145,10 +155,100 @@ def pack_frame(fs: FrameSymbols) -> PackedFrame:
                 arr["avail"][lvl, i] = j.avail
                 arr["filt"][lvl, i] = j.filter_refs
         intra[s] = arr
-    return PackedFrame(width=W, height=H, bit_depth=bd,
-                       strong_smoothing=bool(sps.strong_intra_smoothing),
-                       planes0=planes0, res=res, intra=intra,
-                       n_levels=n_levels)
+    return res, intra, n_levels
+
+
+def _pack_from_raw(fs: FrameSymbols):
+    """Vectorized packing over the native parser's flat arrays."""
+    raw = fs.native_raw
+    cm = raw["cb_meta"]          # [N, 8] plane,x,y,log2,qp,flags,lvl_off
+    lv_arena = raw["cb_levels"]
+    res = {}
+    for s in SIZES:
+        log2s = int(np.log2(s))
+        sel = np.nonzero(cm[:, 3] == log2s)[0]
+        if not len(sel):
+            res[s] = None
+            continue
+        n = len(sel)
+        cap = _round_up(n, 16)
+        offs = cm[sel, 6]
+        gather = offs[:, None] + np.arange(s * s)[None, :]
+        levels = np.zeros((cap, s, s), np.int32)
+        levels[:n] = lv_arena[gather].reshape(n, s, s)
+        qp = np.zeros(cap, np.int32)
+        qp[:n] = cm[sel, 4]
+        fl = cm[sel, 5]
+        flags = np.zeros((cap, 5), bool)
+        flags[:n, 0] = (fl & 1) != 0
+        flags[:n, 1] = (fl & 2) != 0
+        flags[:n, 2] = (fl & 4) != 0
+        flags[:n, 3] = (fl & 16) != 0
+        flags[:n, 4] = (fl & 8) != 0
+        plane = np.full(cap, 3, np.int32)
+        plane[:n] = cm[sel, 0]
+        bx = np.zeros(cap, np.int32)
+        by = np.zeros(cap, np.int32)
+        bx[:n] = cm[sel, 1] // s
+        by[:n] = cm[sel, 2] // s
+        res[s] = dict(levels=levels, qp=qp, flags=flags, plane=plane,
+                      bx=bx, by=by)
+
+    im = raw["ij_meta"]          # [N, 8] plane,x,y,size,mode,filt,level
+    iav = raw["ij_avail"]        # [N, 132]
+    n_levels = raw["n_levels"]
+    # per-level schedule: list of {size: job arrays}, caps padded to pow2
+    # so the jitted per-level kernel recompiles only per (size, cap) pair
+    sched = [dict() for _ in range(n_levels)]
+    for s in SIZES:
+        sel = np.nonzero(im[:, 3] == s)[0]
+        if not len(sel):
+            continue
+        lv = im[sel, 6] - 1
+        order = np.argsort(lv, kind="stable")
+        sel = sel[order]
+        sorted_lv = lv[order]
+        starts = np.searchsorted(sorted_lv, np.arange(n_levels + 1))
+        n_ref = 4 * s + 1
+        for l in range(n_levels):
+            a, b = int(starts[l]), int(starts[l + 1])
+            if a == b:
+                continue
+            n = b - a
+            cap = 1 << max(3, (n - 1).bit_length())
+            idx = sel[a:b]
+            plane = np.full(cap, 3, np.int32)
+            plane[:n] = im[idx, 0]
+            xs = np.zeros(cap, np.int32)
+            ys = np.zeros(cap, np.int32)
+            mode = np.zeros(cap, np.int32)
+            filt = np.zeros(cap, bool)
+            avail = np.zeros((cap, n_ref), bool)
+            valid = np.zeros(cap, np.int32)
+            xs[:n] = im[idx, 1]
+            ys[:n] = im[idx, 2]
+            mode[:n] = im[idx, 4]
+            filt[:n] = im[idx, 5] != 0
+            avail[:n] = iav[idx, :n_ref] != 0
+            valid[:n] = 1
+            sched[l][s] = dict(valid=valid, plane=plane, x=xs, y=ys,
+                               mode=mode, avail=avail, filt=filt)
+    # consolidate per-(size, cap) groups into stacked arrays so the whole
+    # schedule ships to the device as a handful of buffers
+    groups = {}
+    order = []   # per level: list of (group_key, index_in_group, s)
+    for level in sched:
+        steps = []
+        for s, a in level.items():
+            key = (s, len(a["valid"]))
+            g = groups.setdefault(key, [])
+            steps.append((key, len(g), s))
+            g.append(a)
+        order.append(steps)
+    stacked = {}
+    for key, lst in groups.items():
+        stacked[key] = {k: np.stack([a[k] for a in lst]) for k in lst[0]}
+    return res, {"stacked": stacked, "order": order}, n_levels
 
 
 class JaxEngine:
@@ -209,8 +309,21 @@ class JaxEngine:
                                         jnp.asarray(b["plane"]),
                                         jnp.asarray(b["bx"]),
                                         jnp.asarray(b["by"]), s=s)
-        # intra wavefront scan
-        if pf.n_levels:
+        # intra wavefront
+        if pf.n_levels and isinstance(pf.intra, dict) and \
+                "stacked" in pf.intra:
+            # host-driven level loop over donated plane buffers; job data
+            # lives in a few stacked device arrays indexed per level
+            from ..ops.intra import predict_batch_level
+            stacked = jax.device_put(pf.intra["stacked"])
+            counters = {k: jnp.int32(0) for k in stacked}
+            for steps in pf.intra["order"]:
+                for (key, _gi, s) in steps:
+                    planes, counters[key] = predict_batch_level(
+                        planes, res_planes, stacked[key], counters[key],
+                        s=s, bit_depth=bd,
+                        strong_smoothing=pf.strong_smoothing)
+        elif pf.n_levels:
             sizes = tuple(s for s in SIZES if pf.intra[s] is not None)
             xs = {s: {k: jnp.asarray(v) for k, v in pf.intra[s].items()}
                   for s in sizes}

@@ -15,6 +15,7 @@ from ..ops import intra_np as I
 
 
 def residual_planes(fs: FrameSymbols):
+    fs.ensure_objects()
     sps = fs.sps
     W, H = sps.width, sps.height
     cw, ch = W >> sps.hshift1, H >> sps.vshift1
@@ -45,6 +46,7 @@ def reconstruct(fs: FrameSymbols, ref_planes=None):
 
     ref_planes: {poc: [Y, Cb, Cr]} decoded reference pictures."""
     ref_planes = ref_planes or {}
+    fs.ensure_objects()
     sps = fs.sps
     W, H = sps.width, sps.height
     cw, ch = W >> sps.hshift1, H >> sps.vshift1

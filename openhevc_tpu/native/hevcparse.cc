@@ -1,0 +1,1324 @@
+// openhevc_tpu native host parse core.
+//
+// Slice-data parsing at native speed: CABAC engine + full syntax layer +
+// MV derivation, emitting the same FrameSymbols arrays as the Python
+// reference parser (bitstream/syntax.py, bitstream/mvs.py — which this file
+// mirrors 1:1; the Python implementation remains the correctness mirror and
+// both are cross-checked in tests). Normative constants come from
+// tables.inc, generated from the Python tables.
+//
+// Build: make (g++ -O3 -shared); interface: plain C ABI via ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+#include "tables.inc"
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// CABAC (spec-form engine; parity with bitstream/cabac.py)
+// ---------------------------------------------------------------------------
+struct Cabac {
+    const uint8_t* data;
+    int64_t nbits;
+    int64_t bitpos;
+    uint32_t range, offset;
+
+    void reinit(int64_t start_bit) {
+        bitpos = start_bit;
+        range = 510;
+        offset = 0;
+        for (int i = 0; i < 9; i++) offset = (offset << 1) | bit();
+    }
+    inline int bit() {
+        int64_t p = bitpos++;
+        if (p >= nbits) return 0;
+        return (data[p >> 3] >> (7 - (p & 7))) & 1;
+    }
+    inline int decode_bin(uint8_t* ctx, int idx) {
+        uint8_t s = ctx[idx];
+        int p_state = s >> 1, val_mps = s & 1;
+        uint32_t lps = LPS_RANGE[p_state * 4 + ((range >> 6) & 3)];
+        range -= lps;
+        int bin_val;
+        if (offset >= range) {
+            bin_val = 1 - val_mps;
+            offset -= range;
+            range = lps;
+            if (p_state == 0) val_mps = 1 - val_mps;
+            ctx[idx] = (uint8_t)((TRANS_LPS[p_state] << 1) | val_mps);
+        } else {
+            bin_val = val_mps;
+            ctx[idx] = (uint8_t)((TRANS_MPS[p_state] << 1) | val_mps);
+        }
+        while (range < 256) { range <<= 1; offset = (offset << 1) | bit(); }
+        return bin_val;
+    }
+    inline int bypass() {
+        offset = (offset << 1) | bit();
+        if (offset >= range) { offset -= range; return 1; }
+        return 0;
+    }
+    inline uint32_t bypass_bits(int n) {
+        uint32_t v = 0;
+        for (int i = 0; i < n; i++) v = (v << 1) | bypass();
+        return v;
+    }
+    inline int terminate() {
+        range -= 2;
+        if (offset >= range) return 1;
+        while (range < 256) { range <<= 1; offset = (offset << 1) | bit(); }
+        return 0;
+    }
+    inline int64_t consumed_bytes() const { return (bitpos + 7) >> 3; }
+};
+
+// ---------------------------------------------------------------------------
+// ABI structs (layouts mirrored in bitstream/native.py)
+// ---------------------------------------------------------------------------
+struct SliceParams {
+    int32_t width, height, log2_ctb, log2_min_cb, log2_min_tb, log2_max_tb;
+    int32_t max_trafo_depth_intra, max_trafo_depth_inter;
+    int32_t bit_depth, chroma_format_idc;
+    int32_t pcm_enabled, pcm_bd, pcm_bd_c, log2_min_pcm, log2_max_pcm;
+    int32_t amp_enabled, strong_intra_smoothing, intra_smoothing_disabled;
+    int32_t sign_data_hiding, cabac_init_present;
+    int32_t cb_qp_offset, cr_qp_offset, slice_cb_qp_offset, slice_cr_qp_offset;
+    int32_t transquant_bypass_enabled, transform_skip_enabled, log2_max_ts;
+    int32_t constrained_intra_pred, log2_parallel_merge;
+    int32_t implicit_rdpcm;
+    int32_t slice_type, slice_qp, cabac_init_flag, max_merge_cand, mvd_l1_zero;
+    int32_t num_ref0, num_ref1;
+    int32_t ref_poc[2][16];
+    int32_t ref_lt[2][16];
+    int32_t cur_poc;
+    int32_t sao_enabled, slice_sao_luma, slice_sao_chroma;
+    int32_t data_start_byte;
+    int32_t qp_bd_offset;
+};
+
+struct Outputs {
+    uint8_t *ipm, *pred_mode, *is_pcm, *tqb, *cbf_luma4, *bounds_v, *bounds_h;
+    int8_t  *qp_y4;
+    uint8_t *mv_pf;       // [h4*w4]
+    int32_t *mv;          // [h4*w4*4] l0x,l0y,l1x,l1y
+    int32_t *mv_poc;      // [h4*w4*2]
+    int8_t  *mv_refidx;   // [h4*w4*2]
+    int16_t *sao;         // [ctbs_h*ctbs_w*3*6]
+    int32_t *cb_meta;     // [cb_cap*8]
+    int16_t *cb_levels;   // [lvl_cap]
+    int32_t *ij_meta;     // [ij_cap*6]
+    uint8_t *ij_avail;    // [ij_cap*132]
+    int32_t *pcm_meta;    // [pcm_cap*3]
+    uint16_t*pcm_samples; // [pcm_arena_cap]
+    int32_t *pb;          // [pb_cap*12]
+    int32_t cb_cap, lvl_cap, ij_cap, pcm_cap, pcm_arena_cap, pb_cap;
+    int32_t n_cb, n_ij, n_pcm, n_pb, lvl_used, pcm_used;
+    int32_t error;
+};
+
+enum { MODE_INTER = 0, MODE_INTRA = 1 };
+enum { PART_2Nx2N = 0, PART_2NxN, PART_Nx2N, PART_NxN,
+       PART_2NxnU, PART_2NxnD, PART_nLx2N, PART_nRx2N };
+enum { SCAN_DIAG = 0, SCAN_HORIZ, SCAN_VERT };
+enum { PRED_L0 = 0, PRED_L1, PRED_BI };
+enum { PF_INTRA = 0, PF_L0 = 1, PF_L1 = 2, PF_BI = 3 };
+
+struct MvField {
+    uint8_t pf;
+    int32_t mv[2][2];
+    int8_t  ref[2];
+    int32_t poc[2];
+};
+
+static inline int imin(int a, int b) { return a < b ? a : b; }
+static inline int imax(int a, int b) { return a > b ? a : b; }
+static inline int iclip(int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+static inline int wrap16(int v) {
+    v &= 0xFFFF;
+    return v >= 0x8000 ? v - 0x10000 : v;
+}
+
+struct Parser {
+    SliceParams P;
+    Outputs* O;
+    const uint8_t* rbsp;
+    int64_t size;
+    Cabac cab;
+    uint8_t ctx[NUM_CONTEXTS];
+
+    int w4, h4, ctbs_w, ctbs_h;
+    std::vector<int32_t> zscan;
+    std::vector<int8_t> ct_depth;
+    std::vector<uint8_t> skip_grid;
+    std::vector<int32_t> level_map[3];   // intra wavefront levels per plane
+
+    // per-CU state
+    int cu_tqb = 0, cu_qp = 0, cu_pred_mode = MODE_INTRA;
+    int cu_part_mode = PART_2Nx2N, cu_depth = 0;
+    int pu_modes[4] = {1, 1, 1, 1};
+    int intra_mode_c = 1;
+    bool err = false;
+
+    // ---------------- init ----------------
+    void init() {
+        int W = P.width, H = P.height;
+        ctbs_w = (W + (1 << P.log2_ctb) - 1) >> P.log2_ctb;
+        ctbs_h = (H + (1 << P.log2_ctb) - 1) >> P.log2_ctb;
+        w4 = (ctbs_w << P.log2_ctb) >> 2;
+        h4 = (ctbs_h << P.log2_ctb) >> 2;
+        zscan.resize(h4 * w4);
+        int n4 = 1 << (P.log2_ctb - 2);
+        for (int y = 0; y < h4; y++)
+            for (int x = 0; x < w4; x++) {
+                int ctb = (y / n4) * ctbs_w + (x / n4);
+                int lx = x % n4, ly = y % n4, m = 0;
+                for (int b = 0; b < P.log2_ctb - 2; b++) {
+                    m |= ((lx >> b) & 1) << (2 * b);
+                    m |= ((ly >> b) & 1) << (2 * b + 1);
+                }
+                zscan[y * w4 + x] = ctb * n4 * n4 + m;
+            }
+        ct_depth.assign(h4 * w4, 0);
+        skip_grid.assign(h4 * w4, 0);
+        for (int c = 0; c < 3; c++) level_map[c].assign(h4 * w4, 0);
+        // context init (9.3.2.2): I->0, P->1, B->2, swap on cabac_init_flag
+        int it = P.slice_type == 2 ? 0 : (P.slice_type == 1 ? 1 : 2);
+        if (P.cabac_init_present && P.cabac_init_flag && P.slice_type != 2)
+            it = 3 - it;
+        int qp = iclip(P.slice_qp, 0, 51);
+        for (int i = 0; i < NUM_CONTEXTS; i++) {
+            int iv = INIT_VALUES[it * NUM_CONTEXTS + i];
+            int slope = (iv >> 4) * 5 - 45;
+            int off = ((iv & 15) << 3) - 16;
+            int pre = iclip(((slope * qp) >> 4) + off, 1, 126);
+            ctx[i] = pre <= 63 ? (uint8_t)((63 - pre) << 1)
+                               : (uint8_t)(((pre - 64) << 1) | 1);
+        }
+        cab.data = rbsp;
+        cab.nbits = size * 8;
+        cab.reinit((int64_t)P.data_start_byte * 8);
+        cu_qp = P.slice_qp;
+        // grid defaults
+        memset(O->ipm, 255, h4 * w4);
+        memset(O->pred_mode, MODE_INTRA, h4 * w4);
+        for (int i = 0; i < h4 * w4; i++) O->qp_y4[i] = (int8_t)P.slice_qp;
+    }
+
+    inline int bin(int base, int inc = 0) { return cab.decode_bin(ctx, base + inc); }
+
+    // ---------------- grids ----------------
+    inline void fill_u8(uint8_t* g, int x4, int y4, int n4w, int n4h,
+                        uint8_t v) {
+        for (int j = 0; j < n4h; j++)
+            memset(g + (y4 + j) * w4 + x4, v, n4w);
+    }
+
+    // ---------------- top level ----------------
+    int decode() {
+        int cs = 1 << P.log2_ctb;
+        int n_ctb = ctbs_w * ctbs_h;
+        for (int addr = 0; addr < n_ctb && !err; addr++) {
+            int x0 = (addr % ctbs_w) * cs;
+            int y0 = (addr / ctbs_w) * cs;
+            if (P.sao_enabled && (P.slice_sao_luma || P.slice_sao_chroma))
+                sao_params(x0, y0);
+            coding_quadtree(x0, y0, P.log2_ctb, 0);
+            int end = cab.terminate();
+            if (addr == n_ctb - 1) { if (end != 1) err = true; }
+            else if (end) err = true;
+        }
+        return err ? -1 : 0;
+    }
+
+    // ---------------- SAO ----------------
+    void sao_params(int x0, int y0) {
+        int rx = x0 >> P.log2_ctb, ry = y0 >> P.log2_ctb;
+        int16_t* dst = O->sao + (ry * ctbs_w + rx) * 18;
+        if (x0 > 0 && bin(CTX_SAO_MERGE_FLAG)) {
+            memcpy(dst, O->sao + (ry * ctbs_w + rx - 1) * 18,
+                   18 * sizeof(int16_t));
+            return;
+        }
+        if (y0 > 0 && bin(CTX_SAO_MERGE_FLAG)) {
+            memcpy(dst, O->sao + ((ry - 1) * ctbs_w + rx) * 18,
+                   18 * sizeof(int16_t));
+            return;
+        }
+        int length = (1 << (imin(P.bit_depth, 10) - 5)) - 1;
+        for (int c = 0; c < 3; c++) {
+            if ((c == 0 && !P.slice_sao_luma) ||
+                (c == 1 && !P.slice_sao_chroma) ||
+                (c == 2 && !P.slice_sao_chroma))
+                continue;
+            int type;
+            if (c == 2) type = dst[1 * 6 + 0];
+            else if (!bin(CTX_SAO_TYPE_IDX)) type = 0;
+            else type = cab.bypass() ? 2 : 1;
+            dst[c * 6 + 0] = (int16_t)type;
+            if (!type) continue;
+            int offs[4];
+            for (int i = 0; i < 4; i++) {
+                int v = 0;
+                while (v < length && cab.bypass()) v++;
+                offs[i] = v;
+            }
+            if (type == 1) {
+                for (int i = 0; i < 4; i++)
+                    if (offs[i] && cab.bypass()) offs[i] = -offs[i];
+                dst[c * 6 + 1] = (int16_t)cab.bypass_bits(5);
+            } else {
+                offs[2] = -offs[2];
+                offs[3] = -offs[3];
+                dst[c * 6 + 1] = (c == 2) ? dst[1 * 6 + 1]
+                                          : (int16_t)cab.bypass_bits(2);
+            }
+            for (int i = 0; i < 4; i++) dst[c * 6 + 2 + i] = (int16_t)offs[i];
+        }
+    }
+
+    // ---------------- quadtree ----------------
+    void coding_quadtree(int x0, int y0, int log2_cb, int depth) {
+        if (err) return;
+        int cb = 1 << log2_cb;
+        bool boundary = x0 + cb > P.width || y0 + cb > P.height;
+        int split;
+        if (!boundary && log2_cb > P.log2_min_cb) {
+            int inc = 0;
+            int x4 = x0 >> 2, y4 = y0 >> 2;
+            if (x0 > 0 && ct_depth[y4 * w4 + x4 - 1] > depth) inc++;
+            if (y0 > 0 && ct_depth[(y4 - 1) * w4 + x4] > depth) inc++;
+            split = bin(CTX_SPLIT_CU_FLAG, inc);
+        } else {
+            split = log2_cb > P.log2_min_cb ? 1 : 0;
+        }
+        if (split) {
+            int h = cb >> 1;
+            static const int dxy[4][2] = {{0,0},{1,0},{0,1},{1,1}};
+            for (int i = 0; i < 4; i++) {
+                int x1 = x0 + dxy[i][0] * h, y1 = y0 + dxy[i][1] * h;
+                if (x1 < P.width && y1 < P.height)
+                    coding_quadtree(x1, y1, log2_cb - 1, depth + 1);
+            }
+        } else {
+            coding_unit(x0, y0, log2_cb, depth);
+        }
+    }
+
+    // ---------------- CU ----------------
+    void coding_unit(int x0, int y0, int log2_cb, int depth) {
+        int cb = 1 << log2_cb;
+        int x4 = x0 >> 2, y4 = y0 >> 2, n4 = cb >> 2;
+        for (int j = 0; j < n4; j++)
+            memset(&ct_depth[(y4 + j) * w4 + x4], depth, n4);
+        cu_tqb = 0;
+        cu_qp = P.slice_qp;
+        cu_depth = depth;
+        for (int j = 0; j < n4; j++)
+            memset(O->qp_y4 + (y4 + j) * w4 + x4, (int8_t)cu_qp, n4);
+        if (P.transquant_bypass_enabled) {
+            cu_tqb = bin(CTX_CU_TRANSQUANT_BYPASS_FLAG);
+            if (cu_tqb) fill_u8(O->tqb, x4, y4, n4, n4, 1);
+        }
+        if (P.slice_type != 2) {
+            int inc = 0;
+            if (x0 > 0 && skip_grid[y4 * w4 + x4 - 1]) inc++;
+            if (y0 > 0 && skip_grid[(y4 - 1) * w4 + x4]) inc++;
+            int skip = bin(CTX_CU_SKIP_FLAG, inc);
+            if (skip) {
+                for (int j = 0; j < n4; j++)
+                    memset(&skip_grid[(y4 + j) * w4 + x4], 1, n4);
+                cu_pred_mode = MODE_INTER;
+                fill_u8(O->pred_mode, x4, y4, n4, n4, MODE_INTER);
+                prediction_unit(x0, y0, cb, cb, PART_2Nx2N, 0, log2_cb,
+                                x0, y0, true);
+                for (int j = 0; j < n4; j++) O->bounds_v[(y4 + j) * w4 + x4] = 1;
+                memset(O->bounds_h + y4 * w4 + x4, 1, n4);
+                return;
+            }
+            if (!bin(CTX_PRED_MODE_FLAG)) { inter_cu(x0, y0, log2_cb, depth); return; }
+        }
+        cu_pred_mode = MODE_INTRA;
+        fill_u8(O->pred_mode, x4, y4, n4, n4, MODE_INTRA);
+        set_motion_intra(x4, y4, n4);
+        int part_mode = PART_2Nx2N;
+        if (log2_cb == P.log2_min_cb) {
+            if (!bin(CTX_PART_MODE)) part_mode = PART_NxN;
+        }
+        cu_part_mode = part_mode;
+        int pcm = 0;
+        if (P.pcm_enabled && part_mode == PART_2Nx2N &&
+            log2_cb >= P.log2_min_pcm && log2_cb <= P.log2_max_pcm)
+            pcm = cab.terminate();
+        if (pcm) {
+            pcm_sample(x0, y0, log2_cb);
+            fill_u8(O->is_pcm, x4, y4, n4, n4, 1);
+            fill_u8(O->ipm, x4, y4, n4, n4, 1);
+            for (int j = 0; j < n4; j++) O->bounds_v[(y4 + j) * w4 + x4] = 1;
+            memset(O->bounds_h + y4 * w4 + x4, 1, n4);
+            return;
+        }
+        intra_prediction_unit(x0, y0, log2_cb, part_mode);
+        int intra_split = part_mode == PART_NxN ? 1 : 0;
+        int max_depth = P.max_trafo_depth_intra + intra_split;
+        transform_tree(x0, y0, x0, y0, log2_cb, 0, 0, max_depth,
+                       intra_split, 1, 1);
+    }
+
+    void set_motion_intra(int x4, int y4, int n4) {
+        for (int j = 0; j < n4; j++) {
+            memset(O->mv_pf + (y4 + j) * w4 + x4, PF_INTRA, n4);
+            for (int i = 0; i < n4; i++) {
+                int idx = (y4 + j) * w4 + x4 + i;
+                O->mv[idx * 4] = O->mv[idx * 4 + 1] = 0;
+                O->mv[idx * 4 + 2] = O->mv[idx * 4 + 3] = 0;
+                O->mv_poc[idx * 2] = O->mv_poc[idx * 2 + 1] = 0;
+                O->mv_refidx[idx * 2] = O->mv_refidx[idx * 2 + 1] = 0;
+            }
+        }
+    }
+
+    // ---------------- PCM ----------------
+    void pcm_sample(int x0, int y0, int log2_cb) {
+        int cb = 1 << log2_cb;
+        int64_t end_byte = cab.consumed_bytes();
+        int64_t bitp = end_byte * 8;
+        int hs = P.chroma_format_idc == 0 ? 0 :
+                 (P.chroma_format_idc == 3 ? 0 : 1);
+        int vs = P.chroma_format_idc == 1 ? 1 : 0;
+        int csz_h = cb >> hs, csz_v = cb >> vs;
+        int total = cb * cb + 2 * csz_h * csz_v;
+        if (O->n_pcm >= O->pcm_cap ||
+            O->pcm_used + total > O->pcm_arena_cap) { err = true; return; }
+        int32_t* meta = O->pcm_meta + O->n_pcm * 3;
+        meta[0] = x0; meta[1] = y0; meta[2] = cb;
+        uint16_t* dst = O->pcm_samples + O->pcm_used;
+        auto rd = [&](int nb) {
+            uint32_t v = 0;
+            for (int i = 0; i < nb; i++) {
+                int64_t p = bitp++;
+                int b = p < size * 8 ? (rbsp[p >> 3] >> (7 - (p & 7))) & 1 : 0;
+                v = (v << 1) | b;
+            }
+            return v;
+        };
+        int shift_l = P.bit_depth - P.pcm_bd;
+        int shift_c = P.bit_depth - P.pcm_bd_c;
+        for (int i = 0; i < cb * cb; i++) dst[i] = (uint16_t)(rd(P.pcm_bd) << shift_l);
+        for (int i = 0; i < 2 * csz_h * csz_v; i++)
+            dst[cb * cb + i] = (uint16_t)(rd(P.pcm_bd_c) << shift_c);
+        O->pcm_used += total;
+        O->n_pcm++;
+        cab.reinit(bitp);
+    }
+
+    // ---------------- intra modes ----------------
+    void intra_prediction_unit(int x0, int y0, int log2_cb, int part_mode) {
+        int n_pu = part_mode == PART_NxN ? 4 : 1;
+        int pb = (1 << log2_cb) >> (part_mode == PART_NxN ? 1 : 0);
+        int prev[4];
+        for (int i = 0; i < n_pu; i++) prev[i] = bin(CTX_PREV_INTRA_LUMA_PRED_FLAG);
+        int modes[4];
+        for (int i = 0; i < n_pu; i++) {
+            int px = x0 + (i & 1) * pb, py = y0 + (i >> 1) * pb;
+            int cands[3];
+            mpm_candidates(px, py, cands);
+            int mode;
+            if (prev[i]) {
+                int idx = 0;
+                while (idx < 2 && cab.bypass()) idx++;
+                mode = cands[idx];
+            } else {
+                int rem = cab.bypass_bits(5);
+                // sort cands ascending
+                int sc[3] = {cands[0], cands[1], cands[2]};
+                for (int a = 0; a < 2; a++)
+                    for (int b2 = a + 1; b2 < 3; b2++)
+                        if (sc[b2] < sc[a]) { int t = sc[a]; sc[a] = sc[b2]; sc[b2] = t; }
+                mode = rem;
+                for (int c = 0; c < 3; c++) if (mode >= sc[c]) mode++;
+            }
+            modes[i] = mode;
+            int nn = pb >> 2;
+            fill_u8(O->ipm, px >> 2, py >> 2, nn, nn, (uint8_t)mode);
+        }
+        for (int i = 0; i < 4; i++) pu_modes[i] = modes[i % n_pu];
+        if (n_pu == 4) for (int i = 0; i < 4; i++) pu_modes[i] = modes[i];
+        if (!bin(CTX_INTRA_CHROMA_PRED_MODE)) {
+            intra_mode_c = modes[0];
+        } else {
+            static const int table[4] = {0, 26, 10, 1};
+            int m = table[cab.bypass_bits(2)];
+            intra_mode_c = (m == modes[0]) ? 34 : m;
+        }
+    }
+
+    void mpm_candidates(int x0, int y0, int* out) {
+        int x4 = x0 >> 2, y4 = y0 >> 2;
+        int zc = zscan[y4 * w4 + x4];
+        int cand_a = 1, cand_b = 1;
+        if (x0 > 0 && zscan[y4 * w4 + x4 - 1] < zc &&
+            O->pred_mode[y4 * w4 + x4 - 1] == MODE_INTRA &&
+            !O->is_pcm[y4 * w4 + x4 - 1])
+            cand_a = O->ipm[y4 * w4 + x4 - 1];
+        if (y0 > 0 && (y0 & ((1 << P.log2_ctb) - 1)) != 0 &&
+            zscan[(y4 - 1) * w4 + x4] < zc &&
+            O->pred_mode[(y4 - 1) * w4 + x4] == MODE_INTRA &&
+            !O->is_pcm[(y4 - 1) * w4 + x4])
+            cand_b = O->ipm[(y4 - 1) * w4 + x4];
+        if (cand_a == cand_b) {
+            if (cand_a < 2) { out[0] = 0; out[1] = 1; out[2] = 26; }
+            else {
+                out[0] = cand_a;
+                out[1] = 2 + ((cand_a + 29) % 32);
+                out[2] = 2 + ((cand_a - 1) % 32);
+            }
+        } else {
+            out[0] = cand_a; out[1] = cand_b;
+            if (cand_a != 0 && cand_b != 0) out[2] = 0;
+            else if (cand_a + cand_b < 2) out[2] = 26;
+            else out[2] = 1;
+        }
+    }
+
+    // ---------------- inter CU ----------------
+    void inter_cu(int x0, int y0, int log2_cb, int depth) {
+        int cb = 1 << log2_cb;
+        int x4 = x0 >> 2, y4 = y0 >> 2, n4 = cb >> 2;
+        cu_pred_mode = MODE_INTER;
+        fill_u8(O->pred_mode, x4, y4, n4, n4, MODE_INTER);
+        int part_mode = part_mode_inter(log2_cb);
+        cu_part_mode = part_mode;
+        int pus[4][4], n_pu;
+        pu_geometry(x0, y0, cb, part_mode, pus, &n_pu);
+        bool first_merge = false;
+        for (int i = 0; i < n_pu; i++) {
+            bool m = prediction_unit(pus[i][0], pus[i][1], pus[i][2],
+                                     pus[i][3], part_mode, i, log2_cb,
+                                     x0, y0, false);
+            if (i == 0) first_merge = m;
+        }
+        int rqt_root_cbf = 1;
+        if (!(part_mode == PART_2Nx2N && first_merge))
+            rqt_root_cbf = bin(CTX_RQT_ROOT_CBF);
+        if (rqt_root_cbf) {
+            int inter_split = P.max_trafo_depth_inter == 0 &&
+                              part_mode != PART_2Nx2N;
+            int max_depth = P.max_trafo_depth_inter + (inter_split ? 1 : 0);
+            transform_tree(x0, y0, x0, y0, log2_cb, 0, 0, max_depth,
+                           inter_split, 1, 1);
+        } else {
+            for (int j = 0; j < n4; j++) O->bounds_v[(y4 + j) * w4 + x4] = 1;
+            memset(O->bounds_h + y4 * w4 + x4, 1, n4);
+        }
+    }
+
+    int part_mode_inter(int log2_cb) {
+        if (bin(CTX_PART_MODE, 0)) return PART_2Nx2N;
+        if (log2_cb == P.log2_min_cb) {
+            if (bin(CTX_PART_MODE, 1)) return PART_2NxN;
+            if (log2_cb == 3) return PART_Nx2N;
+            if (bin(CTX_PART_MODE, 2)) return PART_Nx2N;
+            return PART_NxN;
+        }
+        if (!P.amp_enabled)
+            return bin(CTX_PART_MODE, 1) ? PART_2NxN : PART_Nx2N;
+        if (bin(CTX_PART_MODE, 1)) {
+            if (bin(CTX_PART_MODE, 3)) return PART_2NxN;
+            return cab.bypass() ? PART_2NxnD : PART_2NxnU;
+        }
+        if (bin(CTX_PART_MODE, 3)) return PART_Nx2N;
+        return cab.bypass() ? PART_nRx2N : PART_nLx2N;
+    }
+
+    static void pu_geometry(int x0, int y0, int cb, int pm,
+                            int out[4][4], int* n) {
+        int h = cb >> 1, q = cb >> 2;
+        switch (pm) {
+        case PART_2Nx2N: out[0][0]=x0;out[0][1]=y0;out[0][2]=cb;out[0][3]=cb; *n=1; break;
+        case PART_2NxN:  out[0][0]=x0;out[0][1]=y0;out[0][2]=cb;out[0][3]=h;
+                         out[1][0]=x0;out[1][1]=y0+h;out[1][2]=cb;out[1][3]=h; *n=2; break;
+        case PART_Nx2N:  out[0][0]=x0;out[0][1]=y0;out[0][2]=h;out[0][3]=cb;
+                         out[1][0]=x0+h;out[1][1]=y0;out[1][2]=h;out[1][3]=cb; *n=2; break;
+        case PART_NxN:   out[0][0]=x0;out[0][1]=y0;out[0][2]=h;out[0][3]=h;
+                         out[1][0]=x0+h;out[1][1]=y0;out[1][2]=h;out[1][3]=h;
+                         out[2][0]=x0;out[2][1]=y0+h;out[2][2]=h;out[2][3]=h;
+                         out[3][0]=x0+h;out[3][1]=y0+h;out[3][2]=h;out[3][3]=h; *n=4; break;
+        case PART_2NxnU: out[0][0]=x0;out[0][1]=y0;out[0][2]=cb;out[0][3]=q;
+                         out[1][0]=x0;out[1][1]=y0+q;out[1][2]=cb;out[1][3]=cb-q; *n=2; break;
+        case PART_2NxnD: out[0][0]=x0;out[0][1]=y0;out[0][2]=cb;out[0][3]=cb-q;
+                         out[1][0]=x0;out[1][1]=y0+cb-q;out[1][2]=cb;out[1][3]=q; *n=2; break;
+        case PART_nLx2N: out[0][0]=x0;out[0][1]=y0;out[0][2]=q;out[0][3]=cb;
+                         out[1][0]=x0+q;out[1][1]=y0;out[1][2]=cb-q;out[1][3]=cb; *n=2; break;
+        default:         out[0][0]=x0;out[0][1]=y0;out[0][2]=cb-q;out[0][3]=cb;
+                         out[1][0]=x0+cb-q;out[1][1]=y0;out[1][2]=q;out[1][3]=cb; *n=2; break;
+        }
+    }
+
+    // ---------------- motion helpers (mirror bitstream/mvs.py) -------------
+    inline MvField tab(int x, int y) {
+        int idx = (y >> 2) * w4 + (x >> 2);
+        MvField f;
+        f.pf = O->mv_pf[idx];
+        f.mv[0][0] = O->mv[idx * 4];     f.mv[0][1] = O->mv[idx * 4 + 1];
+        f.mv[1][0] = O->mv[idx * 4 + 2]; f.mv[1][1] = O->mv[idx * 4 + 3];
+        f.ref[0] = O->mv_refidx[idx * 2]; f.ref[1] = O->mv_refidx[idx * 2 + 1];
+        f.poc[0] = O->mv_poc[idx * 2];   f.poc[1] = O->mv_poc[idx * 2 + 1];
+        return f;
+    }
+    void set_pu_grid(int x0, int y0, int w, int h, const MvField& f) {
+        int x4 = x0 >> 2, y4 = y0 >> 2;
+        int nw = imax(1, w >> 2), nh = imax(1, h >> 2);
+        for (int j = 0; j < nh; j++)
+            for (int i = 0; i < nw; i++) {
+                int idx = (y4 + j) * w4 + x4 + i;
+                O->mv_pf[idx] = f.pf;
+                O->mv[idx * 4] = f.mv[0][0];     O->mv[idx * 4 + 1] = f.mv[0][1];
+                O->mv[idx * 4 + 2] = f.mv[1][0]; O->mv[idx * 4 + 3] = f.mv[1][1];
+                O->mv_refidx[idx * 2] = f.ref[0]; O->mv_refidx[idx * 2 + 1] = f.ref[1];
+                O->mv_poc[idx * 2] = f.poc[0];   O->mv_poc[idx * 2 + 1] = f.poc[1];
+            }
+    }
+
+    void neighbour_flags(int x0, int y0, int w, int h, bool* cand_left,
+                         bool* cand_up, bool* cand_up_left,
+                         bool* cand_up_right, bool* cand_bottom_left) {
+        int ctb = 1 << P.log2_ctb;
+        int x0b = x0 & (ctb - 1), y0b = y0 & (ctb - 1);
+        bool up = y0b ? true : (y0 > 0);
+        bool left = x0b ? true : (x0 > 0);
+        if (y0 == 0) up = false;
+        if (x0 == 0) left = false;
+        *cand_up = up;
+        *cand_left = left;
+        *cand_up_left = (!x0b && !y0b) ? (x0 > 0 && y0 > 0) : (left && up);
+        *cand_up_right = ((x0b + w) == ctb) ? ((y0 > 0) && !y0b) : up;
+        *cand_bottom_left = (y0 + h) >= P.height ? false : left;
+    }
+
+    inline bool zscan_avail(int xc, int yc, int xn, int yn) {
+        if ((yn >> P.log2_ctb) < (yc >> P.log2_ctb) ||
+            (xn >> P.log2_ctb) < (xc >> P.log2_ctb))
+            return true;
+        return zscan[(yn >> 2) * w4 + (xn >> 2)] <=
+               zscan[(yc >> 2) * w4 + (xc >> 2)];
+    }
+    inline bool avail_pu(bool cand, int x, int y) {
+        if (!cand) return false;
+        return O->mv_pf[(y >> 2) * w4 + (x >> 2)] != PF_INTRA;
+    }
+    inline bool diff_mer(int xn, int yn, int xp, int yp) {
+        int p = P.log2_parallel_merge;
+        return (xn >> p) == (xp >> p) && (yn >> p) == (yp >> p);
+    }
+    static bool same_cand(const MvField& a, const MvField& b) {
+        if (a.pf != b.pf) return false;
+        if (a.pf == PF_BI)
+            return a.poc[0] == b.poc[0] && a.poc[1] == b.poc[1] &&
+                   a.mv[0][0] == b.mv[0][0] && a.mv[0][1] == b.mv[0][1] &&
+                   a.mv[1][0] == b.mv[1][0] && a.mv[1][1] == b.mv[1][1];
+        int lx = a.pf == PF_L0 ? 0 : 1;
+        return a.poc[lx] == b.poc[lx] && a.mv[lx][0] == b.mv[lx][0] &&
+               a.mv[lx][1] == b.mv[lx][1];
+    }
+
+    MvField merge_mode(int x0, int y0, int w, int h, int log2_cb,
+                       int part_mode, int part_idx, int merge_idx,
+                       int cu_x, int cu_y) {
+        int w2 = w, h2 = h;
+        bool single_mcl = false;
+        if (P.log2_parallel_merge > 2 && (1 << log2_cb) == 8) {
+            single_mcl = true;
+            x0 = cu_x; y0 = cu_y; w = h = 1 << log2_cb; part_idx = 0;
+        }
+        MvField cand = spatial_merge(x0, y0, w, h, part_mode, part_idx,
+                                     single_mcl, merge_idx);
+        if (cand.pf == PF_BI && (w2 + h2) == 12) cand.pf = PF_L0;
+        return cand;
+    }
+
+    MvField spatial_merge(int x0, int y0, int w, int h, int part_mode,
+                          int part_idx, bool single_mcl, int merge_idx) {
+        bool cl, cu_, cul, cur, cbl;
+        neighbour_flags(x0, y0, w, h, &cl, &cu_, &cul, &cur, &cbl);
+        int xa1 = x0 - 1, ya1 = y0 + h - 1;
+        int xb1 = x0 + w - 1, yb1 = y0 - 1;
+        int xb0 = x0 + w, yb0 = y0 - 1;
+        int xa0 = x0 - 1, ya0 = y0 + h;
+        int xb2 = x0 - 1, yb2 = y0 - 1;
+        int nb_refs = P.slice_type == 1 ? P.num_ref0
+                                        : imin(P.num_ref0, P.num_ref1);
+        MvField lst[5];
+        int n = 0;
+        bool av_a1 = false, av_b1 = false;
+        // A1
+        if (!((!single_mcl && part_idx == 1 &&
+               (part_mode == PART_Nx2N || part_mode == PART_nLx2N ||
+                part_mode == PART_nRx2N)) ||
+              diff_mer(xa1, ya1, x0, y0))) {
+            av_a1 = avail_pu(cl, xa1, ya1);
+            if (av_a1) {
+                lst[n++] = tab(xa1, ya1);
+                if (merge_idx == 0) return lst[0];
+            }
+        }
+        // B1
+        if (!((!single_mcl && part_idx == 1 &&
+               (part_mode == PART_2NxN || part_mode == PART_2NxnU ||
+                part_mode == PART_2NxnD)) ||
+              diff_mer(xb1, yb1, x0, y0))) {
+            av_b1 = avail_pu(cu_, xb1, yb1);
+            if (av_b1 && !(av_a1 && same_cand(tab(xb1, yb1), tab(xa1, ya1)))) {
+                lst[n++] = tab(xb1, yb1);
+                if (merge_idx == n - 1) return lst[n - 1];
+            }
+        }
+        // B0
+        bool av_b0 = xb0 < P.width && avail_pu(cur, xb0, yb0) &&
+                     zscan_avail(x0, y0, xb0, yb0) &&
+                     !diff_mer(xb0, yb0, x0, y0);
+        if (av_b0 && !(av_b1 && same_cand(tab(xb0, yb0), tab(xb1, yb1)))) {
+            lst[n++] = tab(xb0, yb0);
+            if (merge_idx == n - 1) return lst[n - 1];
+        }
+        // A0
+        bool av_a0 = ya0 < P.height && avail_pu(cbl, xa0, ya0) &&
+                     zscan_avail(x0, y0, xa0, ya0) &&
+                     !diff_mer(xa0, ya0, x0, y0);
+        if (av_a0 && !(av_a1 && same_cand(tab(xa0, ya0), tab(xa1, ya1)))) {
+            lst[n++] = tab(xa0, ya0);
+            if (merge_idx == n - 1) return lst[n - 1];
+        }
+        // B2
+        bool av_b2 = avail_pu(cul, xb2, yb2) && !diff_mer(xb2, yb2, x0, y0);
+        if (av_b2 && n != 4 &&
+            !(av_a1 && same_cand(tab(xb2, yb2), tab(xa1, ya1))) &&
+            !(av_b1 && same_cand(tab(xb2, yb2), tab(xb1, yb1)))) {
+            lst[n++] = tab(xb2, yb2);
+            if (merge_idx == n - 1) return lst[n - 1];
+        }
+        int n_orig = n;
+        if (P.slice_type == 0 && n_orig > 1 && n_orig < P.max_merge_cand) {
+            static const int comb[12][2] = {{0,1},{1,0},{0,2},{2,0},{1,2},{2,1},
+                                            {0,3},{3,0},{1,3},{3,1},{2,3},{3,2}};
+            int lim = n_orig * (n_orig - 1);
+            for (int ci = 0; ci < lim && n < P.max_merge_cand; ci++) {
+                const MvField& c0 = lst[comb[ci][0]];
+                const MvField& c1 = lst[comb[ci][1]];
+                if ((c0.pf & PF_L0) && (c1.pf & PF_L1) &&
+                    (c0.poc[0] != c1.poc[1] ||
+                     c0.mv[0][0] != c1.mv[1][0] ||
+                     c0.mv[0][1] != c1.mv[1][1])) {
+                    MvField f;
+                    f.pf = PF_BI;
+                    f.mv[0][0] = c0.mv[0][0]; f.mv[0][1] = c0.mv[0][1];
+                    f.mv[1][0] = c1.mv[1][0]; f.mv[1][1] = c1.mv[1][1];
+                    f.ref[0] = c0.ref[0]; f.ref[1] = c1.ref[1];
+                    f.poc[0] = c0.poc[0]; f.poc[1] = c1.poc[1];
+                    lst[n++] = f;
+                    if (merge_idx == n - 1) return lst[n - 1];
+                }
+            }
+        }
+        int zero_idx = 0;
+        while (n < P.max_merge_cand) {
+            MvField f;
+            memset(&f, 0, sizeof(f));
+            f.pf = PF_L0 + (P.slice_type == 0 ? 2 : 0);
+            int ri = zero_idx < nb_refs ? zero_idx : 0;
+            f.ref[0] = f.ref[1] = (int8_t)ri;
+            f.poc[0] = P.num_ref0 ? P.ref_poc[0][ri] : 0;
+            f.poc[1] = (P.slice_type == 0 && P.num_ref1) ? P.ref_poc[1][ri] : 0;
+            lst[n++] = f;
+            if (merge_idx == n - 1) return lst[n - 1];
+            zero_idx++;
+        }
+        return lst[imin(merge_idx, n - 1)];
+    }
+
+    static void mv_scale(int* mv, int td, int tb) {
+        td = iclip(td, -128, 127);
+        tb = iclip(tb, -128, 127);
+        int tx = (0x4000 + abs(td / 2)) / td;
+        int sf = iclip((tb * tx + 32) >> 6, -4096, 4095);
+        int x = sf * mv[0];
+        int y = sf * mv[1];
+        mv[0] = iclip((x + 127 + (x < 0)) >> 8, -32768, 32767);
+        mv[1] = iclip((y + 127 + (y < 0)) >> 8, -32768, 32767);
+    }
+
+    bool is_lt_poc(int lx, int poc) {
+        int n = lx ? P.num_ref1 : P.num_ref0;
+        for (int i = 0; i < n; i++)
+            if (P.ref_poc[lx][i] == poc) return P.ref_lt[lx][i] != 0;
+        return false;
+    }
+
+    // AMVP; out[2] = predictor mv
+    void amvp(int x0, int y0, int w, int h, int lx, int ref_idx,
+              int mvp_flag, int* out) {
+        bool cl, cu_, cul, cur, cbl;
+        neighbour_flags(x0, y0, w, h, &cl, &cu_, &cul, &cur, &cbl);
+        int cur_poc_ref = P.ref_poc[lx][ref_idx];
+        bool cur_lt = P.ref_lt[lx][ref_idx] != 0;
+        int pf_l0 = lx, pf_l1 = 1 - lx;
+
+        auto mp_mx = [&](int x, int y, int pli, int* mv) -> bool {
+            MvField f = tab(x, y);
+            if ((f.pf & (1 << pli)) && f.poc[pli] == cur_poc_ref) {
+                mv[0] = f.mv[pli][0]; mv[1] = f.mv[pli][1];
+                return true;
+            }
+            return false;
+        };
+        auto mp_mx_lt = [&](int x, int y, int pli, int* mv) -> bool {
+            MvField f = tab(x, y);
+            if (f.pf & (1 << pli)) {
+                bool col_lt = is_lt_poc(pli, f.poc[pli]);
+                if (col_lt == cur_lt) {
+                    mv[0] = f.mv[pli][0]; mv[1] = f.mv[pli][1];
+                    if (!cur_lt) {
+                        int elist_poc = f.poc[pli];
+                        if (elist_poc != cur_poc_ref) {
+                            int td = P.cur_poc - elist_poc;
+                            if (!td) td = 1;
+                            mv_scale(mv, td, P.cur_poc - cur_poc_ref);
+                        }
+                    }
+                    return true;
+                }
+            }
+            return false;
+        };
+        int xa0 = x0 - 1, ya0 = y0 + h;
+        int xa1 = x0 - 1, ya1 = y0 + h - 1;
+        bool av_a0 = ya0 < P.height && avail_pu(cbl, xa0, ya0) &&
+                     zscan_avail(x0, y0, xa0, ya0);
+        bool av_a1 = avail_pu(cl, xa1, ya1);
+        bool is_scaled = av_a0 || av_a1;
+        int mxa[2] = {0, 0}, mxb[2] = {0, 0};
+        bool av_lxa = false;
+        if (av_a0 && (mp_mx(xa0, ya0, pf_l0, mxa) ||
+                      mp_mx(xa0, ya0, pf_l1, mxa))) av_lxa = true;
+        if (!av_lxa && av_a1 && (mp_mx(xa1, ya1, pf_l0, mxa) ||
+                                 mp_mx(xa1, ya1, pf_l1, mxa))) av_lxa = true;
+        if (!av_lxa && av_a0 && (mp_mx_lt(xa0, ya0, pf_l0, mxa) ||
+                                 mp_mx_lt(xa0, ya0, pf_l1, mxa))) av_lxa = true;
+        if (!av_lxa && av_a1 && (mp_mx_lt(xa1, ya1, pf_l0, mxa) ||
+                                 mp_mx_lt(xa1, ya1, pf_l1, mxa))) av_lxa = true;
+        if (av_lxa && !mvp_flag) { out[0] = mxa[0]; out[1] = mxa[1]; return; }
+        int xb0 = x0 + w, yb0 = y0 - 1;
+        int xb1 = x0 + w - 1, yb1 = y0 - 1;
+        int xb2 = x0 - 1, yb2 = y0 - 1;
+        bool av_b0 = xb0 < P.width && avail_pu(cur, xb0, yb0) &&
+                     zscan_avail(x0, y0, xb0, yb0);
+        bool av_b1 = avail_pu(cu_, xb1, yb1);
+        bool av_b2 = avail_pu(cul, xb2, yb2);
+        bool av_lxb = false;
+        if (av_b0 && (mp_mx(xb0, yb0, pf_l0, mxb) ||
+                      mp_mx(xb0, yb0, pf_l1, mxb))) av_lxb = true;
+        if (!av_lxb && av_b1 && (mp_mx(xb1, yb1, pf_l0, mxb) ||
+                                 mp_mx(xb1, yb1, pf_l1, mxb))) av_lxb = true;
+        if (!av_lxb && av_b2 && (mp_mx(xb2, yb2, pf_l0, mxb) ||
+                                 mp_mx(xb2, yb2, pf_l1, mxb))) av_lxb = true;
+        if (!is_scaled) {
+            if (av_lxb) { av_lxa = true; mxa[0] = mxb[0]; mxa[1] = mxb[1]; }
+            av_lxb = false;
+            if (av_b0 && (mp_mx_lt(xb0, yb0, pf_l0, mxb) ||
+                          mp_mx_lt(xb0, yb0, pf_l1, mxb))) av_lxb = true;
+            if (!av_lxb && av_b1 && (mp_mx_lt(xb1, yb1, pf_l0, mxb) ||
+                                     mp_mx_lt(xb1, yb1, pf_l1, mxb)))
+                av_lxb = true;
+            if (!av_lxb && av_b2 && (mp_mx_lt(xb2, yb2, pf_l0, mxb) ||
+                                     mp_mx_lt(xb2, yb2, pf_l1, mxb)))
+                av_lxb = true;
+        }
+        int cands[2][2];
+        int nc = 0;
+        if (av_lxa) { cands[nc][0] = mxa[0]; cands[nc][1] = mxa[1]; nc++; }
+        if (av_lxb && (!av_lxa || mxa[0] != mxb[0] || mxa[1] != mxb[1])) {
+            cands[nc][0] = mxb[0]; cands[nc][1] = mxb[1]; nc++;
+        }
+        while (nc < 2) { cands[nc][0] = cands[nc][1] = 0; nc++; }
+        out[0] = cands[mvp_flag][0];
+        out[1] = cands[mvp_flag][1];
+    }
+
+    // ---------------- PU ----------------
+    bool prediction_unit(int x0, int y0, int w, int h, int part_mode,
+                         int part_idx, int log2_cb, int cu_x, int cu_y,
+                         bool is_skip) {
+        MvField f;
+        memset(&f, 0, sizeof(f));
+        bool merge = true;
+        if (is_skip || bin(CTX_MERGE_FLAG)) {
+            int merge_idx = 0;
+            if (P.max_merge_cand > 1) {
+                merge_idx = bin(CTX_MERGE_IDX);
+                if (merge_idx) {
+                    while (merge_idx < P.max_merge_cand - 1 && cab.bypass())
+                        merge_idx++;
+                }
+            }
+            f = merge_mode(x0, y0, w, h, log2_cb, part_mode, part_idx,
+                           merge_idx, cu_x, cu_y);
+        } else {
+            merge = false;
+            int idc = PRED_L0;
+            if (P.slice_type == 0) {
+                if (w + h == 12)
+                    idc = bin(CTX_INTER_PRED_IDC, 4) ? PRED_L1 : PRED_L0;
+                else if (bin(CTX_INTER_PRED_IDC, cu_depth))
+                    idc = PRED_BI;
+                else
+                    idc = bin(CTX_INTER_PRED_IDC, 4) ? PRED_L1 : PRED_L0;
+            }
+            int pf = 0;
+            for (int lx = 0; lx < 2; lx++) {
+                if ((lx == 0 && idc == PRED_L1) ||
+                    (lx == 1 && idc == PRED_L0))
+                    continue;
+                int nref = lx ? P.num_ref1 : P.num_ref0;
+                int ref = ref_idx_decode(nref);
+                int mvd[2] = {0, 0};
+                if (lx == 1 && P.mvd_l1_zero && idc == PRED_BI) {
+                    // inferred zero mvd
+                } else {
+                    mvd_coding(mvd);
+                }
+                int mvp_flag = bin(CTX_MVP_L0_FLAG);
+                int pred[2];
+                amvp(x0, y0, w, h, lx, ref, mvp_flag, pred);
+                f.mv[lx][0] = wrap16(pred[0] + mvd[0]);
+                f.mv[lx][1] = wrap16(pred[1] + mvd[1]);
+                f.ref[lx] = (int8_t)ref;
+                f.poc[lx] = P.ref_poc[lx][ref];
+                pf |= 1 << lx;
+            }
+            f.pf = (uint8_t)pf;
+        }
+        set_pu_grid(x0, y0, w, h, f);
+        if (O->n_pb >= O->pb_cap) { err = true; return merge; }
+        int32_t* pb = O->pb + O->n_pb * 12;
+        pb[0] = x0; pb[1] = y0; pb[2] = w; pb[3] = h;
+        pb[4] = (f.pf & 1) ? 1 : 0;
+        pb[5] = f.mv[0][0]; pb[6] = f.mv[0][1]; pb[7] = f.poc[0];
+        pb[8] = (f.pf & 2) ? 1 : 0;
+        pb[9] = f.mv[1][0]; pb[10] = f.mv[1][1]; pb[11] = f.poc[1];
+        O->n_pb++;
+        return merge;
+    }
+
+    int ref_idx_decode(int num_ref) {
+        int i = 0, mx = num_ref - 1, max_ctx = imin(mx, 2);
+        while (i < max_ctx && bin(CTX_REF_IDX_L0, i)) i++;
+        if (i == 2) { while (i < mx && cab.bypass()) i++; }
+        return i;
+    }
+
+    void mvd_coding(int* mvd) {
+        int gx = bin(CTX_ABS_MVD_GREATER0_FLAG, 0);
+        int gy = bin(CTX_ABS_MVD_GREATER0_FLAG, 0);
+        if (gx) gx += bin(CTX_ABS_MVD_GREATER1_FLAG, 1);
+        if (gy) gy += bin(CTX_ABS_MVD_GREATER1_FLAG, 1);
+        for (int k = 0; k < 2; k++) {
+            int g = k == 0 ? gx : gy;
+            if (g == 2) {
+                int v = 2, kk = 1;
+                while (kk < 32 && cab.bypass()) { v += 1 << kk; kk++; }
+                while (kk) { kk--; v += cab.bypass() << kk; }
+                mvd[k] = cab.bypass() ? -v : v;
+            } else if (g == 1) {
+                mvd[k] = cab.bypass() ? -1 : 1;
+            }
+        }
+    }
+
+    // ---------------- transform tree ----------------
+    void transform_tree(int x0, int y0, int xb, int yb, int log2_tr,
+                        int depth, int blk_idx, int max_depth,
+                        int intra_split, int cbf_cb, int cbf_cr) {
+        if (err) return;
+        int split = 0;
+        if (log2_tr <= P.log2_max_tb && log2_tr > P.log2_min_tb &&
+            depth < max_depth && !(intra_split && depth == 0)) {
+            split = bin(CTX_SPLIT_TRANSFORM_FLAG, 5 - log2_tr);
+        } else if (log2_tr > P.log2_max_tb || (intra_split && depth == 0)) {
+            split = 1;
+        }
+        int my_cb = cbf_cb, my_cr = cbf_cr;
+        if (log2_tr > 2) {
+            my_cb = (depth == 0 || cbf_cb) ? bin(CTX_CBF_CBCR, depth) : 0;
+            my_cr = (depth == 0 || cbf_cr) ? bin(CTX_CBF_CBCR, depth) : 0;
+        }
+        if (split) {
+            int h = 1 << (log2_tr - 1);
+            static const int dxy[4][2] = {{0,0},{1,0},{0,1},{1,1}};
+            for (int i = 0; i < 4; i++)
+                transform_tree(x0 + dxy[i][0] * h, y0 + dxy[i][1] * h, x0, y0,
+                               log2_tr - 1, depth + 1, i, max_depth,
+                               intra_split, my_cb, my_cr);
+            return;
+        }
+        int cbf_luma = 1;
+        if (cu_pred_mode == MODE_INTRA || depth != 0 || my_cb || my_cr)
+            cbf_luma = bin(CTX_CBF_LUMA, depth ? 0 : 1);
+        transform_unit(x0, y0, xb, yb, log2_tr, depth, blk_idx,
+                       cbf_luma, my_cb, my_cr);
+    }
+
+    int luma_mode_at(int x0, int y0) {
+        return O->ipm[(y0 >> 2) * w4 + (x0 >> 2)];
+    }
+
+    void transform_unit(int x0, int y0, int xb, int yb, int log2_tr,
+                        int depth, int blk_idx, int cbf_luma,
+                        int cbf_cb, int cbf_cr) {
+        int n4 = 1 << imax(0, log2_tr - 2);
+        int x4 = x0 >> 2, y4 = y0 >> 2;
+        for (int j = 0; j < n4; j++) O->bounds_v[(y4 + j) * w4 + x4] = 1;
+        memset(O->bounds_h + y4 * w4 + x4, 1, n4);
+        if (cbf_luma)
+            for (int j = 0; j < n4; j++)
+                memset(O->cbf_luma4 + (y4 + j) * w4 + x4, 1, n4);
+        if (cu_pred_mode == MODE_INTRA) {
+            int mode = luma_mode_at(x0, y0);
+            emit_intra_job(0, x0, y0, 1 << log2_tr, mode);
+        }
+        if (cbf_luma) {
+            int mode = cu_pred_mode == MODE_INTRA ? luma_mode_at(x0, y0) : -1;
+            residual(x0, y0, log2_tr, 0, mode);
+        }
+        if (log2_tr > 2) {
+            if (cu_pred_mode == MODE_INTRA) {
+                emit_intra_job(1, x0 >> 1, y0 >> 1, 1 << (log2_tr - 1),
+                               intra_mode_c);
+                emit_intra_job(2, x0 >> 1, y0 >> 1, 1 << (log2_tr - 1),
+                               intra_mode_c);
+            }
+            if (cbf_cb) residual(x0 >> 1, y0 >> 1, log2_tr - 1, 1, intra_mode_c);
+            if (cbf_cr) residual(x0 >> 1, y0 >> 1, log2_tr - 1, 2, intra_mode_c);
+        } else if (blk_idx == 3) {
+            if (cu_pred_mode == MODE_INTRA) {
+                emit_intra_job(1, xb >> 1, yb >> 1, 4, intra_mode_c);
+                emit_intra_job(2, xb >> 1, yb >> 1, 4, intra_mode_c);
+            }
+            if (cbf_cb) residual(xb >> 1, yb >> 1, 2, 1, intra_mode_c);
+            if (cbf_cr) residual(xb >> 1, yb >> 1, 2, 2, intra_mode_c);
+        }
+    }
+
+    // ---------------- intra job emission ----------------
+    void emit_intra_job(int plane, int x, int y, int size, int mode) {
+        if (O->n_ij >= O->ij_cap) { err = true; return; }
+        int32_t* m = O->ij_meta + O->n_ij * 8;
+        int filt = (plane == 0 && !P.intra_smoothing_disabled) ? 1 : 0;
+        m[0] = plane; m[1] = x; m[2] = y; m[3] = size; m[4] = mode; m[5] = filt;
+        uint8_t* av = O->ij_avail + O->n_ij * 132;
+        memset(av, 0, 132);
+        int hs = plane ? (P.chroma_format_idc == 3 ? 0 : 1) : 0;
+        int vs = plane ? (P.chroma_format_idc == 1 ? 1 : 0) : 0;
+        int lx0 = x << hs, ly0 = y << vs;
+        int zc = zscan[(ly0 >> 2) * w4 + (lx0 >> 2)];
+        auto ok = [&](int lx, int ly) -> int {
+            if (lx < 0 || ly < 0 || lx >= P.width || ly >= P.height) return 0;
+            if (zscan[(ly >> 2) * w4 + (lx >> 2)] >= zc) return 0;
+            if (P.constrained_intra_pred &&
+                O->pred_mode[(ly >> 2) * w4 + (lx >> 2)] != MODE_INTRA)
+                return 0;
+            return 1;
+        };
+        for (int i = 0; i < 2 * size; i++)
+            av[i] = ok((x - 1) << hs, (y + 2 * size - 1 - i) << vs);
+        av[2 * size] = ok((x - 1) << hs, (y - 1) << vs);
+        for (int j = 0; j < 2 * size; j++)
+            av[2 * size + 1 + j] = ok((x + j) << hs, (y - 1) << vs);
+        // dependency level (wavefront batching; mirrors models/pipeline.py)
+        int32_t* lm = level_map[plane].data();
+        int deps = 0;
+        auto dep = [&](int sx, int sy) {
+            int v = lm[(sy >> 2) * w4 + (sx >> 2)];
+            if (v > deps) deps = v;
+        };
+        for (int i = 0; i < 2 * size; i++)
+            if (av[i]) dep(x - 1, y + 2 * size - 1 - i);
+        if (av[2 * size]) dep(x - 1, y - 1);
+        for (int j = 0; j < 2 * size; j++)
+            if (av[2 * size + 1 + j]) dep(x + j, y - 1);
+        int lvl = deps + 1;
+        int n4j = imax(1, size >> 2);
+        for (int j = 0; j < n4j; j++)
+            for (int i = 0; i < n4j; i++)
+                lm[((y >> 2) + j) * w4 + (x >> 2) + i] = lvl;
+        m[6] = lvl; m[7] = 0;
+        O->n_ij++;
+    }
+
+    // ---------------- residual coding ----------------
+    void residual(int x0, int y0, int log2_tr, int c_idx,
+                  int pred_mode_intra) {
+        if (err) return;
+        int size = 1 << log2_tr;
+        if (O->n_cb >= O->cb_cap ||
+            O->lvl_used + size * size > O->lvl_cap) { err = true; return; }
+        int16_t* levels = O->cb_levels + O->lvl_used;
+        memset(levels, 0, size * size * sizeof(int16_t));
+        int transform_skip = 0;
+        if (!cu_tqb && P.transform_skip_enabled && log2_tr <= P.log2_max_ts)
+            transform_skip = bin(CTX_TRANSFORM_SKIP_FLAG, c_idx ? 1 : 0);
+        int scan_idx = SCAN_DIAG;
+        if (cu_pred_mode == MODE_INTRA &&
+            (log2_tr == 2 || (log2_tr == 3 && c_idx == 0) ||
+             (log2_tr == 3 && P.chroma_format_idc == 3))) {
+            if (pred_mode_intra >= 6 && pred_mode_intra <= 14)
+                scan_idx = SCAN_VERT;
+            else if (pred_mode_intra >= 22 && pred_mode_intra <= 30)
+                scan_idx = SCAN_HORIZ;
+        }
+        int last_x = last_sig_prefix(c_idx, log2_tr, CTX_LAST_SIG_COEFF_X_PREFIX);
+        int last_y = last_sig_prefix(c_idx, log2_tr, CTX_LAST_SIG_COEFF_Y_PREFIX);
+        if (last_x > 3) {
+            int n = (last_x >> 1) - 1;
+            last_x = (1 << n) * (2 + (last_x & 1)) + cab.bypass_bits(n);
+        }
+        if (last_y > 3) {
+            int n = (last_y >> 1) - 1;
+            last_y = (1 << n) * (2 + (last_y & 1)) + cab.bypass_bits(n);
+        }
+        if (scan_idx == SCAN_VERT) { int t = last_x; last_x = last_y; last_y = t; }
+        int ncg = size >> 2;
+        const uint8_t* cg_scan;
+        const uint8_t* off_scan;
+        switch (scan_idx) {
+        case SCAN_HORIZ: off_scan = SCAN4_HORIZ; break;
+        case SCAN_VERT:  off_scan = SCAN4_VERT; break;
+        default:         off_scan = SCAN4_DIAG; break;
+        }
+        static const uint8_t one_cg[2] = {0, 0};
+        if (ncg <= 1) cg_scan = one_cg;
+        else if (ncg == 2) cg_scan = scan_idx == SCAN_HORIZ ? SCANCG2_HORIZ :
+                                     scan_idx == SCAN_VERT ? SCANCG2_VERT : SCANCG2_DIAG;
+        else if (ncg == 4) cg_scan = scan_idx == SCAN_HORIZ ? SCANCG4_HORIZ :
+                                     scan_idx == SCAN_VERT ? SCANCG4_VERT : SCANCG4_DIAG;
+        else cg_scan = scan_idx == SCAN_HORIZ ? SCANCG8_HORIZ :
+                       scan_idx == SCAN_VERT ? SCANCG8_VERT : SCANCG8_DIAG;
+        // inverse scan lookups
+        int off_inv[16];
+        for (int i = 0; i < 16; i++)
+            off_inv[off_scan[i * 2 + 1] * 4 + off_scan[i * 2]] = i;
+        int cg_inv = 0;
+        int x_cg_last = last_x >> 2, y_cg_last = last_y >> 2;
+        if (ncg > 1) {
+            for (int i = 0; i < ncg * ncg; i++)
+                if (cg_scan[i * 2] == x_cg_last && cg_scan[i * 2 + 1] == y_cg_last)
+                    { cg_inv = i; break; }
+        }
+        int num_coeff = off_inv[(last_y & 3) * 4 + (last_x & 3)] +
+                        (cg_inv << 4) + 1;
+        int num_last_subset = (num_coeff - 1) >> 4;
+        uint8_t csbf[64];
+        memset(csbf, 0, sizeof(csbf));
+        int g1_carry = 1;
+        for (int i = num_last_subset; i >= 0; i--) {
+            int x_cg = cg_scan[i * 2], y_cg = cg_scan[i * 2 + 1];
+            int offset = i << 4;
+            int implicit_nz = 0;
+            if (i < num_last_subset && i > 0) {
+                int ctx_cg = 0;
+                if (x_cg < ncg - 1) ctx_cg += csbf[y_cg * 8 + x_cg + 1];
+                if (y_cg < ncg - 1) ctx_cg += csbf[(y_cg + 1) * 8 + x_cg];
+                int inc = imin(ctx_cg, 1) + (c_idx ? 2 : 0);
+                csbf[y_cg * 8 + x_cg] =
+                    (uint8_t)bin(CTX_CODED_SUB_BLOCK_FLAG, inc);
+                implicit_nz = 1;
+            } else {
+                csbf[y_cg * 8 + x_cg] =
+                    (x_cg == x_cg_last && y_cg == y_cg_last) ||
+                    (x_cg == 0 && y_cg == 0);
+            }
+            int last_scan_pos = num_coeff - offset - 1;
+            int sig_idx[16];
+            int n_sig = 0;
+            int n_end;
+            if (i == num_last_subset) {
+                n_end = last_scan_pos - 1;
+                sig_idx[n_sig++] = last_scan_pos;
+            } else n_end = 15;
+            int prev_sig = 0;
+            if (x_cg < ((size - 1) >> 2)) prev_sig = csbf[y_cg * 8 + x_cg + 1];
+            if (y_cg < ((size - 1) >> 2))
+                prev_sig += csbf[(y_cg + 1) * 8 + x_cg] << 1;
+            if (csbf[y_cg * 8 + x_cg] && n_end >= 0) {
+                int map_row, base_off;
+                if (c_idx == 0) {
+                    base_off = 0;
+                    if (log2_tr == 2) map_row = 0;
+                    else {
+                        map_row = prev_sig + 1;
+                        if (x_cg > 0 || y_cg > 0) base_off += 3;
+                        base_off += log2_tr == 3
+                                        ? (scan_idx == SCAN_DIAG ? 9 : 15)
+                                        : 21;
+                    }
+                } else {
+                    base_off = 27;
+                    if (log2_tr == 2) map_row = 0;
+                    else { map_row = prev_sig + 1;
+                           base_off += log2_tr == 3 ? 9 : 12; }
+                }
+                for (int n = n_end; n > 0; n--) {
+                    int xc = off_scan[n * 2], yc = off_scan[n * 2 + 1];
+                    int inc = SIG_CTX_MAP[map_row * 16 + yc * 4 + xc] + base_off;
+                    if (bin(CTX_SIG_COEFF_FLAG, inc)) {
+                        sig_idx[n_sig++] = n;
+                        implicit_nz = 0;
+                    }
+                }
+                if (!implicit_nz) {
+                    int dc_off = i == 0 ? (c_idx == 0 ? 0 : 27)
+                                        : 2 + base_off;
+                    if (bin(CTX_SIG_COEFF_FLAG, dc_off)) sig_idx[n_sig++] = 0;
+                } else sig_idx[n_sig++] = 0;
+            }
+            if (!n_sig) continue;
+            int ctx_set = (i > 0 && c_idx == 0) ? 2 : 0;
+            if (i != num_last_subset && g1_carry == 0) ctx_set++;
+            int g1 = 1;
+            int gt1[8];
+            int first_g1 = -1;
+            int lim = imin(n_sig, 8);
+            for (int m = 0; m < lim; m++) {
+                int inc = (ctx_set << 2) + g1 + (c_idx ? 16 : 0);
+                int fl = bin(CTX_COEFF_ABS_LEVEL_GREATER1_FLAG, inc);
+                gt1[m] = fl;
+                if (fl) { g1 = 0; if (first_g1 < 0) first_g1 = m; }
+                else if (g1 > 0 && g1 < 3) g1++;
+            }
+            g1_carry = g1;
+            int last_nz = sig_idx[0], first_nz = sig_idx[n_sig - 1];
+            bool hidden;
+            if (cu_tqb) hidden = false;
+            else if (cu_pred_mode == MODE_INTRA && P.implicit_rdpcm &&
+                     transform_skip &&
+                     (pred_mode_intra == 10 || pred_mode_intra == 26))
+                hidden = false;
+            else hidden = (last_nz - first_nz) >= 4;
+            if (first_g1 >= 0) {
+                int inc = ctx_set + (c_idx ? 4 : 0);
+                gt1[first_g1] += bin(CTX_COEFF_ABS_LEVEL_GREATER2_FLAG, inc);
+            }
+            int nb_signs = n_sig - ((P.sign_data_hiding && hidden) ? 1 : 0);
+            uint32_t sign_bits = nb_signs
+                ? (cab.bypass_bits(nb_signs) << (16 - nb_signs)) : 0;
+            int rice = 0;
+            int sum_abs = 0;
+            for (int m = 0; m < n_sig; m++) {
+                int n = sig_idx[m];
+                int xc = (x_cg << 2) + off_scan[n * 2];
+                int yc = (y_cg << 2) + off_scan[n * 2 + 1];
+                int level;
+                if (m < 8) {
+                    level = 1 + gt1[m];
+                    if (level == (m == first_g1 ? 3 : 2)) {
+                        int rem = abs_level_remaining(rice);
+                        level += rem;
+                        if (level > (3 << rice)) rice = imin(rice + 1, 4);
+                    }
+                } else {
+                    int rem = abs_level_remaining(rice);
+                    level = 1 + rem;
+                    if (level > (3 << rice)) rice = imin(rice + 1, 4);
+                }
+                if (P.sign_data_hiding && hidden) {
+                    sum_abs += level;
+                    if (n == first_nz && (sum_abs & 1)) level = -level;
+                }
+                if (sign_bits >> 15) level = -level;
+                sign_bits = (sign_bits << 1) & 0xFFFF;
+                levels[yc * size + xc] = (int16_t)level;
+            }
+        }
+        // qp
+        int qp;
+        if (c_idx == 0) qp = cu_qp + P.qp_bd_offset;
+        else {
+            int off = c_idx == 1 ? P.cb_qp_offset + P.slice_cb_qp_offset
+                                 : P.cr_qp_offset + P.slice_cr_qp_offset;
+            int qpi = iclip(cu_qp + off, -P.qp_bd_offset, 57);
+            int q;
+            if (P.chroma_format_idc == 1) {
+                if (qpi < 30) q = qpi;
+                else if (qpi > 43) q = qpi - 6;
+                else q = CHROMA_QP_TABLE[qpi - 30];
+            } else q = imin(qpi, 51);
+            qp = q + P.qp_bd_offset;
+        }
+        int is_dst = (cu_pred_mode == MODE_INTRA && c_idx == 0 &&
+                      log2_tr == 2) ? 1 : 0;
+        int rdpcm_mode = -1;
+        if ((cu_tqb || transform_skip) && P.implicit_rdpcm &&
+            cu_pred_mode == MODE_INTRA &&
+            (pred_mode_intra == 10 || pred_mode_intra == 26))
+            rdpcm_mode = pred_mode_intra == 26 ? 1 : 0;
+        int flags = (is_dst ? 1 : 0) | (transform_skip ? 2 : 0) |
+                    (cu_tqb ? 4 : 0) | (rdpcm_mode >= 0 ? 8 : 0) |
+                    (rdpcm_mode == 1 ? 16 : 0);
+        int32_t* meta = O->cb_meta + O->n_cb * 8;
+        meta[0] = c_idx; meta[1] = x0; meta[2] = y0; meta[3] = log2_tr;
+        meta[4] = qp; meta[5] = flags; meta[6] = O->lvl_used; meta[7] = 0;
+        O->lvl_used += size * size;
+        O->n_cb++;
+    }
+
+    int last_sig_prefix(int c_idx, int log2_tr, int base) {
+        int ctx_offset, ctx_shift;
+        if (c_idx == 0) {
+            ctx_offset = 3 * (log2_tr - 2) + ((log2_tr - 1) >> 2);
+            ctx_shift = (log2_tr + 1) >> 2;
+        } else { ctx_offset = 15; ctx_shift = log2_tr - 2; }
+        int i = 0, mx = (log2_tr << 1) - 1;
+        while (i < mx && bin(base, (i >> ctx_shift) + ctx_offset)) i++;
+        return i;
+    }
+
+    int abs_level_remaining(int rice) {
+        int prefix = 0;
+        while (prefix < 32 && cab.bypass()) prefix++;
+        if (prefix < 3) {
+            int suffix = rice ? cab.bypass_bits(rice) : 0;
+            return (prefix << rice) + suffix;
+        }
+        int pm3 = prefix - 3;
+        int suffix = cab.bypass_bits(pm3 + rice);
+        return (((1 << pm3) + 2) << rice) + suffix;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+int hevc_parse_slice(const uint8_t* rbsp, int64_t size,
+                     const SliceParams* params, Outputs* out) {
+    Parser p;
+    p.P = *params;
+    p.O = out;
+    p.rbsp = rbsp;
+    p.size = size;
+    out->n_cb = out->n_ij = out->n_pcm = out->n_pb = 0;
+    out->lvl_used = out->pcm_used = 0;
+    out->error = 0;
+    p.init();
+    int rc = p.decode();
+    if (rc) out->error = 1;
+    return rc;
+}
+
+int hevc_parse_abi_version() { return 1; }
+
+}

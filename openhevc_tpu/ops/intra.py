@@ -25,9 +25,35 @@ for _m in range(2, 35):
 _INV_TAB = jnp.asarray(_INV_TAB_NP)
 
 
-@partial(jax.jit, static_argnames=("s", "bit_depth", "strong_smoothing"))
+@partial(jax.jit, static_argnames=("s", "bit_depth", "strong_smoothing"),
+         donate_argnums=(0, 3))
+def predict_batch_level(planes, res_planes, stacked, counter, s: int,
+                        bit_depth: int, strong_smoothing: bool):
+    """predict_batch over one level taken from a [G, cap, ...] stacked
+    group at device-resident `counter` (returned incremented) — the
+    wavefront loop runs with zero per-level host->device transfers."""
+    a = jax.tree_util.tree_map(
+        lambda t: jax.lax.dynamic_index_in_dim(t, counter, 0,
+                                               keepdims=False),
+        stacked)
+    out = _predict_batch_impl(planes, res_planes, a["valid"], a["plane"],
+                              a["x"], a["y"], a["mode"], a["avail"],
+                              a["filt"], s, bit_depth, strong_smoothing)
+    return out, counter + 1
+
+
+@partial(jax.jit, static_argnames=("s", "bit_depth", "strong_smoothing"),
+         donate_argnums=(0,))
 def predict_batch(planes, res_planes, valid, plane_idx, x, y, mode, avail,
                   filt, s: int, bit_depth: int, strong_smoothing: bool):
+    return _predict_batch_impl(planes, res_planes, valid, plane_idx, x, y,
+                               mode, avail, filt, s, bit_depth,
+                               strong_smoothing)
+
+
+def _predict_batch_impl(planes, res_planes, valid, plane_idx, x, y, mode,
+                        avail, filt, s: int, bit_depth: int,
+                        strong_smoothing: bool):
     """Predict + residual-add + scatter one level's TUs of size s.
 
     planes/res_planes: int32 [4, Hp, Wp] (plane 3 trash).

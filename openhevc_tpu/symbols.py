@@ -90,6 +90,37 @@ class FrameSymbols:
     # full motion state (bitstream.mvs.MotionContext): per-4x4 pred_flag /
     # mv / ref poc grids, used by deblocking BS and (later) TMVP
     motion: object = None
+    # raw flat arrays from the native parse core (bitstream/native.py):
+    # cb_meta/cb_levels/ij_meta/ij_avail/n_levels — enables vectorized
+    # device packing without materializing per-TU Python objects
+    native_raw: dict | None = None
+
+    def ensure_objects(self):
+        """Materialize coeff_blocks/intra_jobs from native_raw arrays
+        (the native parser skips per-TU Python objects for speed; the
+        scalar oracle paths call this on demand)."""
+        if self.native_raw is None or self.coeff_blocks or self.intra_jobs:
+            return
+        import numpy as np
+        raw = self.native_raw
+        cm, arena = raw["cb_meta"], raw["cb_levels"]
+        for m in cm:
+            size = 1 << m[3]
+            fl = int(m[5])
+            lv = arena[m[6]:m[6] + size * size].astype(np.int32)
+            self.coeff_blocks.append(CoeffBlock(
+                plane=int(m[0]), x=int(m[1]), y=int(m[2]),
+                log2_size=int(m[3]), qp=int(m[4]), is_dst=bool(fl & 1),
+                transform_skip=bool(fl & 2), transquant_bypass=bool(fl & 4),
+                rdpcm_mode=(-1 if not fl & 8 else (1 if fl & 16 else 0)),
+                levels=lv.reshape(size, size)))
+        im, iav = raw["ij_meta"], raw["ij_avail"]
+        for i, m in enumerate(im):
+            size = int(m[3])
+            self.intra_jobs.append(IntraJob(
+                plane=int(m[0]), x=int(m[1]), y=int(m[2]), size=size,
+                mode=int(m[4]), avail=iav[i, :4 * size + 1].astype(bool),
+                filter_refs=bool(m[5])))
     # per-CTB SAO: [ctbs_h, ctbs_w, 3(planes), 6] =
     #   (type 0/1/2=off/band/edge, band_pos or eo_class, offset[4])
     sao: np.ndarray | None = None

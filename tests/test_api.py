@@ -1,0 +1,62 @@
+"""openHEVC-shaped API, CLI, and SEI MD5 conformance machinery."""
+import subprocess
+import sys
+
+import numpy as np
+
+from conftest import make_frames, ref_decode
+
+from openhevc_tpu.api import OpenHevc
+from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+
+
+def _stream(tmp_path):
+    rng = np.random.default_rng(5)
+    frames = make_frames(64, 64, 2, rng)
+    data, recons = encode_intra_stream(frames, 64, 64, qp=30, seed=5,
+                                       md5_sei=True)
+    path = tmp_path / "t.265"
+    path.write_bytes(data)
+    return data, recons, path
+
+
+def test_api_decode_with_md5(tmp_path):
+    data, recons, _ = _stream(tmp_path)
+    d = OpenHevc(engine="np")
+    d.set_check_md5(True)
+    d.start()
+    d.decode(data)
+    d.flush()
+    frames = []
+    while True:
+        fr = d.get_output(1)
+        if fr is None:
+            break
+        frames.append(fr)
+    assert len(frames) == len(recons)
+    for fr, want in zip(frames, recons):
+        for p, w in zip(fr.planes, want):
+            assert np.array_equal(p, w)
+    info = frames[0].frame_info
+    assert (info.nWidth, info.nHeight, info.nBitDepth) == (64, 64, 8)
+
+
+def test_reference_accepts_our_md5_sei(tmp_path):
+    data, _, _ = _stream(tmp_path)
+    out = ref_decode(data)   # reference with default settings decodes fine
+    assert len(out) == 2
+
+
+def test_cli_yuv_output(tmp_path):
+    import os
+    data, recons, path = _stream(tmp_path)
+    out_yuv = tmp_path / "out.yuv"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "openhevc_tpu", "-i", str(path),
+         "-o", str(out_yuv), "-e", "np", "-q"],
+        capture_output=True, text=True, cwd=repo)
+    assert r.returncode == 0, r.stderr
+    exp = b"".join(np.asarray(p).astype(np.uint8).tobytes()
+                   for rec in recons for p in rec)
+    assert out_yuv.read_bytes() == exp
