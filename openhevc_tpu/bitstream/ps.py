@@ -497,6 +497,30 @@ def parse_pps(rbsp: bytes) -> PPS:
     return p
 
 
+def ctb_tile_maps(pps: PPS, sps: SPS):
+    """CTB raster<->tile-scan maps + tile id per CTB (derivation mirrored
+    from the PPS map construction in hevc_ps.c:2305-2341)."""
+    cw, ch = sps.ctbs_w, sps.ctbs_h
+    cols, rows = tile_layout(pps, sps)
+    col_bd = np.cumsum([0] + cols)
+    row_bd = np.cumsum([0] + rows)
+    tile_id = np.zeros((ch, cw), np.int32)
+    ts_order = []
+    tid = 0
+    for tr in range(len(rows)):
+        for tc in range(len(cols)):
+            for y in range(row_bd[tr], row_bd[tr + 1]):
+                for x in range(col_bd[tc], col_bd[tc + 1]):
+                    ts_order.append(y * cw + x)
+                    tile_id[y, x] = tid
+            tid += 1
+    ts_order = np.array(ts_order, np.int32)       # ts index -> rs
+    rs_to_ts = np.zeros(cw * ch, np.int32)
+    rs_to_ts[ts_order] = np.arange(cw * ch)
+    tile_width = np.array([cols[c] for c in range(len(cols))])
+    return rs_to_ts, ts_order, tile_id, col_bd, row_bd
+
+
 def tile_layout(pps: PPS, sps: SPS):
     """Column/row boundaries in CTBs (derivation 6-3/6-4)."""
     cw, ch = sps.ctbs_w, sps.ctbs_h

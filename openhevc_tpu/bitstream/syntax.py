@@ -101,14 +101,17 @@ def chroma_qp(qp_y: int, offset: int, chroma_array_type: int,
     return q
 
 
-def zscan_grid(sps: SPS) -> np.ndarray:
+def zscan_grid(sps: SPS, rs_to_ts=None) -> np.ndarray:
     """z-scan order index per 4x4 block [H4, W4] (decode-order comparisons;
-    same role as the reference's min_tb_addr_zs map, hevc_ps.c PPS deriv)."""
+    same role as the reference's min_tb_addr_zs map, hevc_ps.c PPS deriv).
+    With tiles, CTBs are ranked by tile-scan order (rs_to_ts)."""
     w4 = (sps.ctbs_w << sps.log2_ctb) >> 2
     h4 = (sps.ctbs_h << sps.log2_ctb) >> 2
     ys, xs = np.mgrid[0:h4, 0:w4]
     n4 = 1 << (sps.log2_ctb - 2)      # 4x4 blocks per CTB side
     ctb_idx = (ys // n4) * sps.ctbs_w + (xs // n4)
+    if rs_to_ts is not None:
+        ctb_idx = np.asarray(rs_to_ts)[ctb_idx]
     lx = xs % n4
     ly = ys % n4
     morton = np.zeros_like(lx)
@@ -120,7 +123,7 @@ def zscan_grid(sps: SPS) -> np.ndarray:
 
 def avail_mask(zscan: np.ndarray, pred_mode: np.ndarray, constrained: bool,
                x: int, y: int, size: int, hs: int, vs: int,
-               W: int, H: int) -> np.ndarray:
+               W: int, H: int, tile4: np.ndarray | None = None) -> np.ndarray:
     """Reference-sample availability for a TB at plane coords (x, y) with
     chroma subsampling shifts (hs, vs). Layout matches ops/intra_np.py.
     Availability = in-picture AND earlier in z-scan decode order AND (if
@@ -128,6 +131,7 @@ def avail_mask(zscan: np.ndarray, pred_mode: np.ndarray, constrained: bool,
     + z-scan checks, hevc_mvs.c:41/:63.)"""
     lx0, ly0 = x << hs, y << vs
     zc = zscan[ly0 >> 2, lx0 >> 2]
+    tid = tile4[ly0 >> 2, lx0 >> 2] if tile4 is not None else 0
     n = 4 * size + 1
     avail = np.zeros(n, bool)
 
@@ -135,6 +139,8 @@ def avail_mask(zscan: np.ndarray, pred_mode: np.ndarray, constrained: bool,
         if lx < 0 or ly < 0 or lx >= W or ly >= H:
             return False
         if zscan[ly >> 2, lx >> 2] >= zc:
+            return False
+        if tile4 is not None and tile4[ly >> 2, lx >> 2] != tid:
             return False
         if constrained and pred_mode[ly >> 2, lx >> 2] != MODE_INTRA:
             return False
@@ -164,10 +170,29 @@ class SliceDataParser:
         self.ctx = init_states(init_type, max(0, min(51, sh.qp)))
         self.rbsp = rbsp
         self.cab = CabacDecoder(rbsp, sh.data_start_byte * 8)
+        self.init_type = init_type
         w4 = (sps.ctbs_w << sps.log2_ctb) >> 2
         h4 = (sps.ctbs_h << sps.log2_ctb) >> 2
         self.w4, self.h4 = w4, h4
-        self.zscan = zscan_grid(sps)
+        self.tiles = bool(pps.tiles_enabled)
+        self.wpp = bool(pps.entropy_coding_sync)
+        if self.tiles:
+            from .ps import ctb_tile_maps
+            rs_to_ts, ts_order, tile_id, col_bd, row_bd = \
+                ctb_tile_maps(pps, sps)
+            self.ts_order = ts_order
+            self.tile_id = tile_id
+            self.col_bd, self.row_bd = col_bd, row_bd
+            n4c = 1 << (sps.log2_ctb - 2)
+            self.tile4 = np.repeat(np.repeat(tile_id, n4c, 0), n4c, 1)
+            self.zscan = zscan_grid(sps, rs_to_ts)
+        else:
+            self.ts_order = np.arange(sps.ctbs_w * sps.ctbs_h)
+            self.tile_id = np.zeros((sps.ctbs_h, sps.ctbs_w), np.int32)
+            self.col_bd = np.array([0, sps.ctbs_w])
+            self.row_bd = np.array([0, sps.ctbs_h])
+            self.tile4 = None
+            self.zscan = zscan_grid(sps)
         fs = FrameSymbols(sps=sps, pps=pps, poc=poc,
                           slice_type=sh.slice_type, slice_qp=sh.qp,
                           nal_type=nal_type)
@@ -205,6 +230,11 @@ class SliceDataParser:
         self.pu_intra_modes = [1, 1, 1, 1]
         self.intra_mode_c = 1
 
+    def _same_tile4(self, xa4, ya4, xb4, yb4):
+        if self.tile4 is None:
+            return True
+        return self.tile4[ya4, xa4] == self.tile4[yb4, xb4]
+
     # -- CABAC shorthands ---------------------------------------------------
     def bin(self, elem: str, inc: int = 0) -> int:
         return self.cab.decode_bin(self.ctx, CTX_OFFSET[elem] + inc)
@@ -218,34 +248,70 @@ class SliceDataParser:
     def terminate(self) -> int:
         return self.cab.decode_terminate()
 
+    def _tile_width_of(self, rs):
+        rx = rs % self.sps.ctbs_w
+        c = int(np.searchsorted(self.col_bd, rx, side="right")) - 1
+        return int(self.col_bd[c + 1] - self.col_bd[c])
+
     # -- top level ----------------------------------------------------------
     def decode(self) -> FrameSymbols:
         sps = self.sps
         cs = 1 << sps.log2_ctb
         n_ctb = sps.ctbs_w * sps.ctbs_h
-        for addr in range(n_ctb):
-            x0 = (addr % sps.ctbs_w) * cs
-            y0 = (addr // sps.ctbs_w) * cs
+        ctb_tile_rs = 0
+        saved_ctx = None
+        ctb_order = []
+        for ts in range(n_ctb):
+            rs = int(self.ts_order[ts])
+            x0 = (rs % sps.ctbs_w) * cs
+            y0 = (rs // sps.ctbs_w) * cs
+            ctb_order.append((x0, y0))
+            tw = self._tile_width_of(rs)
+            if ts > 0:
+                prev_rs = int(self.ts_order[ts - 1])
+                new_tile = self.tiles and \
+                    self.tile_id.flat[rs] != self.tile_id.flat[prev_rs]
+                if new_tile:
+                    ctb_tile_rs = 0
+                    # end_of_subset_one_bit consumed implicitly (terminate-1
+                    # bins consume no bits); byte-align and reset contexts
+                    self.cab.reinit(self.cab.consumed_bytes() * 8)
+                    self.ctx = init_states(self.init_type,
+                                           max(0, min(51, self.sh.qp)))
+                if self.wpp and ctb_tile_rs % tw == 0 and not new_tile:
+                    end = self.terminate()   # end_of_subset_one_bit
+                    if end != 1:
+                        raise ValueError("missing end_of_subset")
+                    self.cab.reinit(self.cab.consumed_bytes() * 8)
+                    if tw == 1:
+                        self.ctx = init_states(self.init_type,
+                                               max(0, min(51, self.sh.qp)))
+                    else:
+                        self.ctx = list(saved_ctx)
             if sps.sao_enabled and (self.sh.sao_luma or self.sh.sao_chroma):
                 self._sao_params(x0, y0)
             self._coding_quadtree(x0, y0, sps.log2_ctb, 0)
+            ctb_tile_rs += 1
+            if self.wpp and (ctb_tile_rs % tw == 2 or
+                             (tw == 2 and ctb_tile_rs % tw == 0)):
+                saved_ctx = list(self.ctx)
             end = self.terminate()
-            if addr == n_ctb - 1:
+            if ts == n_ctb - 1:
                 assert end == 1, "missing end_of_slice"
             elif end:
-                raise ValueError(f"premature end_of_slice at CTB {addr}")
+                raise ValueError(f"premature end_of_slice at CTB {ts}")
+        self.fs.ctb_order = ctb_order
         return self.fs
 
     # -- SAO ----------------------------------------------------------------
     def _sao_params(self, x0: int, y0: int):
         sps, sh, fs = self.sps, self.sh, self.fs
         rx, ry = x0 >> sps.log2_ctb, y0 >> sps.log2_ctb
-        merge = 0
-        if x0 > 0:  # left in same slice+tile (single slice/tile for now)
+        if x0 > 0 and self.tile_id[ry, rx] == self.tile_id[ry, rx - 1]:
             if self.bin("sao_merge_flag"):
                 fs.sao[ry, rx] = fs.sao[ry, rx - 1]
                 return
-        if y0 > 0:
+        if y0 > 0 and self.tile_id[ry, rx] == self.tile_id[ry - 1, rx]:
             if self.bin("sao_merge_flag"):
                 fs.sao[ry, rx] = fs.sao[ry - 1, rx]
                 return
@@ -296,9 +362,11 @@ class SliceDataParser:
         if not boundary and log2_cb > sps.log2_min_cb:
             inc = 0
             x4, y4 = x0 >> 2, y0 >> 2
-            if x0 > 0 and self.ct_depth[y4, x4 - 1] > depth:
+            if x0 > 0 and self._same_tile4(x4, y4, x4 - 1, y4) and \
+                    self.ct_depth[y4, x4 - 1] > depth:
                 inc += 1
-            if y0 > 0 and self.ct_depth[y4 - 1, x4] > depth:
+            if y0 > 0 and self._same_tile4(x4, y4, x4, y4 - 1) and \
+                    self.ct_depth[y4 - 1, x4] > depth:
                 inc += 1
             split = self.bin("split_cu_flag", inc)
         else:
@@ -330,9 +398,11 @@ class SliceDataParser:
             fs.tqb[y4:y4 + n4, x4:x4 + n4] = self.cu_tqb
         if self.sh.slice_type != I_SLICE:
             inc = 0
-            if x0 > 0 and self.skip_grid[y4, x4 - 1]:
+            if x0 > 0 and self._same_tile4(x4, y4, x4 - 1, y4) and \
+                    self.skip_grid[y4, x4 - 1]:
                 inc += 1
-            if y0 > 0 and self.skip_grid[y4 - 1, x4]:
+            if y0 > 0 and self._same_tile4(x4, y4, x4, y4 - 1) and \
+                    self.skip_grid[y4 - 1, x4]:
                 inc += 1
             skip = self.bin("cu_skip_flag", inc)
             if skip:
@@ -623,13 +693,15 @@ class SliceDataParser:
         zc = self.zscan[y4, x4]
         # left (x0-1, y0)
         cand_a = 1
-        if x0 > 0 and self.zscan[y4, x4 - 1] < zc and \
+        if x0 > 0 and self._same_tile4(x4, y4, x4 - 1, y4) and \
+                self.zscan[y4, x4 - 1] < zc and \
                 fs.pred_mode[y4, x4 - 1] == MODE_INTRA and \
                 not fs.is_pcm[y4, x4 - 1]:
             cand_a = int(fs.ipm[y4, x4 - 1])
         # above (x0, y0-1); outside CTB -> DC
         cand_b = 1
         if y0 > 0 and (y0 % (1 << sps.log2_ctb)) != 0 and \
+                self._same_tile4(x4, y4, x4, y4 - 1) and \
                 self.zscan[y4 - 1, x4] < zc and \
                 fs.pred_mode[y4 - 1, x4] == MODE_INTRA and \
                 not fs.is_pcm[y4 - 1, x4]:
@@ -740,7 +812,8 @@ class SliceDataParser:
         vs = sps.vshift1 if plane else 0
         avail = avail_mask(self.zscan, self.fs.pred_mode,
                            bool(self.pps.constrained_intra_pred),
-                           x, y, size, hs, vs, sps.width, sps.height)
+                           x, y, size, hs, vs, sps.width, sps.height,
+                           tile4=self.tile4)
         filt = (plane == 0 and not getattr(sps, "intra_smoothing_disabled", 0))
         self.fs.intra_jobs.append(
             IntraJob(plane, x, y, size, mode, avail, filt))

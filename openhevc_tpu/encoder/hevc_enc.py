@@ -55,6 +55,9 @@ class EncoderConfig:
     sign_data_hiding: bool = False
     transform_skip: bool = False
     transquant_bypass: bool = False
+    wpp: bool = False
+    tile_cols: int = 1
+    tile_rows: int = 1
     log2_max_poc_lsb: int = 8
     max_num_ref: int = 1
     max_merge_cand: int = 5
@@ -207,8 +210,14 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     bw.put(0, 1)            # weighted_pred_flag
     bw.put(0, 1)            # weighted_bipred_flag
     bw.put(1 if cfg.transquant_bypass else 0, 1)  # transquant_bypass_enabled_flag
-    bw.put(0, 1)            # tiles_enabled_flag
-    bw.put(0, 1)            # entropy_coding_sync_enabled_flag
+    tiles = cfg.tile_cols > 1 or cfg.tile_rows > 1
+    bw.put(1 if tiles else 0, 1)       # tiles_enabled_flag
+    bw.put(1 if cfg.wpp else 0, 1)     # entropy_coding_sync_enabled_flag
+    if tiles:
+        bw.ue(cfg.tile_cols - 1)
+        bw.ue(cfg.tile_rows - 1)
+        bw.put(1, 1)                   # uniform_spacing_flag
+        bw.put(1, 1)                   # loop_filter_across_tiles_enabled_flag
     bw.put(1, 1)            # pps_loop_filter_across_slices_enabled_flag
     bw.put(1, 1)            # deblocking_filter_control_present_flag
     bw.put(0, 1)            # deblocking_filter_override_enabled_flag
@@ -229,7 +238,8 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
                        slice_type: int, poc: int = 0,
                        st_rps_idx: int = 0, num_st_rps: int = 0,
                        num_ref_l0: int | None = None,
-                       num_ref_l1: int | None = None):
+                       num_ref_l1: int | None = None,
+                       entry_point_offsets: list | None = None):
     """slice_type: 0=B 1=P 2=I. Only the syntax paths this encoder exercises."""
     bw.put(1, 1)            # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:
@@ -265,6 +275,14 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
     bw.se(0)                # slice_qp_delta
     if cfg.sao_enabled or not cfg.deblock_disabled:
         bw.put(1, 1)        # slice_loop_filter_across_slices_enabled_flag
+    if cfg.wpp or cfg.tile_cols > 1 or cfg.tile_rows > 1:
+        eps = entry_point_offsets or []
+        bw.ue(len(eps))     # num_entry_point_offsets
+        if eps:
+            blen = max(1, max(e - 1 for e in eps).bit_length())
+            bw.ue(blen - 1)  # offset_len_minus1
+            for e in eps:
+                bw.put(e - 1, blen)  # entry_point_offset_minus1
     bw.put(1, 1)            # byte_alignment: alignment_bit_equal_to_one
     bw.align_zero()
 

@@ -48,25 +48,15 @@ class PFrameEncoder(IntraFrameEncoder):
         self.mvctx = MotionContext(_Sps2(cfg), self.zscan, poc, slice_type,
                                    cfg.max_merge_cand, ref_list)
         self.is_p = True
+        data, eps = self._encode_slice_data(slice_type=slice_type)
         bw = BitWriter()
         write_slice_header(bw, cfg, nal_type, slice_type=slice_type, poc=poc,
                            st_rps_idx=len(ref_pics) - 1,
                            num_st_rps=self.num_st_rps,
                            num_ref_l0=len(ref_pics),
-                           num_ref_l1=len(ref_pics))
-        self.enc = SliceDataEncoder(bw, cfg, slice_type=slice_type)
-        cs = cfg.ctb_size
-        n_ctb = cfg.ctbs_w * cfg.ctbs_h
-        self.sao_params = np.zeros((cfg.ctbs_h, cfg.ctbs_w, 3, 6), np.int16)
-        for addr in range(n_ctb):
-            x0 = (addr % cfg.ctbs_w) * cs
-            y0 = (addr // cfg.ctbs_w) * cs
-            if cfg.sao_enabled:
-                self._encode_sao(x0 >> cfg.ctb_log2, y0 >> cfg.ctb_log2)
-            self._quadtree(x0, y0, cfg.ctb_log2, 0)
-            self.enc.terminate(1 if addr == n_ctb - 1 else 0)
-        bw.align_zero()
-        return wrap_nal(nal_type, bw.getvalue())
+                           num_ref_l1=len(ref_pics),
+                           entry_point_offsets=eps)
+        return wrap_nal(nal_type, bw.getvalue() + data)
 
     # ----- CU dispatch ------------------------------------------------------
     def _coding_unit(self, x0, y0, log2_cb, depth):
@@ -378,7 +368,7 @@ class _Sps2:
 def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                            min_cb_log2=3, seed=0, sao=False, deblock=False,
                            n_refs=1, max_merge=5, b_slices=False,
-                           bit_depth=8):
+                           bit_depth=8, wpp=False):
     """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
     expected recons). Expected output only valid without loop filters;
     with filters on, compare against the reference decoder."""
@@ -389,7 +379,8 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                         max_transform_hierarchy_depth=2,
                         pcm_enabled=False, sao_enabled=sao,
                         deblock_disabled=not deblock,
-                        max_num_ref=n_refs, max_merge_cand=max_merge)
+                        max_num_ref=n_refs, max_merge_cand=max_merge,
+                        wpp=wpp)
     rng = np.random.default_rng(seed)
     # one RPS per possible reference count (early frames have fewer refs)
     st_rps = [[-(i + 1) for i in range(k + 1)] for k in range(n_refs)]

@@ -38,10 +38,45 @@ class IntraFrameEncoder:
     def __init__(self, cfg: EncoderConfig, rng: np.random.Generator):
         self.cfg = cfg
         self.rng = rng
-        self.zscan = zscan_grid(_Sps(cfg))
         w4 = (cfg.ctbs_w << cfg.ctb_log2) >> 2
         h4 = (cfg.ctbs_h << cfg.ctb_log2) >> 2
         self.w4, self.h4 = w4, h4
+        self.tiles = cfg.tile_cols > 1 or cfg.tile_rows > 1
+        self.wpp = cfg.wpp
+        if self.tiles:
+            from ..bitstream.ps import ctb_tile_maps
+
+            class _PpsShim:
+                tiles_enabled = 1
+                num_tile_cols = cfg.tile_cols
+                num_tile_rows = cfg.tile_rows
+                uniform_spacing = 1
+                col_widths = []
+                row_heights = []
+            rs_to_ts, ts_order, tile_id, col_bd, row_bd = \
+                ctb_tile_maps(_PpsShim(), _Sps(cfg))
+            self.ts_order = ts_order
+            self.tile_id = tile_id
+            self.col_bd, self.row_bd = col_bd, row_bd
+            n4c = 1 << (cfg.ctb_log2 - 2)
+            self.tile4 = np.repeat(np.repeat(tile_id, n4c, 0), n4c, 1)
+            self.zscan = zscan_grid(_Sps(cfg), rs_to_ts)
+        else:
+            self.ts_order = np.arange(cfg.ctbs_w * cfg.ctbs_h)
+            self.tile_id = np.zeros((cfg.ctbs_h, cfg.ctbs_w), np.int32)
+            self.col_bd = np.array([0, cfg.ctbs_w])
+            self.tile4 = None
+            self.zscan = zscan_grid(_Sps(cfg))
+
+    def _same_tile4(self, xa4, ya4, xb4, yb4):
+        if self.tile4 is None:
+            return True
+        return self.tile4[ya4, xa4] == self.tile4[yb4, xb4]
+
+    def _tile_width_of(self, rs):
+        rx = rs % self.cfg.ctbs_w
+        c = int(np.searchsorted(self.col_bd, rx, side="right")) - 1
+        return int(self.col_bd[c + 1] - self.col_bd[c])
 
     def encode_frame(self, y, u, v, nal_type=NAL_IDR_N_LP) -> bytes:
         cfg = self.cfg
@@ -54,33 +89,102 @@ class IntraFrameEncoder:
         self.ipm = np.full((self.h4, self.w4), 255, np.uint8)
         self.pred_mode = np.ones((self.h4, self.w4), np.uint8)  # all intra
         self.ct_depth = np.zeros((self.h4, self.w4), np.int8)
+        data, eps = self._encode_slice_data(slice_type=2)
         bw = BitWriter()
-        write_slice_header(bw, cfg, nal_type, slice_type=2)
-        self.enc = SliceDataEncoder(bw, cfg, slice_type=2)
+        write_slice_header(bw, cfg, nal_type, slice_type=2,
+                           entry_point_offsets=eps)
+        return wrap_nal(nal_type, bw.getvalue() + data)
+
+    def _encode_slice_data(self, slice_type):
+        """CTB loop in tile-scan order with WPP/tile substream handling;
+        returns (data bytes, escaped entry-point offsets)."""
+        cfg = self.cfg
+        bw = BitWriter()
+        self.enc = SliceDataEncoder(bw, cfg, slice_type=slice_type)
         cs = cfg.ctb_size
         n_ctb = cfg.ctbs_w * cfg.ctbs_h
         self.sao_params = np.zeros((cfg.ctbs_h, cfg.ctbs_w, 3, 6), np.int16)
-        for addr in range(n_ctb):
-            x0 = (addr % cfg.ctbs_w) * cs
-            y0 = (addr // cfg.ctbs_w) * cs
+        boundaries = []
+        saved_ctx = None
+        ctb_tile_rs = 0
+        from ..bitstream.ctx_tables import init_states
+        init_type = (0 if slice_type == 2 else
+                     2 if slice_type == 0 else 1)
+        for ts in range(n_ctb):
+            rs = int(self.ts_order[ts])
+            x0 = (rs % cfg.ctbs_w) * cs
+            y0 = (rs // cfg.ctbs_w) * cs
+            tw = self._tile_width_of(rs)
+            if ts > 0:
+                prev_rs = int(self.ts_order[ts - 1])
+                new_tile = self.tiles and \
+                    self.tile_id.flat[rs] != self.tile_id.flat[prev_rs]
+                new_row = (self.wpp and ctb_tile_rs % tw == 0 and
+                           not new_tile)
+                if new_tile or new_row:
+                    self.enc.terminate(1)   # end_of_subset_one_bit
+                    bw.align_zero()
+                    boundaries.append(bw.bitpos // 8)
+                    self.enc.cabac.restart()
+                    if new_tile:
+                        ctb_tile_rs = 0
+                        self.enc.ctx = init_states(init_type,
+                                                   max(0, min(51, cfg.qp)))
+                    elif tw == 1:
+                        self.enc.ctx = init_states(init_type,
+                                                   max(0, min(51, cfg.qp)))
+                    else:
+                        self.enc.ctx = list(saved_ctx)
             if cfg.sao_enabled:
                 self._encode_sao(x0 >> cfg.ctb_log2, y0 >> cfg.ctb_log2)
             self._quadtree(x0, y0, cfg.ctb_log2, 0)
-            self.enc.terminate(1 if addr == n_ctb - 1 else 0)
+            ctb_tile_rs += 1
+            if self.wpp and (ctb_tile_rs % tw == 2 or
+                             (tw == 2 and ctb_tile_rs % tw == 0)):
+                saved_ctx = list(self.enc.ctx)
+            self.enc.terminate(1 if ts == n_ctb - 1 else 0)
         bw.align_zero()
-        return wrap_nal(nal_type, bw.getvalue())
+        data = bw.getvalue()
+        return data, self._escaped_offsets(data, boundaries)
+
+    @staticmethod
+    def _escaped_offsets(data: bytes, boundaries):
+        """entry_point_offsets (in coded/escaped bytes) from unescaped
+        substream boundary positions (inverse of the un-escape fixup,
+        hevc.c:3028-3058)."""
+        if not boundaries:
+            return []
+        targets = sorted(set([0] + list(boundaries)))
+        pos_map = {}
+        zeros = 0
+        epos = 0
+        ti = 0
+        for i, b in enumerate(data):
+            while ti < len(targets) and targets[ti] == i:
+                pos_map[i] = epos
+                ti += 1
+            if zeros >= 2 and b <= 3:
+                epos += 1
+                zeros = 0
+            epos += 1
+            zeros = zeros + 1 if b == 0 else 0
+        while ti < len(targets) and targets[ti] == len(data):
+            pos_map[len(data)] = epos
+            ti += 1
+        starts = [0] + [pos_map[b] for b in boundaries]
+        return [starts[i + 1] - starts[i] for i in range(len(boundaries))]
 
     # ----- SAO parameters (random, mirrors SliceDataParser._sao_params) ---
     def _encode_sao(self, rx, ry):
         cfg, rng, enc = self.cfg, self.rng, self.enc
         sp = self.sao_params
-        if rx > 0:
+        if rx > 0 and self.tile_id[ry, rx] == self.tile_id[ry, rx - 1]:
             merge = int(rng.random() < 0.2)
             enc.bin("sao_merge_flag", 0, merge)
             if merge:
                 sp[ry, rx] = sp[ry, rx - 1]
                 return
-        if ry > 0:
+        if ry > 0 and self.tile_id[ry, rx] == self.tile_id[ry - 1, rx]:
             merge = int(rng.random() < 0.2)
             enc.bin("sao_merge_flag", 0, merge)
             if merge:
@@ -137,9 +241,11 @@ class IntraFrameEncoder:
             split = int(self.rng.random() < 0.5)
             inc = 0
             x4, y4 = x0 >> 2, y0 >> 2
-            if x0 > 0 and self.ct_depth[y4, x4 - 1] > depth:
+            if x0 > 0 and self._same_tile4(x4, y4, x4 - 1, y4) and \
+                    self.ct_depth[y4, x4 - 1] > depth:
                 inc += 1
-            if y0 > 0 and self.ct_depth[y4 - 1, x4] > depth:
+            if y0 > 0 and self._same_tile4(x4, y4, x4, y4 - 1) and \
+                    self.ct_depth[y4 - 1, x4] > depth:
                 inc += 1
             self.enc.bin("split_cu_flag", inc, split)
         else:
@@ -252,11 +358,13 @@ class IntraFrameEncoder:
         x4, y4 = px >> 2, py >> 2
         zc = self.zscan[y4, x4]
         cand_a = 1
-        if px > 0 and self.zscan[y4, x4 - 1] < zc and \
+        if px > 0 and self._same_tile4(x4, y4, x4 - 1, y4) and \
+                self.zscan[y4, x4 - 1] < zc and \
                 self.ipm[y4, x4 - 1] != 255:
             cand_a = int(self.ipm[y4, x4 - 1])
         cand_b = 1
         if py > 0 and (py % cfg.ctb_size) != 0 and \
+                self._same_tile4(x4, y4, x4, y4 - 1) and \
                 self.zscan[y4 - 1, x4] < zc and self.ipm[y4 - 1, x4] != 255:
             cand_b = int(self.ipm[y4 - 1, x4])
         if cand_a == cand_b:
@@ -297,7 +405,7 @@ class IntraFrameEncoder:
         cfg = self.cfg
         hs = 1 if plane else 0
         av = avail_mask(self.zscan, self.pred_mode, False, x, y, size,
-                        hs, hs, cfg.width, cfg.height)
+                        hs, hs, cfg.width, cfg.height, tile4=self.tile4)
         return I.intra_predict_block(
             self.recon[plane], x, y, size, mode, av,
             is_luma=(plane == 0), bit_depth=cfg.bit_depth,
@@ -683,7 +791,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         beta_offset_div2=0, tc_offset_div2=0,
                         pcm_loop_filter_disabled=None, bit_depth=8,
                         transform_skip=False, transquant_bypass=False,
-                        md5_sei=False) -> bytes:
+                        md5_sei=False, wpp=False, tile_cols=1,
+                        tile_rows=1) -> bytes:
     # NOTE: the reference decoder never clears its is_pcm no-filter map
     # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
     # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
@@ -706,7 +815,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         beta_offset_div2=beta_offset_div2,
                         tc_offset_div2=tc_offset_div2,
                         transform_skip=transform_skip,
-                        transquant_bypass=transquant_bypass)
+                        transquant_bypass=transquant_bypass,
+                        wpp=wpp, tile_cols=tile_cols, tile_rows=tile_rows)
     rng = np.random.default_rng(seed)
     out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)
     enc = IntraFrameEncoder(cfg, rng)

@@ -173,10 +173,14 @@ def apply_loop_filters(planes, fs: FrameSymbols):
             fr[py:py + nv, px:px + n] = sn[py:py + nv, px:px + n]
 
     cs = ctb
-    for ry in range(sps.ctbs_h):
-        for rx in range(sps.ctbs_w):
-            hls_filters(rx * cs, ry * cs)
-    hls_filter((sps.ctbs_w - 1) * cs, (sps.ctbs_h - 1) * cs)
+    if fs.ctb_order is not None:
+        order = fs.ctb_order
+    else:
+        order = [(rx * cs, ry * cs) for ry in range(sps.ctbs_h)
+                 for rx in range(sps.ctbs_w)]
+    for (x, y) in order:
+        hls_filters(x, y)
+    hls_filter(*order[-1])
     return frame
 
 

@@ -127,6 +127,9 @@ class FrameSymbols:
     # ref lists: DPB POCs for L0/L1 (resolved by the runtime to plane stacks)
     ref_poc_l0: list = field(default_factory=list)
     ref_poc_l1: list = field(default_factory=list)
+    # CTB parse order [(x,y)] (tile-scan when tiles) — drives the
+    # reference-schedule loop-filter driver; None = raster
+    ctb_order: list | None = None
     # in-loop filter controls
     deblock_disabled: bool = False
     beta_offset: int = 0
