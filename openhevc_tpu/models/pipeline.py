@@ -43,6 +43,7 @@ class PackedFrame:
     res: dict                    # size -> dict of arrays (or None)
     intra: dict                  # size -> dict of [L, cap, ...] arrays
     n_levels: int
+    inter: dict | None = None    # dense MC fields (see _pack_inter)
 
 
 def pack_frame(fs: FrameSymbols) -> PackedFrame:
@@ -262,25 +263,7 @@ class JaxEngine:
         H, W = pf.height, pf.width
         hs, vs = fs.sps.hshift1, fs.sps.vshift1
         if fs.inter_pbs:
-            # inter MC currently runs via the scalar reference into the
-            # initial planes (device gather kernels are the next step)
-            from ..ops.mc_np import predict_inter_block
-            from .recon_np import residual_planes
-            res = residual_planes(fs)
-            maxv = (1 << pf.bit_depth) - 1
-            for pb in fs.inter_pbs:
-                l0p = ref_planes.get(pb.l0[2]) if pb.l0 else None
-                l1p = ref_planes.get(pb.l1[2]) if pb.l1 else None
-                pred = predict_inter_block(l0p, l1p, pb, pf.bit_depth,
-                                           hs, vs)
-                x, y, w, h = pb.x, pb.y, pb.w, pb.h
-                pf.planes0[0, y:y + h, x:x + w] = np.clip(
-                    pred[0] + res[0][y:y + h, x:x + w], 0, maxv)
-                cx, cy = x >> hs, y >> vs
-                cw2, ch2 = w >> hs, h >> vs
-                for c in (1, 2):
-                    pf.planes0[c, cy:cy + ch2, cx:cx + cw2] = np.clip(
-                        pred[c] + res[c][cy:cy + ch2, cx:cx + cw2], 0, maxv)
+            pf.inter = self._pack_inter(fs, ref_planes or {})
         planes = self._run(pf)
         y = np.asarray(planes[0, :H, :W])
         u = np.asarray(planes[1, :H >> vs, :W >> hs])
@@ -289,6 +272,31 @@ class JaxEngine:
         # (device deblock/SAO stencil kernels are the next optimization)
         from .recon_np import apply_loop_filters
         return apply_loop_filters([y, u, v], fs)
+
+    def _pack_inter(self, fs: FrameSymbols, ref_planes):
+        """Dense MC fields from the motion grids + stacked reference
+        planes (device MC, ops/mc.py)."""
+        mc = fs.motion
+        sps = fs.sps
+        pocs = sorted({p for p in
+                       set(fs.ref_poc_l0) | set(fs.ref_poc_l1)
+                       if p in ref_planes})
+        slot_of = {p: i for i, p in enumerate(pocs)}
+        h4, w4 = mc.pred_flag.shape
+        pf4 = np.asarray(mc.pred_flag, np.int32)
+        # drop lists whose referenced picture is unavailable (robustness)
+        slot = np.zeros((2, h4, w4), np.int32)
+        for lx in range(2):
+            pocg = np.asarray(mc.refpoc[:, :, lx])
+            s = np.zeros((h4, w4), np.int32)
+            for p, i in slot_of.items():
+                s[pocg == p] = i
+            slot[lx] = s
+        mv = np.asarray(mc.mv, np.int32)          # [h4,w4,2,2]
+        refs = {c: np.stack([np.asarray(ref_planes[p][c], np.int32)
+                             for p in pocs]) if pocs else None
+                for c in range(3)}
+        return dict(pf4=pf4, mv=mv, slot=slot, refs=refs)
 
     def _run(self, pf: PackedFrame):
         bd = pf.bit_depth
@@ -309,6 +317,35 @@ class JaxEngine:
                                         jnp.asarray(b["plane"]),
                                         jnp.asarray(b["bx"]),
                                         jnp.asarray(b["by"]), s=s)
+        # inter prediction (dense-phase device MC) before the intra scan
+        inter = getattr(pf, "inter", None)
+        if inter is not None and inter["refs"][0] is not None:
+            from ..ops.mc import mc_dense_put, inter_combine
+            H, W = pf.height, pf.width
+            up = 4
+            pf4 = inter["pf4"]
+            for c in range(3):
+                is_luma = c == 0
+                sh = 0 if is_luma else 1
+                ph, pw = H >> sh, W >> sh
+                rep = up >> sh
+                pf_px = jnp.asarray(np.repeat(np.repeat(pf4, rep, 0),
+                                              rep, 1)[:ph, :pw])
+                puts = []
+                for lx in range(2):
+                    mvx = np.repeat(np.repeat(inter["mv"][:, :, lx, 0],
+                                              rep, 0), rep, 1)[:ph, :pw]
+                    mvy = np.repeat(np.repeat(inter["mv"][:, :, lx, 1],
+                                              rep, 0), rep, 1)[:ph, :pw]
+                    sl = np.repeat(np.repeat(inter["slot"][lx], rep, 0),
+                                   rep, 1)[:ph, :pw]
+                    puts.append(mc_dense_put(
+                        jnp.asarray(inter["refs"][c]),
+                        jnp.asarray(mvx.astype(np.int32)),
+                        jnp.asarray(mvy.astype(np.int32)),
+                        jnp.asarray(sl), bit_depth=bd, is_luma=is_luma))
+                planes = inter_combine(planes, res_planes, puts[0], puts[1],
+                                       pf_px, c, bit_depth=bd)
         # intra wavefront
         if pf.n_levels and isinstance(pf.intra, dict) and \
                 "stacked" in pf.intra:

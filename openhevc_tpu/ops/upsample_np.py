@@ -1,0 +1,117 @@
+"""SHVC inter-layer upsampling — numpy reference (SHM resampler).
+
+Behavior parity: upsample_base_layer_frame (hevcdsp_template.c:2164):
+separable 8-tap luma / 4-tap chroma with a 16-phase LUT, replicate border
+padding, 14-bit horizontal intermediate, (20-8)-shift vertical stage with
+rounding+clip. The x2/x1.5 fast paths in the reference use subsets of the
+same 16-phase tables, so this general path covers all ratios identically.
+
+Scale/add derivation (hevc.c:475-485):
+  scale = ((BL << 16) + (EL >> 1)) // EL ;  add = ((phase*scale + 2) >> 2) + (1 << 11)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+UP_FILTER_LUMA = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [0, 1, -3, 63, 4, -2, 1, 0],
+    [-1, 2, -5, 62, 8, -3, 1, 0],
+    [-1, 3, -8, 60, 13, -4, 1, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 52, 26, -8, 3, -1],
+    [-1, 3, -9, 47, 31, -10, 4, -1],
+    [-1, 4, -11, 45, 34, -10, 4, -1],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [-1, 4, -10, 34, 45, -11, 4, -1],
+    [-1, 4, -10, 31, 47, -9, 3, -1],
+    [-1, 3, -8, 26, 52, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+    [0, 1, -4, 13, 60, -8, 3, -1],
+    [0, 1, -3, 8, 62, -5, 2, -1],
+    [0, 1, -2, 4, 63, -3, 1, 0]], np.int64)
+
+UP_FILTER_CHROMA = np.array([
+    [0, 64, 0, 0],
+    [-2, 62, 4, 0],
+    [-2, 58, 10, -2],
+    [-4, 56, 14, -2],
+    [-4, 54, 16, -2],
+    [-6, 52, 20, -2],
+    [-6, 46, 28, -4],
+    [-4, 42, 30, -4],
+    [-4, 36, 36, -4],
+    [-4, 30, 42, -4],
+    [-4, 28, 46, -6],
+    [-2, 20, 52, -6],
+    [-2, 16, 54, -4],
+    [-2, 14, 56, -4],
+    [-2, 10, 58, -2],
+    [0, 4, 62, -2]], np.int64)
+
+
+def scale_add(bl: int, el: int, phase: int = 0):
+    scale = ((bl << 16) + (el >> 1)) // el
+    add = ((phase * scale + 2) >> 2) + (1 << 11)
+    return scale, add
+
+
+def upsample_plane(bl: np.ndarray, el_w: int, el_h: int,
+                   scale_x: int, add_x: int, scale_y: int, add_y: int,
+                   bit_depth: int = 8, luma: bool = True,
+                   win=(0, 0, 0, 0)) -> np.ndarray:
+    """Upsample one BL plane to (el_h, el_w). win = (left, right, top,
+    bottom) scaled-reference-layer offsets in this plane's units."""
+    filt = UP_FILTER_LUMA if luma else UP_FILTER_CHROMA
+    ntaps = filt.shape[1]
+    half = (ntaps >> 1) - 1
+    h_bl, w_bl = bl.shape
+    left, right, top, bottom = win
+    right_end = el_w - right
+    bottom_end = el_h - bottom
+    src = bl.astype(np.int64)
+    # horizontal pass -> temp [h_bl, el_w]
+    temp = np.zeros((h_bl, el_w), np.int64)
+    for i in range(el_w):
+        x = min(max(i, left), right_end)
+        ref16 = ((x - left) * scale_x + add_x) >> 12
+        phase = ref16 & 15
+        refpos = (ref16 >> 4) - half
+        cols = np.clip(np.arange(refpos, refpos + ntaps), 0, w_bl - 1)
+        temp[:, i] = src[:, cols] @ filt[phase]
+    # vertical pass -> out [el_h, el_w]
+    out = np.zeros((el_h, el_w), np.int64)
+    nshift = 20 - 8
+    offset = 1 << (nshift - 1)
+    maxv = (1 << bit_depth) - 1
+    # vertical stage source columns: the reference walks a pointer that
+    # advances only for left <= i <= right_end-2, i.e. clip(i, ...)
+    col_map = np.clip(np.arange(el_w), left, right_end - 1)
+    for j in range(el_h):
+        y = min(max(j, top), bottom_end - 1)
+        ref16 = ((y - top) * scale_y + add_y) >> 12
+        phase = ref16 & 15
+        refpos = (ref16 >> 4) - half
+        rows = np.clip(np.arange(refpos, refpos + ntaps), 0, h_bl - 1)
+        acc = filt[phase] @ temp[rows][:, col_map]
+        out[j] = np.clip((acc + offset) >> nshift, 0, maxv)
+    return out
+
+
+def upsample_frame(bl_planes, el_w: int, el_h: int, bit_depth: int = 8,
+                   phase_align: int = 0):
+    """Upsample [Y, Cb, Cr] 4:2:0 BL planes to EL size (zero window)."""
+    bl_h, bl_w = bl_planes[0].shape
+    sx, ax = scale_add(bl_w, el_w)
+    sy, ay = scale_add(bl_h, el_h)
+    y = upsample_plane(bl_planes[0], el_w, el_h, sx, ax, sy, ay,
+                       bit_depth, luma=True)
+    # chroma: same scale as luma (computed on luma dims, hevc.c:487);
+    # vertical phase offset 1 (+phase_align) per the addYCr derivation
+    axc = ((phase_align * sx + 2) >> 2) + (1 << 11)
+    ayc = (((1 + phase_align) * sy + 2) >> 2) + (1 << 11)
+    cb = upsample_plane(bl_planes[1], el_w >> 1, el_h >> 1, sx, axc, sy, ayc,
+                        bit_depth, luma=False)
+    cr = upsample_plane(bl_planes[2], el_w >> 1, el_h >> 1, sx, axc, sy, ayc,
+                        bit_depth, luma=False)
+    return [y, cb, cr]

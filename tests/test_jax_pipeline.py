@@ -47,3 +47,37 @@ def test_residual_kernels_match_numpy(rng):
             d = T.dequant(levels[i], log2s, int(qp[i]), 8)
             want = T.inverse_transform(d, 8, is_dst=bool(is_dst[i]))
             assert np.array_equal(r[i], want), (s, i)
+
+
+def test_jax_engine_inter():
+    from conftest import ref_decode, ref_planes
+    from openhevc_tpu.encoder.inter_enc import encode_lowdelay_stream
+    from test_inter import moving_frames
+    rng = np.random.default_rng(3)
+    frames = moving_frames(64, 64, 4, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                     seed=3, n_refs=2, b_slices=True,
+                                     sao=True, deblock=True)
+    ref = ref_decode(data)
+    d = Decoder("jax")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 4
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
+
+
+def test_upsample_jax_matches_numpy(rng):
+    from openhevc_tpu.ops.upsample_np import upsample_plane, scale_add
+    from openhevc_tpu.ops.upsample import upsample_plane_jax
+    for (bw, bh, ew, eh, luma) in [(48, 32, 96, 64, True),
+                                   (48, 32, 72, 48, True),
+                                   (24, 16, 48, 32, False),
+                                   (30, 20, 67, 45, True)]:
+        bl = rng.integers(0, 256, (bh, bw))
+        sx, ax = scale_add(bw, ew)
+        sy, ay = scale_add(bh, eh)
+        a = upsample_plane(bl, ew, eh, sx, ax, sy, ay, luma=luma)
+        b = upsample_plane_jax(bl, ew, eh, sx, ax, sy, ay, luma=luma)
+        assert np.array_equal(a, b), (bw, bh, ew, eh)
