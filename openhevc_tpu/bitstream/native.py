@@ -41,7 +41,8 @@ class _SliceParams(ctypes.Structure):
         ("ref_lt", ctypes.c_int32 * 32),
     ] + [(n, ctypes.c_int32) for n in (
         "cur_poc", "sao_enabled", "slice_sao_luma", "slice_sao_chroma",
-        "data_start_byte", "qp_bd_offset")]
+        "data_start_byte", "qp_bd_offset", "tiles_enabled",
+        "num_tile_cols", "num_tile_rows", "entropy_coding_sync")]
 
 
 class _Outputs(ctypes.Structure):
@@ -137,6 +138,10 @@ def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
     p.slice_sao_chroma = sh.sao_chroma
     p.data_start_byte = sh.data_start_byte
     p.qp_bd_offset = sps.qp_bd_offset
+    p.tiles_enabled = pps.tiles_enabled
+    p.num_tile_cols = pps.num_tile_cols
+    p.num_tile_rows = pps.num_tile_rows
+    p.entropy_coding_sync = pps.entropy_coding_sync
 
     # output arenas (numpy-owned)
     g = {n: np.zeros(ng, np.uint8) for n in
@@ -202,8 +207,18 @@ def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
     fs.sao_chroma = bool(sh.sao_chroma)
     fs.ref_poc_l0 = [rp for rp, _ in ref_list[0]]
     fs.ref_poc_l1 = [rp for rp, _ in ref_list[1]]
+    # CTB order (tile-scan) for the loop-filter schedule + tile-aware zscan
+    if pps.tiles_enabled:
+        from .ps import ctb_tile_maps
+        rs_to_ts, ts_order, _tid, _cb, _rb = ctb_tile_maps(pps, sps)
+        cs = 1 << sps.log2_ctb
+        fs.ctb_order = [((int(r) % sps.ctbs_w) * cs,
+                         (int(r) // sps.ctbs_w) * cs) for r in ts_order]
+        zs = zscan_grid(sps, rs_to_ts)
+    else:
+        zs = zscan_grid(sps)
     # motion context view
-    mc = MotionContext(sps, zscan_grid(sps), poc, sh.slice_type,
+    mc = MotionContext(sps, zs, poc, sh.slice_type,
                        sh.max_num_merge_cand, ref_list,
                        pps.log2_parallel_merge_level)
     mc.pred_flag = g["mv_pf"].reshape(h4, w4)

@@ -139,9 +139,10 @@ class Decoder:
         if is_idr(nal_type):
             self.ref_pics = {}
         ref_list = self._build_ref_lists(sh, sps, poc)
-        # WPP/tiles substream handling is Python-parser-only so far
+        # native core supports uniform tiles + WPP; non-uniform tile
+        # spacing falls back to the Python parser
         use_native = self.native_parse and not (
-            pps.tiles_enabled or pps.entropy_coding_sync)
+            pps.tiles_enabled and not pps.uniform_spacing)
         if use_native:
             from .bitstream.native import parse_slice_native
             fs = parse_slice_native(rbsp, sps, pps, sh, nal_type, poc,

@@ -98,6 +98,8 @@ struct SliceParams {
     int32_t sao_enabled, slice_sao_luma, slice_sao_chroma;
     int32_t data_start_byte;
     int32_t qp_bd_offset;
+    int32_t tiles_enabled, num_tile_cols, num_tile_rows;
+    int32_t entropy_coding_sync;
 };
 
 struct Outputs {
@@ -157,6 +159,10 @@ struct Parser {
     std::vector<int8_t> ct_depth;
     std::vector<uint8_t> skip_grid;
     std::vector<int32_t> level_map[3];   // intra wavefront levels per plane
+    std::vector<int32_t> ts_order;       // ts index -> ctb raster addr
+    std::vector<int32_t> tile_id;        // per ctb
+    std::vector<int32_t> col_bd;         // tile column boundaries (CTBs)
+    bool tiles = false, wpp = false;
 
     // per-CU state
     int cu_tqb = 0, cu_qp = 0, cu_pred_mode = MODE_INTRA;
@@ -172,11 +178,34 @@ struct Parser {
         ctbs_h = (H + (1 << P.log2_ctb) - 1) >> P.log2_ctb;
         w4 = (ctbs_w << P.log2_ctb) >> 2;
         h4 = (ctbs_h << P.log2_ctb) >> 2;
+        tiles = P.tiles_enabled != 0;
+        wpp = P.entropy_coding_sync != 0;
+        int ncols = tiles ? P.num_tile_cols : 1;
+        int nrows = tiles ? P.num_tile_rows : 1;
+        col_bd.resize(ncols + 1);
+        std::vector<int32_t> row_bd(nrows + 1);
+        for (int c = 0; c <= ncols; c++) col_bd[c] = c * ctbs_w / ncols;
+        for (int r = 0; r <= nrows; r++) row_bd[r] = r * ctbs_h / nrows;
+        tile_id.assign(ctbs_w * ctbs_h, 0);
+        ts_order.clear();
+        int tid = 0;
+        for (int tr = 0; tr < nrows; tr++)
+            for (int tc = 0; tc < ncols; tc++) {
+                for (int y = row_bd[tr]; y < row_bd[tr + 1]; y++)
+                    for (int x = col_bd[tc]; x < col_bd[tc + 1]; x++) {
+                        ts_order.push_back(y * ctbs_w + x);
+                        tile_id[y * ctbs_w + x] = tid;
+                    }
+                tid++;
+            }
+        std::vector<int32_t> rs_to_ts(ctbs_w * ctbs_h);
+        for (size_t t = 0; t < ts_order.size(); t++)
+            rs_to_ts[ts_order[t]] = (int32_t)t;
         zscan.resize(h4 * w4);
         int n4 = 1 << (P.log2_ctb - 2);
         for (int y = 0; y < h4; y++)
             for (int x = 0; x < w4; x++) {
-                int ctb = (y / n4) * ctbs_w + (x / n4);
+                int ctb = rs_to_ts[(y / n4) * ctbs_w + (x / n4)];
                 int lx = x % n4, ly = y % n4, m = 0;
                 for (int b = 0; b < P.log2_ctb - 2; b++) {
                     m |= ((lx >> b) & 1) << (2 * b);
@@ -212,6 +241,22 @@ struct Parser {
 
     inline int bin(int base, int inc = 0) { return cab.decode_bin(ctx, base + inc); }
 
+    inline int tile_of4(int x4, int y4) const {
+        if (!tiles) return 0;
+        int cx = (x4 << 2) >> P.log2_ctb, cy = (y4 << 2) >> P.log2_ctb;
+        return tile_id[cy * ctbs_w + cx];
+    }
+    inline bool same_tile4(int xa4, int ya4, int xb4, int yb4) const {
+        return tile_of4(xa4, ya4) == tile_of4(xb4, yb4);
+    }
+    inline int tile_width_of(int rs) const {
+        int rx = rs % ctbs_w;
+        for (size_t c = 0; c + 1 < col_bd.size(); c++)
+            if (rx >= col_bd[c] && rx < col_bd[c + 1])
+                return col_bd[c + 1] - col_bd[c];
+        return ctbs_w;
+    }
+
     // ---------------- grids ----------------
     inline void fill_u8(uint8_t* g, int x4, int y4, int n4w, int n4h,
                         uint8_t v) {
@@ -223,29 +268,76 @@ struct Parser {
     int decode() {
         int cs = 1 << P.log2_ctb;
         int n_ctb = ctbs_w * ctbs_h;
-        for (int addr = 0; addr < n_ctb && !err; addr++) {
-            int x0 = (addr % ctbs_w) * cs;
-            int y0 = (addr / ctbs_w) * cs;
+        int ctb_tile_rs = 0;
+        uint8_t saved_ctx[NUM_CONTEXTS];
+        bool have_saved = false;
+        int it = P.slice_type == 2 ? 0 : (P.slice_type == 1 ? 1 : 2);
+        if (P.cabac_init_present && P.cabac_init_flag && P.slice_type != 2)
+            it = 3 - it;
+        for (int ts = 0; ts < n_ctb && !err; ts++) {
+            int rs = ts_order[ts];
+            int x0 = (rs % ctbs_w) * cs;
+            int y0 = (rs / ctbs_w) * cs;
+            int tw = tile_width_of(rs);
+            if (ts > 0) {
+                int prev_rs = ts_order[ts - 1];
+                bool new_tile = tiles && tile_id[rs] != tile_id[prev_rs];
+                if (new_tile) {
+                    ctb_tile_rs = 0;
+                    cab.reinit(cab.consumed_bytes() * 8);
+                    init_ctx_states(it);
+                }
+                if (wpp && ctb_tile_rs % tw == 0 && !new_tile) {
+                    if (cab.terminate() != 1) { err = true; break; }
+                    cab.reinit(cab.consumed_bytes() * 8);
+                    if (tw == 1 || !have_saved) init_ctx_states(it);
+                    else memcpy(ctx, saved_ctx, NUM_CONTEXTS);
+                }
+            }
             if (P.sao_enabled && (P.slice_sao_luma || P.slice_sao_chroma))
                 sao_params(x0, y0);
             coding_quadtree(x0, y0, P.log2_ctb, 0);
+            ctb_tile_rs++;
+            if (wpp && (ctb_tile_rs % tw == 2 ||
+                        (tw == 2 && ctb_tile_rs % tw == 0))) {
+                memcpy(saved_ctx, ctx, NUM_CONTEXTS);
+                have_saved = true;
+            }
             int end = cab.terminate();
-            if (addr == n_ctb - 1) { if (end != 1) err = true; }
+            if (ts == n_ctb - 1) { if (end != 1) err = true; }
             else if (end) err = true;
         }
         return err ? -1 : 0;
+    }
+
+    void init_ctx_states(int it) {
+        int qp = iclip(P.slice_qp, 0, 51);
+        for (int i = 0; i < NUM_CONTEXTS; i++) {
+            int iv = INIT_VALUES[it * NUM_CONTEXTS + i];
+            int slope = (iv >> 4) * 5 - 45;
+            int off = ((iv & 15) << 3) - 16;
+            int pre = iclip(((slope * qp) >> 4) + off, 1, 126);
+            ctx[i] = pre <= 63 ? (uint8_t)((63 - pre) << 1)
+                               : (uint8_t)(((pre - 64) << 1) | 1);
+        }
     }
 
     // ---------------- SAO ----------------
     void sao_params(int x0, int y0) {
         int rx = x0 >> P.log2_ctb, ry = y0 >> P.log2_ctb;
         int16_t* dst = O->sao + (ry * ctbs_w + rx) * 18;
-        if (x0 > 0 && bin(CTX_SAO_MERGE_FLAG)) {
+        if (x0 > 0 &&
+            (!tiles || tile_id[ry * ctbs_w + rx] ==
+                       tile_id[ry * ctbs_w + rx - 1]) &&
+            bin(CTX_SAO_MERGE_FLAG)) {
             memcpy(dst, O->sao + (ry * ctbs_w + rx - 1) * 18,
                    18 * sizeof(int16_t));
             return;
         }
-        if (y0 > 0 && bin(CTX_SAO_MERGE_FLAG)) {
+        if (y0 > 0 &&
+            (!tiles || tile_id[ry * ctbs_w + rx] ==
+                       tile_id[(ry - 1) * ctbs_w + rx]) &&
+            bin(CTX_SAO_MERGE_FLAG)) {
             memcpy(dst, O->sao + ((ry - 1) * ctbs_w + rx) * 18,
                    18 * sizeof(int16_t));
             return;
@@ -291,8 +383,10 @@ struct Parser {
         if (!boundary && log2_cb > P.log2_min_cb) {
             int inc = 0;
             int x4 = x0 >> 2, y4 = y0 >> 2;
-            if (x0 > 0 && ct_depth[y4 * w4 + x4 - 1] > depth) inc++;
-            if (y0 > 0 && ct_depth[(y4 - 1) * w4 + x4] > depth) inc++;
+            if (x0 > 0 && same_tile4(x4, y4, x4 - 1, y4) &&
+                ct_depth[y4 * w4 + x4 - 1] > depth) inc++;
+            if (y0 > 0 && same_tile4(x4, y4, x4, y4 - 1) &&
+                ct_depth[(y4 - 1) * w4 + x4] > depth) inc++;
             split = bin(CTX_SPLIT_CU_FLAG, inc);
         } else {
             split = log2_cb > P.log2_min_cb ? 1 : 0;
@@ -327,8 +421,10 @@ struct Parser {
         }
         if (P.slice_type != 2) {
             int inc = 0;
-            if (x0 > 0 && skip_grid[y4 * w4 + x4 - 1]) inc++;
-            if (y0 > 0 && skip_grid[(y4 - 1) * w4 + x4]) inc++;
+            if (x0 > 0 && same_tile4(x4, y4, x4 - 1, y4) &&
+                skip_grid[y4 * w4 + x4 - 1]) inc++;
+            if (y0 > 0 && same_tile4(x4, y4, x4, y4 - 1) &&
+                skip_grid[(y4 - 1) * w4 + x4]) inc++;
             int skip = bin(CTX_CU_SKIP_FLAG, inc);
             if (skip) {
                 for (int j = 0; j < n4; j++)
@@ -462,11 +558,13 @@ struct Parser {
         int x4 = x0 >> 2, y4 = y0 >> 2;
         int zc = zscan[y4 * w4 + x4];
         int cand_a = 1, cand_b = 1;
-        if (x0 > 0 && zscan[y4 * w4 + x4 - 1] < zc &&
+        if (x0 > 0 && same_tile4(x4, y4, x4 - 1, y4) &&
+            zscan[y4 * w4 + x4 - 1] < zc &&
             O->pred_mode[y4 * w4 + x4 - 1] == MODE_INTRA &&
             !O->is_pcm[y4 * w4 + x4 - 1])
             cand_a = O->ipm[y4 * w4 + x4 - 1];
         if (y0 > 0 && (y0 & ((1 << P.log2_ctb) - 1)) != 0 &&
+            same_tile4(x4, y4, x4, y4 - 1) &&
             zscan[(y4 - 1) * w4 + x4] < zc &&
             O->pred_mode[(y4 - 1) * w4 + x4] == MODE_INTRA &&
             !O->is_pcm[(y4 - 1) * w4 + x4])
@@ -1025,9 +1123,11 @@ struct Parser {
         int vs = plane ? (P.chroma_format_idc == 1 ? 1 : 0) : 0;
         int lx0 = x << hs, ly0 = y << vs;
         int zc = zscan[(ly0 >> 2) * w4 + (lx0 >> 2)];
+        int tid0 = tile_of4(lx0 >> 2, ly0 >> 2);
         auto ok = [&](int lx, int ly) -> int {
             if (lx < 0 || ly < 0 || lx >= P.width || ly >= P.height) return 0;
             if (zscan[(ly >> 2) * w4 + (lx >> 2)] >= zc) return 0;
+            if (tiles && tile_of4(lx >> 2, ly >> 2) != tid0) return 0;
             if (P.constrained_intra_pred &&
                 O->pred_mode[(ly >> 2) * w4 + (lx >> 2)] != MODE_INTRA)
                 return 0;
