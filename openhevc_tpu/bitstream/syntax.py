@@ -229,6 +229,7 @@ class SliceDataParser:
         self.cu_part_mode = PART_2Nx2N
         self.pu_intra_modes = [1, 1, 1, 1]
         self.intra_mode_c = 1
+        self.pu_chroma_modes = [1, 1, 1, 1]
 
     def _same_tile4(self, xa4, ya4, xb4, yb4):
         if self.tile4 is None:
@@ -390,6 +391,7 @@ class SliceDataParser:
         x4, y4 = x0 >> 2, y0 >> 2
         n4 = cb >> 2
         self.ct_depth[y4:y4 + n4, x4:x4 + n4] = depth
+        self.cu_x0, self.cu_y0, self.cu_log2 = x0, y0, log2_cb
         self.cu_tqb = 0
         self.cu_qp = self.sh.qp  # (cu_qp_delta unsupported in parse v1)
         fs.qp_y4[y4:y4 + n4, x4:x4 + n4] = self.cu_qp
@@ -678,14 +680,19 @@ class SliceDataParser:
             p4, n4 = pb >> 2, pb >> 2
             fs.ipm[py >> 2:(py >> 2) + n4, px >> 2:(px >> 2) + n4] = mode
         self.pu_intra_modes = (modes * 4)[:4]
-        # chroma mode (single, from top-left luma PU)
-        if not self.bin("intra_chroma_pred_mode"):
-            self.intra_mode_c = modes[0]
-        else:
-            idx = self.bypass_bits(2)
-            table = (0, 26, 10, 1)
-            m = table[idx]
-            self.intra_mode_c = 34 if m == modes[0] else m
+        # chroma mode: per PU for 4:4:4, single otherwise (7.3.8.5)
+        n_cpu = n_pu if self.sps.chroma_format_idc == 3 else 1
+        cmodes = []
+        for i in range(n_cpu):
+            if not self.bin("intra_chroma_pred_mode"):
+                cmodes.append(modes[i])
+            else:
+                idx = self.bypass_bits(2)
+                table = (0, 26, 10, 1)
+                m = table[idx]
+                cmodes.append(34 if m == modes[i] else m)
+        self.intra_mode_c = cmodes[0]
+        self.pu_chroma_modes = (cmodes * 4)[:4]
 
     def _mpm_candidates(self, x0, y0):
         sps, fs = self.sps, self.fs
@@ -734,7 +741,7 @@ class SliceDataParser:
             if log2_tr > sps.log2_max_tb or (intra_split and depth == 0):
                 split = 1
         my_cbf_cb, my_cbf_cr = cbf_cb, cbf_cr
-        if log2_tr > 2:
+        if log2_tr > 2 or self.sps.chroma_format_idc == 3:
             if depth == 0 or cbf_cb:
                 my_cbf_cb = self.bin("cbf_cbcr", depth)
             else:
@@ -766,6 +773,7 @@ class SliceDataParser:
         fs.bounds_h[y4, x4:x4 + n4] = 1
         if cbf_luma:
             fs.cbf_luma4[y4:y4 + n4, x4:x4 + n4] = 1
+        is444 = self.sps.chroma_format_idc == 3
         if self.cu_pred_mode == MODE_INTRA:
             # luma intra prediction for this TB (decode-order job)
             mode = self._luma_mode_at(x0, y0)
@@ -775,32 +783,38 @@ class SliceDataParser:
             mode = self._luma_mode_at(x0, y0) \
                 if self.cu_pred_mode == MODE_INTRA else -1
             self._residual(x0, y0, log2_tr, 0, mode)
-        if log2_tr > 2:
+        mode_c = self._chroma_mode_at(x0, y0)
+        if log2_tr > 2 or is444:
+            clog2 = log2_tr if is444 else log2_tr - 1
+            cx, cy = (x0, y0) if is444 else (x0 >> 1, y0 >> 1)
             if self.cu_pred_mode == MODE_INTRA:
-                csize = 1 << (log2_tr - 1)
-                self._emit_intra_job(1, x0 >> 1, y0 >> 1, csize,
-                                     self.intra_mode_c)
-                self._emit_intra_job(2, x0 >> 1, y0 >> 1, csize,
-                                     self.intra_mode_c)
+                self._emit_intra_job(1, cx, cy, 1 << clog2, mode_c)
+                self._emit_intra_job(2, cx, cy, 1 << clog2, mode_c)
             if cbf_cb:
-                self._residual(x0 >> 1, y0 >> 1, log2_tr - 1, 1,
-                               self.intra_mode_c)
+                self._residual(cx, cy, clog2, 1, mode_c)
             if cbf_cr:
-                self._residual(x0 >> 1, y0 >> 1, log2_tr - 1, 2,
-                               self.intra_mode_c)
+                self._residual(cx, cy, clog2, 2, mode_c)
         elif blk_idx == 3:
             # chroma handled at the last 4x4 luma TB of the parent 8x8
             if self.cu_pred_mode == MODE_INTRA:
-                self._emit_intra_job(1, x_base >> 1, y_base >> 1, 4,
-                                     self.intra_mode_c)
-                self._emit_intra_job(2, x_base >> 1, y_base >> 1, 4,
-                                     self.intra_mode_c)
+                self._emit_intra_job(1, x_base >> 1, y_base >> 1, 4, mode_c)
+                self._emit_intra_job(2, x_base >> 1, y_base >> 1, 4, mode_c)
             if cbf_cb:
-                self._residual(x_base >> 1, y_base >> 1, 2, 1,
-                               self.intra_mode_c)
+                self._residual(x_base >> 1, y_base >> 1, 2, 1, mode_c)
             if cbf_cr:
-                self._residual(x_base >> 1, y_base >> 1, 2, 2,
-                               self.intra_mode_c)
+                self._residual(x_base >> 1, y_base >> 1, 2, 2, mode_c)
+
+    def _chroma_mode_at(self, x0, y0):
+        """tu.intra_pred_mode_c selection (hevc.c:1460-1475): per-PU
+        chroma modes apply for NxN in 4:4:4, chosen by the depth-1
+        quadrant containing this TB."""
+        if (self.sps.chroma_format_idc == 3 and
+                self.cu_part_mode == PART_NxN):
+            half = 1 << (self.cu_log2 - 1)
+            bi = (2 if (y0 - self.cu_y0) >= half else 0) + \
+                 (1 if (x0 - self.cu_x0) >= half else 0)
+            return self.pu_chroma_modes[bi]
+        return self.intra_mode_c
 
     def _luma_mode_at(self, x0, y0):
         return int(self.fs.ipm[y0 >> 2, x0 >> 2])
@@ -814,7 +828,8 @@ class SliceDataParser:
                            bool(self.pps.constrained_intra_pred),
                            x, y, size, hs, vs, sps.width, sps.height,
                            tile4=self.tile4)
-        filt = (plane == 0 and not getattr(sps, "intra_smoothing_disabled", 0))
+        filt = ((plane == 0 or sps.chroma_format_idc == 3) and
+                not getattr(sps, "intra_smoothing_disabled", 0))
         self.fs.intra_jobs.append(
             IntraJob(plane, x, y, size, mode, avail, filt))
 

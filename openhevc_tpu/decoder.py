@@ -140,9 +140,10 @@ class Decoder:
             self.ref_pics = {}
         ref_list = self._build_ref_lists(sh, sps, poc)
         # native core supports uniform tiles + WPP; non-uniform tile
-        # spacing falls back to the Python parser
+        # spacing and 4:4:4 chroma fall back to the Python parser
         use_native = self.native_parse and not (
-            pps.tiles_enabled and not pps.uniform_spacing)
+            pps.tiles_enabled and not pps.uniform_spacing) and \
+            sps.chroma_format_idc != 3
         if use_native:
             from .bitstream.native import parse_slice_native
             fs = parse_slice_native(rbsp, sps, pps, sh, nal_type, poc,

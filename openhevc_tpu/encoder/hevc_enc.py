@@ -75,6 +75,14 @@ class EncoderConfig:
     def ctbs_h(self) -> int:
         return -(-self.height // self.ctb_size)
 
+    @property
+    def hshift1(self) -> int:
+        return 1 if self.chroma_format_idc in (1, 2) else 0
+
+    @property
+    def vshift1(self) -> int:
+        return 1 if self.chroma_format_idc == 1 else 0
+
 
 def _profile_tier_level(bw: BitWriter, cfg: EncoderConfig):
     bw.put(0, 2)            # general_profile_space
@@ -99,8 +107,9 @@ def _profile_tier_level(bw: BitWriter, cfg: EncoderConfig):
         bw.put(0, 1)        # one_picture_only_constraint_flag
         bw.put(0, 1)        # lower_bit_rate_constraint_flag
         bw.put(0, 34)       # reserved_zero_34bits
+        bw.put(0, 1)        # general_inbld_flag (9+34+1 = 44 bits total)
     else:
-        bw.put(0, 44)       # general_reserved_zero_44bits
+        bw.put(0, 44)       # reserved_zero_43bits + inbld/reserved bit
     bw.put(cfg.level_idc, 8)
 
 

@@ -83,9 +83,10 @@ class IntraFrameEncoder:
         self.target = [np.asarray(y, np.int64), np.asarray(u, np.int64),
                        np.asarray(v, np.int64)]
         W, H = cfg.width, cfg.height
+        hs, vs = cfg.hshift1, cfg.vshift1
         self.recon = [np.zeros((H, W), np.int64),
-                      np.zeros((H // 2, W // 2), np.int64),
-                      np.zeros((H // 2, W // 2), np.int64)]
+                      np.zeros((H >> vs, W >> hs), np.int64),
+                      np.zeros((H >> vs, W >> hs), np.int64)]
         self.ipm = np.full((self.h4, self.w4), 255, np.uint8)
         self.pred_mode = np.ones((self.h4, self.w4), np.uint8)  # all intra
         self.ct_depth = np.zeros((self.h4, self.w4), np.int8)
@@ -284,13 +285,14 @@ class IntraFrameEncoder:
 
     def _pcm(self, x0, y0, log2_cb):
         cb = 1 << log2_cb
+        h, v = self.cfg.hshift1, self.cfg.vshift1
         ys = self.target[0][y0:y0 + cb, x0:x0 + cb]
-        us = self.target[1][y0 // 2:(y0 + cb) // 2, x0 // 2:(x0 + cb) // 2]
-        vs = self.target[2][y0 // 2:(y0 + cb) // 2, x0 // 2:(x0 + cb) // 2]
+        us = self.target[1][y0 >> v:(y0 + cb) >> v, x0 >> h:(x0 + cb) >> h]
+        vs = self.target[2][y0 >> v:(y0 + cb) >> v, x0 >> h:(x0 + cb) >> h]
         self.enc.pcm_payload(ys, us, vs)
         self.recon[0][y0:y0 + cb, x0:x0 + cb] = ys
-        self.recon[1][y0 // 2:(y0 + cb) // 2, x0 // 2:(x0 + cb) // 2] = us
-        self.recon[2][y0 // 2:(y0 + cb) // 2, x0 // 2:(x0 + cb) // 2] = vs
+        self.recon[1][y0 >> v:(y0 + cb) >> v, x0 >> h:(x0 + cb) >> h] = us
+        self.recon[2][y0 >> v:(y0 + cb) >> v, x0 >> h:(x0 + cb) >> h] = vs
         n4 = cb >> 2
         self.ipm[y0 >> 2:(y0 >> 2) + n4, x0 >> 2:(x0 >> 2) + n4] = 1
 
@@ -299,6 +301,7 @@ class IntraFrameEncoder:
         cfg = self.cfg
         rng = self.rng
         self.cu_is_intra = True
+        self.cu_x0, self.cu_y0, self.cu_log2 = x0, y0, log2_cb
         n_pu = 4 if part_nxn else 1
         pb = (1 << log2_cb) >> (1 if part_nxn else 0)
         modes = []
@@ -333,19 +336,23 @@ class IntraFrameEncoder:
                     self.enc.bypass(idx - 1)
             else:
                 self.enc.bypass_bits(mpm_data[i], 5)
-        # chroma mode
-        chroma_idx = int(rng.integers(0, 5))
+        # chroma mode: per PU in 4:4:4, single otherwise
+        n_cpu = n_pu if cfg.chroma_format_idc == 3 else 1
         table = (0, 26, 10, 1)
-        if chroma_idx == 4:
-            mode_c = modes[0]
-            self.enc.bin("intra_chroma_pred_mode", 0, 0)
-        else:
-            m = table[chroma_idx]
-            mode_c = 34 if m == modes[0] else m
-            self.enc.bin("intra_chroma_pred_mode", 0, 1)
-            self.enc.bypass_bits(chroma_idx, 2)
+        cmodes = []
+        for i in range(n_cpu):
+            chroma_idx = int(rng.integers(0, 5))
+            if chroma_idx == 4:
+                cmodes.append(modes[i])
+                self.enc.bin("intra_chroma_pred_mode", 0, 0)
+            else:
+                m = table[chroma_idx]
+                cmodes.append(34 if m == modes[i] else m)
+                self.enc.bin("intra_chroma_pred_mode", 0, 1)
+                self.enc.bypass_bits(chroma_idx, 2)
         self.cu_modes = (modes * 4)[:4]
-        self.mode_c = mode_c
+        self.pu_modes_c = (cmodes * 4)[:4]
+        self.mode_c = cmodes[0]
         # transform tree: plan splits, process (closed loop), then emit
         intra_split = 1 if part_nxn else 0
         max_depth = cfg.max_transform_hierarchy_depth + intra_split
@@ -401,16 +408,32 @@ class IntraFrameEncoder:
     def _luma_mode_at(self, x, y):
         return int(self.ipm[y >> 2, x >> 2])
 
+    def _chroma_mode_at(self, x, y):
+        """Per-PU chroma mode for 4:4:4 NxN (quadrant of the CU);
+        otherwise the CU's single chroma mode."""
+        cfg = self.cfg
+        if cfg.chroma_format_idc == 3 and len(set(self.pu_modes_c)) > 1:
+            half = 1 << (self.cu_log2 - 1)
+            bi = (2 if (y - self.cu_y0) >= half else 0) + \
+                 (1 if (x - self.cu_x0) >= half else 0)
+            return self.pu_modes_c[bi]
+        return self.mode_c
+
+    pu_modes_c = [1, 1, 1, 1]
+    cu_x0 = cu_y0 = 0
+    cu_log2 = 4
+
     def _pred_block(self, plane, x, y, size, mode):
         cfg = self.cfg
-        hs = 1 if plane else 0
+        hs = cfg.hshift1 if plane else 0
+        vs = cfg.vshift1 if plane else 0
         av = avail_mask(self.zscan, self.pred_mode, False, x, y, size,
-                        hs, hs, cfg.width, cfg.height, tile4=self.tile4)
+                        hs, vs, cfg.width, cfg.height, tile4=self.tile4)
         return I.intra_predict_block(
             self.recon[plane], x, y, size, mode, av,
             is_luma=(plane == 0), bit_depth=cfg.bit_depth,
-            filter_enabled=(plane == 0),
-            strong_smoothing=cfg.strong_intra_smoothing)
+            filter_enabled=(plane == 0 or cfg.chroma_format_idc == 3),
+            strong_smoothing=(cfg.strong_intra_smoothing and plane == 0))
 
     cu_is_intra = True   # PFrameEncoder toggles per CU
     cu_tqb = False       # cu_transquant_bypass for the current CU
@@ -472,8 +495,8 @@ class IntraFrameEncoder:
             for i, ch in enumerate(node["children"]):
                 self._process_tree(ch, node["x"], node["y"], log2_cb,
                                    depth + 1, i)
-            # chroma at this level if children are 4x4 luma
-            if node["log2"] == 3:
+            # 4:2:0 aggregates chroma at the 8x8 parent of 4x4 luma TBs
+            if node["log2"] == 3 and self.cfg.chroma_format_idc != 3:
                 node["chroma_levels"] = self._chroma_tu(node["x"], node["y"],
                                                         4)
             return
@@ -484,12 +507,16 @@ class IntraFrameEncoder:
             self._tu_levels(0, x0, y0, size, mode)
         node["luma_mode"] = mode
         node["tqb"] = self.cu_tqb
-        if log2 > 2:
+        if self.cfg.chroma_format_idc == 3:
+            node["chroma_levels"] = self._chroma_tu(x0, y0, size)
+        elif log2 > 2:
             node["chroma_levels"] = self._chroma_tu(x0, y0, size >> 1)
 
     def _chroma_tu(self, x0, y0, csize):
-        cb, ts_cb = self._tu_levels(1, x0 >> 1, y0 >> 1, csize, self.mode_c)
-        cr, ts_cr = self._tu_levels(2, x0 >> 1, y0 >> 1, csize, self.mode_c)
+        h, v = self.cfg.hshift1, self.cfg.vshift1
+        mc = self._chroma_mode_at(x0, y0) if self.cu_is_intra else -1
+        cb, ts_cb = self._tu_levels(1, x0 >> h, y0 >> v, csize, mc)
+        cr, ts_cr = self._tu_levels(2, x0 >> h, y0 >> v, csize, mc)
         return (cb, cr, ts_cb, ts_cr)
 
     def _emit_tree(self, node, x0, y0, x_base, y_base, log2_tr, depth,
@@ -500,7 +527,7 @@ class IntraFrameEncoder:
                          1 if node["split"] else 0)
         cbf_cb_p, cbf_cr_p = parent_cbf
         cbf_cb = cbf_cr = 0
-        if log2_tr > 2:
+        if log2_tr > 2 or cfg.chroma_format_idc == 3:
             cbf_cb, cbf_cr = self._subtree_chroma_cbf(node)
             if depth == 0 or cbf_cb_p:
                 self.enc.bin("cbf_cbcr", depth, cbf_cb)
@@ -525,14 +552,17 @@ class IntraFrameEncoder:
             self._encode_residual(luma, log2_tr, 0, scan,
                                   ts=node.get("luma_ts", False),
                                   tqb=node.get("tqb", False))
-        if log2_tr > 2:
+        if log2_tr > 2 or cfg.chroma_format_idc == 3:
+            clog2 = log2_tr if cfg.chroma_format_idc == 3 else log2_tr - 1
             cbl, crl, tsb, tsr = node["chroma_levels"]
-            scan = self._scan_for(log2_tr - 1, 1, self.mode_c)
+            mc = self._chroma_mode_at(node["x"], node["y"]) \
+                if self.cu_is_intra else -1
+            scan = self._scan_for(clog2, 1, mc)
             if np.any(cbl):
-                self._encode_residual(cbl, log2_tr - 1, 1, scan, ts=tsb,
+                self._encode_residual(cbl, clog2, 1, scan, ts=tsb,
                                       tqb=node.get("tqb", False))
             if np.any(crl):
-                self._encode_residual(crl, log2_tr - 1, 2, scan, ts=tsr,
+                self._encode_residual(crl, clog2, 2, scan, ts=tsr,
                                       tqb=node.get("tqb", False))
         elif blk_idx == 3:
             cbl, crl, tsb, tsr = self._find_parent(x_base, y_base)
@@ -552,7 +582,7 @@ class IntraFrameEncoder:
         if not node["split"]:
             cb, cr = node["chroma_levels"][:2]
             return int(np.any(cb)), int(np.any(cr))
-        if node["log2"] == 3:
+        if node["log2"] == 3 and self.cfg.chroma_format_idc != 3:
             cb, cr = node["chroma_levels"][:2]
             self._parent_chroma[(node["x"], node["y"])] = \
                 node["chroma_levels"]
@@ -792,7 +822,7 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         pcm_loop_filter_disabled=None, bit_depth=8,
                         transform_skip=False, transquant_bypass=False,
                         md5_sei=False, wpp=False, tile_cols=1,
-                        tile_rows=1) -> bytes:
+                        tile_rows=1, chroma_format_idc=1) -> bytes:
     # NOTE: the reference decoder never clears its is_pcm no-filter map
     # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
     # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
@@ -802,6 +832,7 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
         pcm_loop_filter_disabled = not (sao or deblock)
     cfg = EncoderConfig(width=width, height=height, qp=qp,
                         bit_depth=bit_depth,
+                        chroma_format_idc=chroma_format_idc,
                         pcm_bit_depth=min(bit_depth, 8) if pcm else 8,
                         ctb_log2=ctb_log2, min_cb_log2=min_cb_log2,
                         min_tb_log2=2,

@@ -88,7 +88,8 @@ def reconstruct(fs: FrameSymbols, ref_planes=None):
             pl, job.x, job.y, job.size, job.mode, job.avail,
             is_luma=(job.plane == 0), bit_depth=bd,
             filter_enabled=job.filter_refs,
-            strong_smoothing=bool(sps.strong_intra_smoothing))
+            strong_smoothing=(bool(sps.strong_intra_smoothing)
+                              and job.plane == 0))
         r = res[job.plane][job.y:job.y + job.size, job.x:job.x + job.size]
         pl[job.y:job.y + job.size, job.x:job.x + job.size] = \
             np.clip(pred + r, 0, maxv)

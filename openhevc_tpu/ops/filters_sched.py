@@ -220,15 +220,17 @@ def _deblock_ctb(planes, fs: FrameSymbols, vbs, hbs, nf, x0, y0):
                 _luma_edge_seg(ypl, x, yy, True, beta, tc,
                                get_nf((x - 1) >> 2, yy >> 2),
                                get_nf(x >> 2, yy >> 2), bd)
-    # vertical chroma
+    # vertical chroma (hevc_filter.c:423-432: steps of 8*h / 8*v luma
+    # samples, two 4-chroma-line segments per step)
     if sps.chroma_format_idc:
         bdc = sps.bit_depth_chroma
+        ch, cv = 1 << sps.hshift1, 1 << sps.vshift1
         for c_idx in (1, 2):
             pl = planes[c_idx]
             off = fs.pps.cb_qp_offset if c_idx == 1 else fs.pps.cr_qp_offset
-            for y in range(y0, y_end, 16):
-                for x in range(x0 if x0 else 16, x_end, 16):
-                    for sub in (0, 8):
+            for y in range(y0, y_end, 8 * cv):
+                for x in range(x0 if x0 else 8 * ch, x_end, 8 * ch):
+                    for sub in (0, 4 * cv):
                         yy = y + sub
                         if yy >= y_end:
                             continue
@@ -240,7 +242,8 @@ def _deblock_ctb(planes, fs: FrameSymbols, vbs, hbs, nf, x0, y0):
                         qpc = chroma_qp(qp_l, off, sps.chroma_format_idc, 0)
                         tc = int(TC_TABLE[np.clip(qpc + 2 + tc_off,
                                                   0, 53)]) << (bdc - 8)
-                        _chroma_edge_seg(pl, x >> 1, yy >> 1, True, tc,
+                        _chroma_edge_seg(pl, x >> sps.hshift1,
+                                         yy >> sps.vshift1, True, tc,
                                          get_nf((x - 1) >> 2, yy >> 2),
                                          get_nf(x >> 2, yy >> 2), bdc)
     # horizontal luma (defer last 8 columns unless at picture edge)
@@ -267,16 +270,17 @@ def _deblock_ctb(planes, fs: FrameSymbols, vbs, hbs, nf, x0, y0):
     # horizontal chroma
     if sps.chroma_format_idc:
         bdc = sps.bit_depth_chroma
+        ch, cv = 1 << sps.hshift1, 1 << sps.vshift1
         if x_end2 != W:
-            x_end = x_end2 - 16
+            x_end = x_end2 - 8 * ch
         else:
             x_end = x_end2
         for c_idx in (1, 2):
             pl = planes[c_idx]
             off = fs.pps.cb_qp_offset if c_idx == 1 else fs.pps.cr_qp_offset
-            for y in range(y0 if y0 else 16, y_end, 16):
-                for x in range(x0 - 16 if x0 else 0, x_end, 16):
-                    for sub in (0, 8):
+            for y in range(y0 if y0 else 8 * cv, y_end, 8 * cv):
+                for x in range(x0 - 8 * ch if x0 else 0, x_end, 8 * ch):
+                    for sub in (0, 4 * ch):
                         xx = x + sub
                         if xx >= W:
                             continue
@@ -288,6 +292,7 @@ def _deblock_ctb(planes, fs: FrameSymbols, vbs, hbs, nf, x0, y0):
                         qpc = chroma_qp(qp_l, off, sps.chroma_format_idc, 0)
                         tc = int(TC_TABLE[np.clip(qpc + 2 + tc_off,
                                                   0, 53)]) << (bdc - 8)
-                        _chroma_edge_seg(pl, xx >> 1, y >> 1, False, tc,
+                        _chroma_edge_seg(pl, xx >> sps.hshift1,
+                                         y >> sps.vshift1, False, tc,
                                          get_nf(xx >> 2, (y - 1) >> 2),
                                          get_nf(xx >> 2, y >> 2), bdc)

@@ -104,7 +104,9 @@ def _predict_batch_impl(planes, res_planes, valid, plane_idx, x, y, mode,
             l_mid = ref[:, s]                 # left[s-1]
             th = 1 << (bit_depth - 5)
             strong = (jnp.abs(corner + topend - 2 * t_mid) < th) & \
-                     (jnp.abs(corner + leftend - 2 * l_mid) < th)
+                     (jnp.abs(corner + leftend - 2 * l_mid) < th) & \
+                     (plane_idx == 0)   # bilinear smoothing is luma-only
+                                        # even in 4:4:4 (hevcpred_template.c:296)
             k = jnp.arange(2 * s - 1)
             top_bl = ((63 - k)[None, :] * corner[:, None] +
                       (k + 1)[None, :] * topend[:, None] + 32) >> 6

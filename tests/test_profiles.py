@@ -98,3 +98,45 @@ def test_main10_lowdelay_p():
     data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
                                      seed=31, bit_depth=10)
     check(data, 3, 64, 64)
+
+
+# ---- Range extension: 4:4:4 chroma (intra) -------------------------------
+
+def frames444(W, H, n, rng, maxval=256):
+    dt = np.uint16 if maxval > 256 else np.uint8
+    return [tuple(rng.integers(0, maxval, (H, W)).astype(dt)
+                  for _ in range(3)) for _ in range(n)]
+
+
+@pytest.mark.parametrize("seed,kw", [
+    (41, dict(qp=30, min_cb_log2=3)),                     # NxN per-PU chroma
+    (42, dict(qp=32, min_cb_log2=3, sao=True, deblock=True)),
+    (43, dict(qp=30, min_cb_log2=3, bit_depth=10)),
+    (44, dict(qp=30, min_cb_log2=3, transform_skip=True)),
+    (45, dict(qp=30, min_cb_log2=3, transquant_bypass=True)),
+    (46, dict(qp=34, W=96, H=64, ctb_log2=5)),            # 32x32 chroma TBs
+])
+def test_rext_444_intra(seed, kw):
+    rng = np.random.default_rng(seed)
+    W, H = kw.pop("W", 64), kw.pop("H", 64)
+    maxval = 1024 if kw.get("bit_depth", 8) == 10 else 256
+    frames = frames444(W, H, 2, rng, maxval)
+    data, _ = encode_intra_stream(frames, W, H, ctb_log2=kw.pop("ctb_log2", 4),
+                                  seed=seed, chroma_format_idc=3, **kw)
+    check(data, 2, W, H)
+
+
+def test_rext_444_jax_engine():
+    rng = np.random.default_rng(47)
+    frames = frames444(64, 64, 2, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                  min_cb_log2=3, seed=47, sao=True,
+                                  deblock=True, chroma_format_idc=3)
+    ref = ref_decode(data)
+    d = Decoder("jax")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 2
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
