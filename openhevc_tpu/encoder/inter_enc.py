@@ -34,9 +34,10 @@ class PFrameEncoder(IntraFrameEncoder):
         self.target = [np.asarray(y, np.int64), np.asarray(u, np.int64),
                        np.asarray(v, np.int64)]
         W, H = cfg.width, cfg.height
+        hs, vs = cfg.hshift1, cfg.vshift1
         self.recon = [np.zeros((H, W), np.int64),
-                      np.zeros((H // 2, W // 2), np.int64),
-                      np.zeros((H // 2, W // 2), np.int64)]
+                      np.zeros((H >> vs, W >> hs), np.int64),
+                      np.zeros((H >> vs, W >> hs), np.int64)]
         self.ipm = np.full((self.h4, self.w4), 255, np.uint8)
         self.pred_mode = np.zeros((self.h4, self.w4), np.uint8)
         self.ct_depth = np.zeros((self.h4, self.w4), np.int8)
@@ -248,17 +249,20 @@ class PFrameEncoder(IntraFrameEncoder):
         far in this CU (cheap: only the CU area is consumed)."""
         cfg = self.cfg
         W, H = cfg.width, cfg.height
+        hs, vs = cfg.hshift1, cfg.vshift1
         bufs = [np.zeros((H, W), np.int64),
-                np.zeros((H // 2, W // 2), np.int64),
-                np.zeros((H // 2, W // 2), np.int64)]
+                np.zeros((H >> vs, W >> hs), np.int64),
+                np.zeros((H >> vs, W >> hs), np.int64)]
         for pb in self._pu_list:
             if not (x0 <= pb.x < x0 + w and y0 <= pb.y < y0 + h):
                 continue
             l0p = self.ref_planes.get(pb.l0[2]) if pb.l0 else None
             l1p = self.ref_planes.get(pb.l1[2]) if pb.l1 else None
-            pred = mc_np.predict_inter_block(l0p, l1p, pb, cfg.bit_depth)
+            pred = mc_np.predict_inter_block(l0p, l1p, pb, cfg.bit_depth,
+                                             hshift=hs, vshift=vs)
             bufs[0][pb.y:pb.y + pb.h, pb.x:pb.x + pb.w] = pred[0]
-            cx, cy, cw, ch = pb.x >> 1, pb.y >> 1, pb.w >> 1, pb.h >> 1
+            cx, cy = pb.x >> hs, pb.y >> vs
+            cw, ch = pb.w >> hs, pb.h >> vs
             bufs[1][cy:cy + ch, cx:cx + cw] = pred[1]
             bufs[2][cy:cy + ch, cx:cx + cw] = pred[2]
         return bufs
@@ -368,12 +372,13 @@ class _Sps2:
 def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                            min_cb_log2=3, seed=0, sao=False, deblock=False,
                            n_refs=1, max_merge=5, b_slices=False,
-                           bit_depth=8, wpp=False):
+                           bit_depth=8, wpp=False, chroma_format_idc=1):
     """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
     expected recons). Expected output only valid without loop filters;
     with filters on, compare against the reference decoder."""
     cfg = EncoderConfig(width=width, height=height, qp=qp,
                         bit_depth=bit_depth,
+                        chroma_format_idc=chroma_format_idc,
                         ctb_log2=ctb_log2, min_cb_log2=min_cb_log2,
                         min_tb_log2=2, max_tb_log2=min(5, ctb_log2),
                         max_transform_hierarchy_depth=2,

@@ -44,6 +44,8 @@ class PackedFrame:
     intra: dict                  # size -> dict of [L, cap, ...] arrays
     n_levels: int
     inter: dict | None = None    # dense MC fields (see _pack_inter)
+    hshift: int = 1              # chroma subsampling shifts (sps)
+    vshift: int = 1
 
 
 def pack_frame(fs: FrameSymbols) -> PackedFrame:
@@ -66,7 +68,8 @@ def pack_frame(fs: FrameSymbols) -> PackedFrame:
     return PackedFrame(width=W, height=H, bit_depth=bd,
                        strong_smoothing=bool(sps.strong_intra_smoothing),
                        planes0=planes0, res=res, intra=intra,
-                       n_levels=n_levels)
+                       n_levels=n_levels,
+                       hshift=sps.hshift1, vshift=sps.vshift1)
 
 
 def _pack_from_objects(fs: FrameSymbols, W, H):
@@ -326,24 +329,26 @@ class JaxEngine:
             pf4 = inter["pf4"]
             for c in range(3):
                 is_luma = c == 0
-                sh = 0 if is_luma else 1
-                ph, pw = H >> sh, W >> sh
-                rep = up >> sh
-                pf_px = jnp.asarray(np.repeat(np.repeat(pf4, rep, 0),
-                                              rep, 1)[:ph, :pw])
+                sh = 0 if is_luma else pf.hshift
+                sv = 0 if is_luma else pf.vshift
+                ph, pw = H >> sv, W >> sh
+                reph, repv = up >> sh, up >> sv
+                pf_px = jnp.asarray(np.repeat(np.repeat(pf4, repv, 0),
+                                              reph, 1)[:ph, :pw])
                 puts = []
                 for lx in range(2):
                     mvx = np.repeat(np.repeat(inter["mv"][:, :, lx, 0],
-                                              rep, 0), rep, 1)[:ph, :pw]
+                                              repv, 0), reph, 1)[:ph, :pw]
                     mvy = np.repeat(np.repeat(inter["mv"][:, :, lx, 1],
-                                              rep, 0), rep, 1)[:ph, :pw]
-                    sl = np.repeat(np.repeat(inter["slot"][lx], rep, 0),
-                                   rep, 1)[:ph, :pw]
+                                              repv, 0), reph, 1)[:ph, :pw]
+                    sl = np.repeat(np.repeat(inter["slot"][lx], repv, 0),
+                                   reph, 1)[:ph, :pw]
                     puts.append(mc_dense_put(
                         jnp.asarray(inter["refs"][c]),
                         jnp.asarray(mvx.astype(np.int32)),
                         jnp.asarray(mvy.astype(np.int32)),
-                        jnp.asarray(sl), bit_depth=bd, is_luma=is_luma))
+                        jnp.asarray(sl), bit_depth=bd, is_luma=is_luma,
+                        hs=pf.hshift, vs=pf.vshift))
                 planes = inter_combine(planes, res_planes, puts[0], puts[1],
                                        pf_px, c, bit_depth=bd)
         # intra wavefront

@@ -33,14 +33,20 @@ _EPEL_ALL[0, 1] = 64
 _EPEL_ALL[1:] = EPEL_FILTERS
 
 
-@partial(jax.jit, static_argnames=("bit_depth", "is_luma"))
-def mc_dense_put(refs, mvx, mvy, slot, bit_depth: int, is_luma: bool):
+@partial(jax.jit, static_argnames=("bit_depth", "is_luma", "hs", "vs"))
+def mc_dense_put(refs, mvx, mvy, slot, bit_depth: int, is_luma: bool,
+                 hs: int = 1, vs: int = 1):
     """refs: [R, H, W] int32 reference planes. mvx/mvy/slot: [H, W] int32
-    (quarter-pel luma / eighth-pel chroma MV units; slot indexes refs).
+    (luma quarter-pel MV units; slot indexes refs). hs/vs: chroma
+    subsampling shifts — chroma offset/phase follow hevc.c:1807-1813
+    (offset = mv >> (2+shift), phase = (mv & mask) << (1-shift)).
     Returns the 14-bit 'put' intermediate [H, W] int32."""
     R, H, W = refs.shape
     taps = 8 if is_luma else 4
-    fb = 2 if is_luma else 3
+    fbx = 2 if is_luma else 2 + hs
+    fby = 2 if is_luma else 2 + vs
+    pmx = 1 if is_luma else 1 << (1 - hs)
+    pmy = 1 if is_luma else 1 << (1 - vs)
     nphase = 4 if is_luma else 8
     filt = jnp.asarray(_QPEL_ALL if is_luma else _EPEL_ALL)
     center = 3 if is_luma else 1
@@ -62,10 +68,10 @@ def mc_dense_put(refs, mvx, mvy, slot, bit_depth: int, is_luma: bool):
     vf = vf >> 6
     # per-pixel gather
     ys, xs = jnp.mgrid[0:H, 0:W]
-    sx = xs + (mvx >> fb)
-    sy = ys + (mvy >> fb)
-    fx = (mvx & ((1 << fb) - 1)).astype(jnp.int32)
-    fy = (mvy & ((1 << fb) - 1)).astype(jnp.int32)
+    sx = xs + (mvx >> fbx)
+    sy = ys + (mvy >> fby)
+    fx = ((mvx & ((1 << fbx) - 1)) * pmx).astype(jnp.int32)
+    fy = ((mvy & ((1 << fby) - 1)) * pmy).astype(jnp.int32)
     gi = jnp.clip(sx + PAD - center, 0, wn - 1)
     gj = jnp.clip(sy + PAD - center, 0, hn - 1)
     flat = vf.reshape(R * nphase * nphase, hn, wn)

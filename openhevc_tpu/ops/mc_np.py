@@ -56,10 +56,14 @@ def qpel_put(plane, x, y, w, h, mvx, mvy, bit_depth):
     return sum(f[k] * tmp[k:k + h, :] for k in range(8)) >> 6
 
 
-def epel_put(plane, x, y, w, h, mvx, mvy, bit_depth):
-    """Chroma MC 14-bit intermediate; mv in eighth-pel chroma units."""
-    ix, fx = x + (mvx >> 3), mvx & 7
-    iy, fy = y + (mvy >> 3), mvy & 7
+def epel_put(plane, x, y, w, h, mvx, mvy, bit_depth, hs=1, vs=1):
+    """Chroma MC 14-bit intermediate; mv in luma quarter-pel units.
+    Phase/offset per chroma subsampling (hevc.c:1807-1813):
+    offset = mv >> (2+shift), phase = (mv & mask) << (1-shift)."""
+    ix = x + (mvx >> (2 + hs))
+    fx = (mvx & ((1 << (2 + hs)) - 1)) << (1 - hs)
+    iy = y + (mvy >> (2 + vs))
+    fy = (mvy & ((1 << (2 + vs)) - 1)) << (1 - vs)
     shift1 = bit_depth - 8
     if fx == 0 and fy == 0:
         return _gather(plane, ix, iy, w, h) << (14 - bit_depth)
@@ -135,7 +139,7 @@ def predict_inter_block(ref_planes_l0, ref_planes_l1, pb, bit_depth,
                                      mvx, mvy, bit_depth))
             else:
                 puts.append(epel_put(ref_planes[c], px, py, pw, ph,
-                                     mvx, mvy, bit_depth))
+                                     mvx, mvy, bit_depth, hshift, vshift))
         if len(puts) == 2:
             outs.append(bi(puts[0], puts[1], bit_depth))
         else:

@@ -140,3 +140,26 @@ def test_rext_444_jax_engine():
         for p, (got, want) in enumerate(zip(mine[i].cropped(),
                                             ref_planes(f))):
             assert np.array_equal(got, want), (i, p)
+
+
+def _mv_frames444(W, H, n, rng):
+    base = [rng.integers(0, 256, (H * 2, W * 2)).astype(np.uint8)
+            for _ in range(3)]
+    out = []
+    for _ in range(n):
+        dx = int(rng.integers(0, W // 2))
+        dy = int(rng.integers(0, H // 2))
+        out.append(tuple(b[dy:dy + H, dx:dx + W].copy() for b in base))
+    return out
+
+
+@pytest.mark.parametrize("seed,kw", [
+    (51, dict(n_refs=1)),
+    (52, dict(n_refs=2, b_slices=True, sao=True, deblock=True)),
+])
+def test_rext_444_inter(seed, kw):
+    rng = np.random.default_rng(seed)
+    frames = _mv_frames444(64, 64, 4, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                     seed=seed, chroma_format_idc=3, **kw)
+    check(data, 4, 64, 64)
