@@ -67,10 +67,13 @@ class OpenHevc:
         self._pending_md5: dict[int, list] = {}
         self._md5_frame_count = 0
         self._verified = 0
+        self._extradata: bytes | None = None
 
     # -- lifecycle ----------------------------------------------------------
     def start(self):
         self._dec = Decoder(self.engine)
+        if self._extradata is not None:
+            self._dec.set_extradata(self._extradata)
         return 1
 
     def close(self):
@@ -98,6 +101,14 @@ class OpenHevc:
 
     def set_debug_mode(self, v: int):
         pass
+
+    def copy_extradata(self, extra_data: bytes):
+        """libOpenHevcCopyExtraData (openHevcWrapper.c:157): stores codec
+        extradata (hvcC or Annex-B parameter sets); applied at start(), or
+        immediately if already started."""
+        self._extradata = bytes(extra_data)
+        if self._dec is not None:
+            self._dec.set_extradata(self._extradata)
 
     def version(self) -> str:
         return VERSION

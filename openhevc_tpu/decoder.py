@@ -82,6 +82,48 @@ class Decoder:
         self.ref_pics: dict[int, DecodedPicture] = {}
         self.n_output_pending = 0
         self._jax_engine = None
+        self.is_nalff = False        # length-prefixed NALs (hvcC input)
+        self.nal_length_size = 4
+
+    # -- extradata (hvcC / Annex-B) ----------------------------------------
+    def set_extradata(self, data: bytes):
+        """Feed codec extradata before/with the stream. hvcC (ISO 14496-15)
+        is detected as in hevc_decode_extradata (hevc.c:4412): parameter-set
+        arrays carry 2-byte NAL lengths; subsequent packets are parsed as
+        nal_length_size-prefixed NAL units instead of Annex-B."""
+        if len(data) > 3 and (data[0] or data[1] or data[2] > 1):
+            self.is_nalff = True
+            pos = 21
+            self.nal_length_size = (data[pos] & 3) + 1
+            pos += 1
+            num_arrays = data[pos]
+            pos += 1
+            for _ in range(num_arrays):
+                pos += 1                       # completeness + NAL type
+                cnt = int.from_bytes(data[pos:pos + 2], "big")
+                pos += 2
+                for _ in range(cnt):
+                    n = int.from_bytes(data[pos:pos + 2], "big")
+                    pos += 2
+                    nal = data[pos:pos + n]
+                    pos += n
+                    if len(nal) >= 2:
+                        self._handle_nal(nal)
+        else:
+            self.is_nalff = False
+            for nal in split_nals(data):
+                if len(nal) >= 2:
+                    self._handle_nal(nal)
+
+    def _split_nalff(self, data: bytes):
+        out = []
+        i, n = 0, self.nal_length_size
+        while i + n <= len(data):
+            ln = int.from_bytes(data[i:i + n], "big")
+            i += n
+            out.append(data[i:i + ln])
+            i += ln
+        return out
 
     # -- parameter sets ----------------------------------------------------
     def _handle_nal(self, nal: bytes):
@@ -225,7 +267,9 @@ class Decoder:
     def decode(self, data: bytes):
         """Feed Annex-B bytes (any number of AUs); returns newly available
         pictures in output order."""
-        for nal in split_nals(data):
+        nals = self._split_nalff(data) if self.is_nalff \
+            else split_nals(data)
+        for nal in nals:
             if len(nal) >= 2:
                 self._handle_nal(nal)
         out, self.output = self.output, []

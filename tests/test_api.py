@@ -60,3 +60,37 @@ def test_cli_yuv_output(tmp_path):
     exp = b"".join(np.asarray(p).astype(np.uint8).tobytes()
                    for rec in recons for p in rec)
     assert out_yuv.read_bytes() == exp
+
+
+def test_hvcc_extradata_input():
+    """hvcC extradata + length-prefixed packets (hevc_decode_extradata,
+    hevc.c:4412) decode identically to the Annex-B form."""
+    from openhevc_tpu.decoder import split_nals
+    rng = np.random.default_rng(21)
+    frames = make_frames(64, 64, 2, rng)
+    data, recons = encode_intra_stream(frames, 64, 64, qp=30, seed=21)
+    ps = {32: [], 33: [], 34: []}
+    aus = []
+    for nal in split_nals(data):
+        t = (nal[0] >> 1) & 0x3F
+        (ps[t] if t in ps else aus).append(nal)
+    hvcc = bytes([1]) + bytes(20) + bytes([0xFC | 3]) + bytes([3])
+    for t in (32, 33, 34):
+        hvcc += bytes([t]) + len(ps[t]).to_bytes(2, "big")
+        for nal in ps[t]:
+            hvcc += len(nal).to_bytes(2, "big") + nal
+    h = OpenHevc(engine="np")
+    h.start()
+    h.copy_extradata(hvcc)
+    out = []
+    for nal in aus:
+        h.decode(len(nal).to_bytes(4, "big") + nal)
+        while (fr := h.get_output()) is not None:
+            out.append(fr)
+    h.flush()
+    while (fr := h.get_output()) is not None:
+        out.append(fr)
+    assert len(out) == len(recons)
+    for fr, want in zip(out, recons):
+        for p, w in zip(fr.planes, want):
+            assert np.array_equal(p, w)
