@@ -235,9 +235,11 @@ def _parse_pred_weight_table(r: BitReader, sh: SliceHeader, sps: SPS):
                 for j in range(2):
                     cw[j] = (1 << table["chroma_log2_denom"]) + r.se()
                     delta = r.se()
-                    shift = 1 << (sps.bit_depth_chroma - 1)
+                    # wpOffsetHalfRangeC = 128 without high-precision
+                    # offsets (pred_weight_table, hevc.c:262-266)
                     co[j] = max(-128, min(127,
-                                (delta - ((shift * (cw[j] - (1 << table["chroma_log2_denom"]))) >> table["chroma_log2_denom"])) + 0))
+                                delta - ((128 * cw[j]) >>
+                                         table["chroma_log2_denom"]) + 128))
             entries.append((lw, lo, cw, co))
         table[lx] = entries
     return table

@@ -206,6 +206,7 @@ class SliceDataParser:
         fs.qp_y4 = np.full((h4, w4), sh.qp, np.int8)
         fs.sao = np.zeros((sps.ctbs_h, sps.ctbs_w, 3, 6), np.int16)
         fs.mvf = np.zeros((h4 // 2, w4 // 2, 2, 4), np.int32)
+        fs.weights = sh.weighted_pred_table
         fs.deblock_disabled = bool(sh.deblocking_filter_disabled)
         fs.beta_offset = sh.beta_offset
         fs.tc_offset = sh.tc_offset
@@ -577,7 +578,8 @@ class SliceDataParser:
         self.fs.inter_pbs.append(InterPb(
             x=x0, y=y0, w=w, h=h,
             l0=(f.mv[0][0], f.mv[0][1], f.poc[0]) if f.pred_flag & 1 else None,
-            l1=(f.mv[1][0], f.mv[1][1], f.poc[1]) if f.pred_flag & 2 else None))
+            l1=(f.mv[1][0], f.mv[1][1], f.poc[1]) if f.pred_flag & 2 else None,
+            r0=f.ref_idx[0], r1=f.ref_idx[1]))
         return merge
 
     def _merge_idx(self):

@@ -182,10 +182,12 @@ class Decoder:
             self.ref_pics = {}
         ref_list = self._build_ref_lists(sh, sps, poc)
         # native core supports uniform tiles + WPP; non-uniform tile
-        # spacing and 4:4:4 chroma fall back to the Python parser
+        # spacing, 4:4:4 chroma, and weighted prediction (needs per-PB
+        # ref indices) fall back to the Python parser
         use_native = self.native_parse and not (
             pps.tiles_enabled and not pps.uniform_spacing) and \
-            sps.chroma_format_idc != 3
+            sps.chroma_format_idc != 3 and \
+            sh.weighted_pred_table is None
         if use_native:
             from .bitstream.native import parse_slice_native
             fs = parse_slice_native(rbsp, sps, pps, sh, nal_type, poc,

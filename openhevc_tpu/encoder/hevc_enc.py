@@ -61,6 +61,7 @@ class EncoderConfig:
     log2_max_poc_lsb: int = 8
     max_num_ref: int = 1
     max_merge_cand: int = 5
+    weighted_pred: bool = False
     level_idc: int = 120
 
     @property
@@ -216,8 +217,8 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     bw.se(0)                # pps_cb_qp_offset
     bw.se(0)                # pps_cr_qp_offset
     bw.put(0, 1)            # pps_slice_chroma_qp_offsets_present_flag
-    bw.put(0, 1)            # weighted_pred_flag
-    bw.put(0, 1)            # weighted_bipred_flag
+    bw.put(1 if cfg.weighted_pred else 0, 1)   # weighted_pred_flag
+    bw.put(1 if cfg.weighted_pred else 0, 1)   # weighted_bipred_flag
     bw.put(1 if cfg.transquant_bypass else 0, 1)  # transquant_bypass_enabled_flag
     tiles = cfg.tile_cols > 1 or cfg.tile_rows > 1
     bw.put(1 if tiles else 0, 1)       # tiles_enabled_flag
@@ -243,12 +244,36 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     return wrap_nal(NAL_PPS, bw.getvalue())
 
 
+def _write_pred_weight_table(bw: BitWriter, cfg, wt, slice_type):
+    """7.3.6.3 emission (inverse of slice.py _parse_pred_weight_table);
+    all per-ref weight flags set explicitly."""
+    dn = wt["luma_log2_denom"]
+    dnc = wt["chroma_log2_denom"]
+    bw.ue(dn)
+    bw.se(dnc - dn)
+    for lx in ("l0", "l1"):
+        if lx == "l1" and slice_type != 0:
+            break
+        entries = wt[lx]
+        for _ in entries:
+            bw.put(1, 1)            # luma_weight_lX_flag
+        for _ in entries:
+            bw.put(1, 1)            # chroma_weight_lX_flag
+        for lw, lo, cw, co in entries:
+            bw.se(lw - (1 << dn))
+            bw.se(lo)
+            for j in range(2):
+                bw.se(cw[j] - (1 << dnc))
+                bw.se(co[j] + ((128 * cw[j]) >> dnc) - 128)
+
+
 def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
                        slice_type: int, poc: int = 0,
                        st_rps_idx: int = 0, num_st_rps: int = 0,
                        num_ref_l0: int | None = None,
                        num_ref_l1: int | None = None,
-                       entry_point_offsets: list | None = None):
+                       entry_point_offsets: list | None = None,
+                       weight_table: dict | None = None):
     """slice_type: 0=B 1=P 2=I. Only the syntax paths this encoder exercises."""
     bw.put(1, 1)            # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:
@@ -279,7 +304,9 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
         # no lists_modification (flag off in PPS)
         if slice_type == 0:
             bw.put(0, 1)    # mvd_l1_zero_flag
-        # cabac_init_present = 0; tmvp off; weighted pred off
+        # cabac_init_present = 0; tmvp off
+        if cfg.weighted_pred and weight_table is not None:
+            _write_pred_weight_table(bw, cfg, weight_table, slice_type)
         bw.ue(5 - cfg.max_merge_cand)  # five_minus_max_num_merge_cand
     bw.se(0)                # slice_qp_delta
     if cfg.sao_enabled or not cfg.deblock_disabled:

@@ -49,6 +49,10 @@ class PFrameEncoder(IntraFrameEncoder):
         self.mvctx = MotionContext(_Sps2(cfg), self.zscan, poc, slice_type,
                                    cfg.max_merge_cand, ref_list)
         self.is_p = True
+        self.weight_table = None
+        if cfg.weighted_pred:
+            self.weight_table = self._gen_weight_table(len(ref_pics),
+                                                       slice_type)
         data, eps = self._encode_slice_data(slice_type=slice_type)
         bw = BitWriter()
         write_slice_header(bw, cfg, nal_type, slice_type=slice_type, poc=poc,
@@ -56,8 +60,30 @@ class PFrameEncoder(IntraFrameEncoder):
                            num_st_rps=self.num_st_rps,
                            num_ref_l0=len(ref_pics),
                            num_ref_l1=len(ref_pics),
-                           entry_point_offsets=eps)
+                           entry_point_offsets=eps,
+                           weight_table=self.weight_table)
         return wrap_nal(nal_type, bw.getvalue() + data)
+
+    def _gen_weight_table(self, n_refs, slice_type):
+        """Random explicit weights per ref (the conformance generator's
+        role: exercise the weighted uni/bi MC paths)."""
+        rng = self.rng
+        dn = int(rng.integers(4, 7))
+        dnc = max(0, min(7, dn + int(rng.integers(-1, 2))))
+        wt = {"luma_log2_denom": dn, "chroma_log2_denom": dnc}
+        for lx in ("l0", "l1"):
+            entries = []
+            for _ in range(n_refs):
+                lw = (1 << dn) + int(rng.integers(-10, 11))
+                lo = int(rng.integers(-20, 21))
+                cw = [(1 << dnc) + int(rng.integers(-10, 11))
+                      for _ in range(2)]
+                co = [int(rng.integers(-20, 21)) for _ in range(2)]
+                entries.append((lw, lo, cw, co))
+            wt[lx] = entries
+            if slice_type != 0:
+                break
+        return wt
 
     # ----- CU dispatch ------------------------------------------------------
     def _coding_unit(self, x0, y0, log2_cb, depth):
@@ -241,8 +267,11 @@ class PFrameEncoder(IntraFrameEncoder):
                      l0=(f.mv[0][0], f.mv[0][1], f.poc[0])
                      if f.pred_flag & 1 else None,
                      l1=(f.mv[1][0], f.mv[1][1], f.poc[1])
-                     if f.pred_flag & 2 else None)
+                     if f.pred_flag & 2 else None,
+                     r0=f.ref_idx[0], r1=f.ref_idx[1])
         self._pu_list.append(pb)
+
+    weight_table = None   # pred_weight_table for the current slice
 
     def _pred_buf_for(self, x0, y0, w, h):
         """Frame-sized planes with MC prediction filled for PUs parsed so
@@ -259,7 +288,8 @@ class PFrameEncoder(IntraFrameEncoder):
             l0p = self.ref_planes.get(pb.l0[2]) if pb.l0 else None
             l1p = self.ref_planes.get(pb.l1[2]) if pb.l1 else None
             pred = mc_np.predict_inter_block(l0p, l1p, pb, cfg.bit_depth,
-                                             hshift=hs, vshift=vs)
+                                             hshift=hs, vshift=vs,
+                                             weights=self.weight_table)
             bufs[0][pb.y:pb.y + pb.h, pb.x:pb.x + pb.w] = pred[0]
             cx, cy = pb.x >> hs, pb.y >> vs
             cw, ch = pb.w >> hs, pb.h >> vs
@@ -372,7 +402,8 @@ class _Sps2:
 def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                            min_cb_log2=3, seed=0, sao=False, deblock=False,
                            n_refs=1, max_merge=5, b_slices=False,
-                           bit_depth=8, wpp=False, chroma_format_idc=1):
+                           bit_depth=8, wpp=False, chroma_format_idc=1,
+                           weighted=False):
     """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
     expected recons). Expected output only valid without loop filters;
     with filters on, compare against the reference decoder."""
@@ -385,7 +416,7 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                         pcm_enabled=False, sao_enabled=sao,
                         deblock_disabled=not deblock,
                         max_num_ref=n_refs, max_merge_cand=max_merge,
-                        wpp=wpp)
+                        wpp=wpp, weighted_pred=weighted)
     rng = np.random.default_rng(seed)
     # one RPS per possible reference count (early frames have fewer refs)
     st_rps = [[-(i + 1) for i in range(k + 1)] for k in range(n_refs)]

@@ -299,7 +299,30 @@ class JaxEngine:
         refs = {c: np.stack([np.asarray(ref_planes[p][c], np.int32)
                              for p in pocs]) if pocs else None
                 for c in range(3)}
-        return dict(pf4=pf4, mv=mv, slot=slot, refs=refs)
+        out = dict(pf4=pf4, mv=mv, slot=slot, refs=refs)
+        if fs.weights is not None:
+            # per-4x4 weight/offset grids per list+plane from ref_idx
+            # (weighted uni/bi combine, ops/mc.py inter_combine_w)
+            wt = fs.weights
+            ridx = np.asarray(mc.ref_idx, np.int32)   # [h4,w4,2]
+            wg = np.zeros((2, 3, h4, w4), np.int32)
+            og = np.zeros((2, 3, h4, w4), np.int32)
+            for lx, key in enumerate(("l0", "l1")):
+                entries = wt.get(key)
+                if not entries:
+                    continue
+                r = np.clip(ridx[:, :, lx], 0, len(entries) - 1)
+                for c in range(3):
+                    wl = np.array([e[0] if c == 0 else e[2][c - 1]
+                                   for e in entries], np.int32)
+                    ol = np.array([e[1] if c == 0 else e[3][c - 1]
+                                   for e in entries], np.int32)
+                    wg[lx, c] = wl[r]
+                    og[lx, c] = ol[r]
+            out["wt"] = dict(wg=wg, og=og,
+                             denoms=(wt["luma_log2_denom"],
+                                     wt["chroma_log2_denom"]))
+        return out
 
     def _run(self, pf: PackedFrame):
         bd = pf.bit_depth
@@ -323,7 +346,8 @@ class JaxEngine:
         # inter prediction (dense-phase device MC) before the intra scan
         inter = getattr(pf, "inter", None)
         if inter is not None and inter["refs"][0] is not None:
-            from ..ops.mc import mc_dense_put, inter_combine
+            from ..ops.mc import mc_dense_put, inter_combine, \
+                inter_combine_w
             H, W = pf.height, pf.width
             up = 4
             pf4 = inter["pf4"]
@@ -349,8 +373,21 @@ class JaxEngine:
                         jnp.asarray(mvy.astype(np.int32)),
                         jnp.asarray(sl), bit_depth=bd, is_luma=is_luma,
                         hs=pf.hshift, vs=pf.vshift))
-                planes = inter_combine(planes, res_planes, puts[0], puts[1],
-                                       pf_px, c, bit_depth=bd)
+                wt = inter.get("wt")
+                if wt is not None:
+                    def px_grid(a):
+                        return jnp.asarray(np.repeat(
+                            np.repeat(a, repv, 0), reph, 1)[:ph, :pw])
+                    denom = wt["denoms"][0 if is_luma else 1]
+                    planes = inter_combine_w(
+                        planes, res_planes, puts[0], puts[1], pf_px,
+                        px_grid(wt["wg"][0, c]), px_grid(wt["og"][0, c]),
+                        px_grid(wt["wg"][1, c]), px_grid(wt["og"][1, c]),
+                        c, bit_depth=bd, denom=denom)
+                else:
+                    planes = inter_combine(planes, res_planes,
+                                           puts[0], puts[1],
+                                           pf_px, c, bit_depth=bd)
         # intra wavefront
         if pf.n_levels and isinstance(pf.intra, dict) and \
                 "stacked" in pf.intra:

@@ -72,7 +72,8 @@ def reconstruct(fs: FrameSymbols, ref_planes=None):
             l0_planes = ref_planes.get(pb.l0[2]) if pb.l0 else None
             l1_planes = ref_planes.get(pb.l1[2]) if pb.l1 else None
             pred = predict_inter_block(l0_planes, l1_planes, pb, bd,
-                                       sps.hshift1, sps.vshift1)
+                                       sps.hshift1, sps.vshift1,
+                                       weights=fs.weights)
             x, y, w, h = pb.x, pb.y, pb.w, pb.h
             planes[0][y:y + h, x:x + w] = np.clip(
                 pred[0] + res[0][y:y + h, x:x + w], 0, maxv)

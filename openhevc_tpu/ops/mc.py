@@ -79,6 +79,32 @@ def mc_dense_put(refs, mvx, mvy, slot, bit_depth: int, is_luma: bool,
     return flat[lin, gj, gi]
 
 
+@partial(jax.jit, static_argnames=("bit_depth", "denom"),
+         donate_argnums=(0,))
+def inter_combine_w(planes, res_planes, put0, put1, pf, w0, o0, w1, o1,
+                    plane_idx, bit_depth: int, denom: int):
+    """Weighted-prediction variant of inter_combine: w*/o* are per-pixel
+    int32 weight/offset grids selected by list+ref_idx (mc_np.uni_w/bi_w
+    formulas; put_hevc_*_uni_w/bi_w behavior)."""
+    H, W = put0.shape
+    maxv = (1 << bit_depth) - 1
+    osc = 1 << (bit_depth - 8)
+    shift_u = denom + 14 - bit_depth
+    off_u = 1 << (shift_u - 1) if shift_u > 0 else 0
+    uni0 = ((put0 * w0 + off_u) >> shift_u) + o0 * osc
+    uni1 = ((put1 * w1 + off_u) >> shift_u) + o1 * osc
+    log2wd = denom + (15 - bit_depth) - 1
+    bi = (put1 * w1 + put0 * w0 +
+          ((o0 * osc + o1 * osc + 1) << log2wd)) >> (log2wd + 1)
+    pred = jnp.where(pf == 3, bi, jnp.where(pf == 2, uni1, uni0))
+    pred = jnp.clip(pred, 0, maxv)
+    res = res_planes[plane_idx, :H, :W]
+    recon = jnp.clip(pred + res, 0, maxv)
+    cur = planes[plane_idx, :H, :W]
+    out = jnp.where(pf > 0, recon, cur)
+    return planes.at[plane_idx, :H, :W].set(out)
+
+
 @partial(jax.jit, static_argnames=("bit_depth",),
          donate_argnums=(0,))
 def inter_combine(planes, res_planes, put0, put1, pf, plane_idx,

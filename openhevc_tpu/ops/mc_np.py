@@ -114,12 +114,23 @@ def bi_w(put0, put1, bit_depth, denom, w0, w1, o0, o1):
                    0, (1 << bit_depth) - 1)
 
 
+def _wp_params(weights, lx, ridx, c):
+    """(weight, offset, log2 denom) for list lx / ref ridx / plane c
+    from the parsed pred_weight_table (slice.py)."""
+    lw, lo, cw, co = weights[lx][ridx]
+    if c == 0:
+        return lw, lo, weights["luma_log2_denom"]
+    return cw[c - 1], co[c - 1], weights["chroma_log2_denom"]
+
+
 def predict_inter_block(ref_planes_l0, ref_planes_l1, pb, bit_depth,
-                        hshift=1, vshift=1):
+                        hshift=1, vshift=1, weights=None):
     """Full PU prediction -> [Y, Cb, Cr] uint arrays for the PU rect.
 
     pb: InterPb with l0/l1 = (mvx, mvy, ref_planes_index) resolved to the
-    actual plane lists passed in (ref_planes_lX = [Y, Cb, Cr] or None)."""
+    actual plane lists passed in (ref_planes_lX = [Y, Cb, Cr] or None).
+    weights: parsed pred_weight_table or None -> weighted uni/bi paths
+    (luma_mc_uni/chroma_mc_uni weight_flag behavior, hevc.c:1641/1794)."""
     outs = []
     x, y, w, h = pb.x, pb.y, pb.w, pb.h
     for c in range(3):
@@ -129,8 +140,10 @@ def predict_inter_block(ref_planes_l0, ref_planes_l1, pb, bit_depth,
             px, py = x >> hshift, y >> vshift
             pw, ph = w >> hshift, h >> vshift
         puts = []
-        for ref_planes, mv in ((ref_planes_l0, pb.l0),
-                               (ref_planes_l1, pb.l1)):
+        lists = []
+        for ref_planes, mv, lx, ridx in (
+                (ref_planes_l0, pb.l0, "l0", pb.r0),
+                (ref_planes_l1, pb.l1, "l1", pb.r1)):
             if mv is None or ref_planes is None:
                 continue
             mvx, mvy = mv[0], mv[1]
@@ -140,8 +153,20 @@ def predict_inter_block(ref_planes_l0, ref_planes_l1, pb, bit_depth,
             else:
                 puts.append(epel_put(ref_planes[c], px, py, pw, ph,
                                      mvx, mvy, bit_depth, hshift, vshift))
+            lists.append((lx, ridx))
         if len(puts) == 2:
-            outs.append(bi(puts[0], puts[1], bit_depth))
+            if weights is not None:
+                w0, o0, dn = _wp_params(weights, "l0", pb.r0, c)
+                w1, o1, _ = _wp_params(weights, "l1", pb.r1, c)
+                outs.append(bi_w(puts[0], puts[1], bit_depth, dn,
+                                 w0, w1, o0, o1))
+            else:
+                outs.append(bi(puts[0], puts[1], bit_depth))
         else:
-            outs.append(uni(puts[0], bit_depth))
+            if weights is not None:
+                lx, ridx = lists[0]
+                wx, ox, dn = _wp_params(weights, lx, ridx, c)
+                outs.append(uni_w(puts[0], bit_depth, dn, wx, ox))
+            else:
+                outs.append(uni(puts[0], bit_depth))
     return outs

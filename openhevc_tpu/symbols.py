@@ -60,6 +60,8 @@ class InterPb:
     # per list: (valid, mvx, mvy, ref_dpb_slot) quarter-pel luma MVs
     l0: tuple | None
     l1: tuple | None
+    r0: int = 0                          # ref_idx per list (weighted pred)
+    r1: int = 0
 
 
 @dataclass
@@ -132,6 +134,7 @@ class FrameSymbols:
     ctb_order: list | None = None
     # in-loop filter controls
     deblock_disabled: bool = False
+    weights: dict | None = None   # pred_weight_table (slice.py) or None
     beta_offset: int = 0
     tc_offset: int = 0
     sao_luma: bool = False

@@ -163,3 +163,34 @@ def test_rext_444_inter(seed, kw):
     data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
                                      seed=seed, chroma_format_idc=3, **kw)
     check(data, 4, 64, 64)
+
+
+# ---- Weighted prediction -------------------------------------------------
+
+@pytest.mark.parametrize("seed,kw", [
+    (61, dict(n_refs=2)),                                  # uni-pred P
+    (62, dict(n_refs=2, b_slices=True, sao=True, deblock=True)),
+    (63, dict(n_refs=2, b_slices=True, bit_depth=10)),
+])
+def test_weighted_pred(seed, kw):
+    rng = np.random.default_rng(seed)
+    frames = _mv_frames444(64, 64, 4, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                     seed=seed, weighted=True, **kw)
+    check(data, 4, 64, 64)
+
+
+def test_weighted_pred_jax_engine():
+    rng = np.random.default_rng(66)
+    frames = _mv_frames444(64, 64, 3, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                     seed=66, n_refs=2, b_slices=True,
+                                     sao=True, deblock=True, weighted=True)
+    ref = ref_decode(data)
+    d = Decoder("jax")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 3
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
