@@ -150,6 +150,65 @@ class MotionContext:
         return (xn >> p) == (xp >> p) and (yn >> p) == (yp >> p)
 
     # ---- merge ------------------------------------------------------------
+    # ---- TMVP (8.5.3.1.7/8; temporal_luma_motion_vector,
+    # hevc_mvs.c:227, derive_temporal_colocated_mvs :172) --------------
+    col = None                   # (col_poc, pred_flag4, mv4, refpoc4)
+    colloc_from_l0 = 1           # sh collocated_from_l0 flag
+    temporal_mvp = False
+
+    def set_col_motion(self, col_poc, pred_flag, mv, refpoc,
+                       colloc_from_l0=1):
+        self.col = (col_poc, pred_flag, mv, refpoc)
+        self.colloc_from_l0 = colloc_from_l0
+        self.temporal_mvp = True
+
+    def _derive_col_mv(self, pf, mvs2, rps2, ref_idx, X, col_poc):
+        """derive_temporal_colocated_mvs: pick the col list, then copy or
+        POC-scale (no long-term refs yet -> lt flags all false)."""
+        if not (pf & 1):
+            l = 1
+        elif pf == 1:
+            l = 0
+        else:                     # BI
+            has_future = any(p > self.poc for lst in self.ref_list
+                             for (p, _lt) in lst)
+            if not has_future:
+                l = X
+            else:
+                # collocated from L1 -> use col's L0 MVs and vice versa
+                l = 0 if self.colloc_from_l0 == 0 else 1
+        cur_ref_poc = self.ref_list[X][ref_idx][0]
+        col_poc_diff = col_poc - int(rps2[l])
+        cur_poc_diff = self.poc - cur_ref_poc
+        mv_col = (int(mvs2[l, 0]), int(mvs2[l, 1]))
+        if col_poc_diff == cur_poc_diff or col_poc_diff == 0:
+            return mv_col
+        return mv_scale(mv_col, col_poc_diff, cur_poc_diff)
+
+    def temporal_mv(self, x0, y0, w, h, ref_idx, X):
+        """-> (available, mv): bottom-right candidate (same CTB row,
+        in-picture), else the center candidate; positions 16-aligned."""
+        if self.col is None:
+            return 0, (0, 0)
+        col_poc, cpf, cmv, crp = self.col
+        ctb = self.sps.log2_ctb
+        cands = []
+        xbr, ybr = x0 + w, y0 + h
+        if (y0 >> ctb) == (ybr >> ctb) and ybr < self.sps.height and \
+                xbr < self.sps.width:
+            cands.append((xbr, ybr))
+        cands.append((x0 + (w >> 1), y0 + (h >> 1)))
+        for (x, y) in cands:
+            x = (x >> 4) << 4
+            y = (y >> 4) << 4
+            px, py = x >> 2, y >> 2
+            pf = int(cpf[py, px])
+            if pf == 0:
+                continue
+            return 1, self._derive_col_mv(pf, cmv[py, px], crp[py, px],
+                                          ref_idx, X, col_poc)
+        return 0, (0, 0)
+
     def merge_mode(self, x0, y0, w, h, log2_cb, part_mode, part_idx,
                    merge_idx, cu_x, cu_y) -> MvField:
         """ff_hevc_luma_mv_merge_mode behavior (incl. 8x4/4x8 bi->L0)."""
@@ -238,7 +297,19 @@ class MotionContext:
             lst.append(tabf(xb2, yb2))
             if merge_idx == len(lst) - 1:
                 return lst[-1]
-        # (temporal candidate would be appended here)
+        # temporal merge candidate (hevc_mvs.c:418-447)
+        if self.temporal_mvp and len(lst) < self.max_merge:
+            av_l0, mv_l0 = self.temporal_mv(x0, y0, w, h, 0, 0)
+            av_l1, mv_l1 = (self.temporal_mv(x0, y0, w, h, 0, 1)
+                            if self.slice_type == 0 else (0, (0, 0)))
+            if av_l0 or av_l1:
+                poc0 = self.ref_list[0][0][0] if av_l0 else 0
+                poc1 = self.ref_list[1][0][0] if av_l1 else 0
+                lst.append(MvField(av_l0 + (av_l1 << 1),
+                                   (tuple(mv_l0), tuple(mv_l1)),
+                                   (0, 0), (poc0, poc1)))
+                if merge_idx == len(lst) - 1:
+                    return lst[-1]
         n_orig = len(lst)
         # combined bi-predictive candidates (B slices)
         if self.slice_type == 0 and n_orig > 1 and n_orig < self.max_merge:
@@ -346,7 +417,11 @@ class MotionContext:
             cands.append(mxa)
         if av_lxb and (not av_lxa or mxa != mxb):
             cands.append(mxb)
-        # (temporal AMVP candidate would go here)
+        # temporal AMVP candidate (hevc_mvs.c:807-815)
+        if len(cands) < 2 and self.temporal_mvp:
+            av_col, mv_col = self.temporal_mv(x0, y0, w, h, ref_idx, lx)
+            if av_col:
+                cands.append(tuple(mv_col))
         while len(cands) < 2:
             cands.append((0, 0))
         return cands[mvp_flag]

@@ -159,7 +159,7 @@ PRED_L0, PRED_L1, PRED_BI = 0, 1, 2
 
 class SliceDataParser:
     def __init__(self, rbsp: bytes, sps: SPS, pps: PPS, sh: SliceHeader,
-                 nal_type: int, poc: int, ref_list=None):
+                 nal_type: int, poc: int, ref_list=None, col_motion=None):
         self.sps, self.pps, self.sh = sps, pps, sh
         # initType (9.3.2.2): I->0, P->1, B->2; cabac_init_flag swaps P/B
         init_type = (0 if sh.slice_type == I_SLICE else
@@ -222,6 +222,10 @@ class SliceDataParser:
         self.mc = MotionContext(
             sps, self.zscan, poc, sh.slice_type, sh.max_num_merge_cand,
             self.ref_list, pps.log2_parallel_merge_level)
+        if col_motion is not None and sh.temporal_mvp:
+            # (col_poc, pred_flag4, mv4, refpoc4) of the collocated pic
+            self.mc.set_col_motion(*col_motion,
+                                   colloc_from_l0=sh.collocated_list)
         fs.motion = self.mc
         # per-CU state
         self.cu_qp = sh.qp

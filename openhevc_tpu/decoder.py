@@ -45,6 +45,7 @@ class DecodedPicture:
     poc: int
     planes: list          # [Y, Cb, Cr] int arrays (uncropped)
     sps: object
+    motion: tuple | None = None   # (pred_flag4, mv4, refpoc4) for TMVP
 
     def cropped(self):
         s = self.sps
@@ -181,27 +182,52 @@ class Decoder:
         if is_idr(nal_type):
             self.ref_pics = {}
         ref_list = self._build_ref_lists(sh, sps, poc)
+        # collocated picture motion for TMVP (hevc_refs.c collocated_ref)
+        col_motion = None
+        if sh.temporal_mvp:
+            cl = 0 if sh.collocated_list else 1
+            lst = ref_list[cl] or ref_list[1 - cl]
+            if lst:
+                idx = min(sh.collocated_ref_idx, len(lst) - 1)
+                col = self.ref_pics.get(lst[idx][0])
+                if col is not None and col.motion is not None:
+                    col_motion = (col.poc,) + col.motion
         # native core supports uniform tiles + WPP; non-uniform tile
-        # spacing, 4:4:4 chroma, and weighted prediction (needs per-PB
-        # ref indices) fall back to the Python parser
+        # spacing, 4:4:4 chroma, weighted prediction, and TMVP (need
+        # per-PB ref indices / collocated motion) fall back to Python
         use_native = self.native_parse and not (
             pps.tiles_enabled and not pps.uniform_spacing) and \
             sps.chroma_format_idc != 3 and \
-            sh.weighted_pred_table is None
+            sh.weighted_pred_table is None and not sh.temporal_mvp
         if use_native:
             from .bitstream.native import parse_slice_native
             fs = parse_slice_native(rbsp, sps, pps, sh, nal_type, poc,
                                     ref_list=ref_list)
         else:
             fs = SliceDataParser(rbsp, sps, pps, sh, nal_type, poc,
-                                 ref_list=ref_list).decode()
+                                 ref_list=ref_list,
+                                 col_motion=col_motion).decode()
         planes = self._reconstruct(fs)
-        pic = DecodedPicture(poc=poc, planes=planes, sps=sps)
+        pic = DecodedPicture(poc=poc, planes=planes, sps=sps,
+                             motion=self._motion_of(fs))
         self.ref_pics[poc] = pic
         # simple sliding-window eviction (DPB capacity)
         while len(self.ref_pics) > 17:
             del self.ref_pics[min(self.ref_pics)]
         self._bump(pic, sps)
+
+    @staticmethod
+    def _motion_of(fs):
+        """Per-4x4 (pred_flag, mv, refpoc) grids stored with the DPB entry
+        (the tab_mvf analogue kept per HEVCFrame for TMVP)."""
+        mc = getattr(fs, "motion", None)
+        if mc is not None:
+            return (mc.pred_flag.copy(), mc.mv.copy(), mc.refpoc.copy())
+        h4 = (fs.sps.ctbs_h << fs.sps.log2_ctb) >> 2
+        w4 = (fs.sps.ctbs_w << fs.sps.log2_ctb) >> 2
+        return (np.zeros((h4, w4), np.uint8),
+                np.zeros((h4, w4, 2, 2), np.int32),
+                np.zeros((h4, w4, 2), np.int32))
 
     def _build_ref_lists(self, sh, sps, poc):
         """RPS -> L0/L1 reference POC lists (ff_hevc_frame_rps +

@@ -62,6 +62,7 @@ class EncoderConfig:
     max_num_ref: int = 1
     max_merge_cand: int = 5
     weighted_pred: bool = False
+    temporal_mvp: bool = False
     level_idc: int = 120
 
     @property
@@ -176,7 +177,7 @@ def write_sps(cfg: EncoderConfig, st_rps: list | None = None) -> bytes:
     for i, rps in enumerate(st_rps):
         _write_st_rps(bw, i, rps)
     bw.put(0, 1)            # long_term_ref_pics_present_flag
-    bw.put(0, 1)            # sps_temporal_mvp_enabled_flag
+    bw.put(1 if cfg.temporal_mvp else 0, 1)  # sps_temporal_mvp_enabled
     bw.put(1 if cfg.strong_intra_smoothing else 0, 1)
     bw.put(0, 1)            # vui_parameters_present_flag
     bw.put(0, 1)            # sps_extension_flag
@@ -288,6 +289,8 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
         nbits = max(1, (num_st_rps - 1).bit_length())
         if num_st_rps > 1:
             bw.put(st_rps_idx, nbits)
+        if cfg.temporal_mvp:
+            bw.put(1, 1)    # slice_temporal_mvp_enabled_flag
     if cfg.sao_enabled:
         bw.put(1, 1)        # slice_sao_luma_flag
         bw.put(1, 1)        # slice_sao_chroma_flag
@@ -304,7 +307,12 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
         # no lists_modification (flag off in PPS)
         if slice_type == 0:
             bw.put(0, 1)    # mvd_l1_zero_flag
-        # cabac_init_present = 0; tmvp off
+        # cabac_init_present = 0
+        if cfg.temporal_mvp:
+            if slice_type == 0:
+                bw.put(1, 1)        # collocated_from_l0_flag
+            if num_ref_l0 is not None and num_ref_l0 > 1:
+                bw.ue(0)            # collocated_ref_idx
         if cfg.weighted_pred and weight_table is not None:
             _write_pred_weight_table(bw, cfg, weight_table, slice_type)
         bw.ue(5 - cfg.max_merge_cand)  # five_minus_max_num_merge_cand

@@ -48,6 +48,12 @@ class PFrameEncoder(IntraFrameEncoder):
         self.slice_type = slice_type
         self.mvctx = MotionContext(_Sps2(cfg), self.zscan, poc, slice_type,
                                    cfg.max_merge_cand, ref_list)
+        if cfg.temporal_mvp and ref_pics:
+            # collocated = L0[0] (collocated_from_l0=1, idx 0 in header)
+            col_poc = ref_pics[0][0]
+            cm = self._motion_store.get(col_poc)
+            if cm is not None:
+                self.mvctx.set_col_motion(col_poc, *cm, colloc_from_l0=1)
         self.is_p = True
         self.weight_table = None
         if cfg.weighted_pred:
@@ -272,6 +278,19 @@ class PFrameEncoder(IntraFrameEncoder):
         self._pu_list.append(pb)
 
     weight_table = None   # pred_weight_table for the current slice
+    _motion_store: dict = {}   # poc -> (pred_flag4, mv4, refpoc4) for TMVP
+
+    def store_motion(self, poc, i_frame=False):
+        """Keep this frame's motion grids (per-frame tab_mvf analogue)."""
+        if i_frame or not hasattr(self, "mvctx") or self.mvctx is None:
+            h4, w4 = self.h4, self.w4
+            self._motion_store[poc] = (np.zeros((h4, w4), np.uint8),
+                                       np.zeros((h4, w4, 2, 2), np.int32),
+                                       np.zeros((h4, w4, 2), np.int32))
+        else:
+            m = self.mvctx
+            self._motion_store[poc] = (m.pred_flag.copy(), m.mv.copy(),
+                                       m.refpoc.copy())
 
     def _pred_buf_for(self, x0, y0, w, h):
         """Frame-sized planes with MC prediction filled for PUs parsed so
@@ -403,7 +422,7 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                            min_cb_log2=3, seed=0, sao=False, deblock=False,
                            n_refs=1, max_merge=5, b_slices=False,
                            bit_depth=8, wpp=False, chroma_format_idc=1,
-                           weighted=False):
+                           weighted=False, tmvp=False):
     """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
     expected recons). Expected output only valid without loop filters;
     with filters on, compare against the reference decoder."""
@@ -416,7 +435,8 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                         pcm_enabled=False, sao_enabled=sao,
                         deblock_disabled=not deblock,
                         max_num_ref=n_refs, max_merge_cand=max_merge,
-                        wpp=wpp, weighted_pred=weighted)
+                        wpp=wpp, weighted_pred=weighted,
+                        temporal_mvp=tmvp)
     rng = np.random.default_rng(seed)
     # one RPS per possible reference count (early frames have fewer refs)
     st_rps = [[-(i + 1) for i in range(k + 1)] for k in range(n_refs)]
@@ -438,12 +458,15 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
         enc._pu_list = []
         if i == 0:
             enc.is_p = False
+            enc._motion_store = {}
             nal = enc.encode_frame(y, u, v, nal_type=NAL_IDR_N_LP)
+            enc.store_motion(0, i_frame=True)
         else:
             refs = [(p, filtered[p]) for p in
                     sorted(range(len(filtered)), reverse=True)[:n_refs]]
             nal = enc.encode_frame_p(y, u, v, i, refs,
                                      slice_type=0 if b_slices else 1)
+            enc.store_motion(i)
         out += nal
         recons.append([p.copy() for p in enc.recon])
         if self_dec is not None:

@@ -194,3 +194,44 @@ def test_weighted_pred_jax_engine():
         for p, (got, want) in enumerate(zip(mine[i].cropped(),
                                             ref_planes(f))):
             assert np.array_equal(got, want), (i, p)
+
+
+# ---- Temporal MVP (TMVP) -------------------------------------------------
+
+@pytest.mark.parametrize("seed,kw", [
+    (71, dict(n_refs=1)),
+    (72, dict(n_refs=2)),
+    (73, dict(n_refs=2, b_slices=True, sao=True, deblock=True)),
+    (74, dict(n_refs=2, b_slices=True, weighted=True, sao=True,
+              deblock=True)),
+    (75, dict(n_refs=2, b_slices=True, chroma_format_idc=3)),
+])
+def test_tmvp(seed, kw):
+    rng = np.random.default_rng(seed)
+    frames = _mv_frames444(64, 64, 5, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                     seed=seed, tmvp=True, **kw)
+    check(data, 5, 64, 64)
+
+
+def test_tmvp_candidate_is_live():
+    """Killing the temporal derivation must diverge the decode (guards
+    against the TMVP path being silently unused by the generator)."""
+    import openhevc_tpu.bitstream.mvs as MV
+    rng = np.random.default_rng(73)
+    frames = _mv_frames444(64, 64, 5, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                     seed=73, n_refs=2, b_slices=True,
+                                     sao=True, deblock=True, tmvp=True)
+    ref = ref_decode(data)
+    orig = MV.MotionContext.temporal_mv
+    MV.MotionContext.temporal_mv = lambda self, *a: (0, (0, 0))
+    try:
+        d = Decoder("np")
+        mine = d.decode(data) + d.flush()
+    finally:
+        MV.MotionContext.temporal_mv = orig
+    diff = sum(int(not np.array_equal(mine[i].cropped()[0],
+                                      np.asarray(ref_planes(f)[0])))
+               for i, f in enumerate(ref))
+    assert diff > 0
