@@ -148,9 +148,12 @@ class PFrameEncoder(IntraFrameEncoder):
         n4 = cb >> 2
         x4, y4 = x0 >> 2, y0 >> 2
         self.pred_mode[y4:y4 + n4, x4:x4 + n4] = 0
-        # part mode: 2Nx2N (60%), 2NxN, Nx2N
+        # part mode: 2Nx2N (60%), 2NxN, Nx2N (+ AMP quarters when enabled)
         r = rng.random()
         part = 0 if r < 0.6 else (1 if r < 0.8 else 2)
+        if (cfg.amp_enabled and log2_cb > cfg.min_cb_log2 and
+                part != 0 and rng.random() < 0.5):
+            part = int(rng.choice([4, 5] if part == 1 else [6, 7]))
         self._encode_part_mode_inter(part, log2_cb)
         pus = self._pu_geom(x0, y0, cb, part)
         any_merge_first = False
@@ -390,23 +393,45 @@ class PFrameEncoder(IntraFrameEncoder):
             enc.bin("part_mode", 0, 1)
             return
         enc.bin("part_mode", 0, 0)
-        # (min-CB NxN / AMP not generated yet)
+        # (min-CB NxN not generated)
         if log2_cb == cfg.min_cb_log2:
             enc.bin("part_mode", 1, 1 if part == 1 else 0)
             if part != 1:
                 if log2_cb != 3:
                     enc.bin("part_mode", 2, 1)
             return
-        enc.bin("part_mode", 1, 1 if part == 1 else 0)
+        if not cfg.amp_enabled:
+            enc.bin("part_mode", 1, 1 if part == 1 else 0)
+            return
+        # AMP binarization (ff_hevc_part_mode_decode with amp on)
+        if part in (1, 4, 5):            # horizontal family
+            enc.bin("part_mode", 1, 1)
+            enc.bin("part_mode", 3, 1 if part == 1 else 0)
+            if part != 1:
+                enc.bypass(1 if part == 5 else 0)   # 2NxnD : 2NxnU
+        else:                            # vertical family (2, 6, 7)
+            enc.bin("part_mode", 1, 0)
+            enc.bin("part_mode", 3, 1 if part == 2 else 0)
+            if part != 2:
+                enc.bypass(1 if part == 7 else 0)   # nRx2N : nLx2N
 
     @staticmethod
     def _pu_geom(x0, y0, cb, part):
         h = cb >> 1
+        q = cb >> 2
         if part == 0:
             return [(x0, y0, cb, cb)]
         if part == 1:
             return [(x0, y0, cb, h), (x0, y0 + h, cb, h)]
-        return [(x0, y0, h, cb), (x0 + h, y0, h, cb)]
+        if part == 2:
+            return [(x0, y0, h, cb), (x0 + h, y0, h, cb)]
+        if part == 4:    # 2NxnU
+            return [(x0, y0, cb, q), (x0, y0 + q, cb, cb - q)]
+        if part == 5:    # 2NxnD
+            return [(x0, y0, cb, cb - q), (x0, y0 + cb - q, cb, q)]
+        if part == 6:    # nLx2N
+            return [(x0, y0, q, cb), (x0 + q, y0, cb - q, cb)]
+        return [(x0, y0, cb - q, cb), (x0 + cb - q, y0, q, cb)]
 
 
 class _Sps2:
@@ -422,7 +447,7 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                            min_cb_log2=3, seed=0, sao=False, deblock=False,
                            n_refs=1, max_merge=5, b_slices=False,
                            bit_depth=8, wpp=False, chroma_format_idc=1,
-                           weighted=False, tmvp=False):
+                           weighted=False, tmvp=False, amp=False):
     """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
     expected recons). Expected output only valid without loop filters;
     with filters on, compare against the reference decoder."""
@@ -436,7 +461,7 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                         deblock_disabled=not deblock,
                         max_num_ref=n_refs, max_merge_cand=max_merge,
                         wpp=wpp, weighted_pred=weighted,
-                        temporal_mvp=tmvp)
+                        temporal_mvp=tmvp, amp_enabled=amp)
     rng = np.random.default_rng(seed)
     # one RPS per possible reference count (early frames have fewer refs)
     st_rps = [[-(i + 1) for i in range(k + 1)] for k in range(n_refs)]

@@ -235,3 +235,25 @@ def test_tmvp_candidate_is_live():
                                       np.asarray(ref_planes(f)[0])))
                for i, f in enumerate(ref))
     assert diff > 0
+
+
+# ---- AMP (asymmetric motion partitions) ----------------------------------
+
+@pytest.mark.parametrize("seed,kw", [
+    (81, dict(n_refs=1)),
+    (82, dict(n_refs=2, b_slices=True, sao=True, deblock=True, tmvp=True)),
+    (83, dict(n_refs=2, b_slices=True, tmvp=True)),
+    (84, dict(n_refs=2, b_slices=True, tmvp=True)),  # covers nLx2N+nRx2N
+])
+def test_amp(seed, kw):
+    rng = np.random.default_rng(seed)
+    base = [rng.integers(0, 256, (128, 128)).astype(np.uint8)
+            for _ in range(3)]
+    n = 6 if seed >= 83 else 5
+    frames = [tuple(b[dy:dy + 64, dx:dx + 64].copy() for b in base)
+              for dx, dy in [(int(rng.integers(0, 32)),
+                              int(rng.integers(0, 32))) for _ in range(n)]]
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=5,
+                                     min_cb_log2=3, seed=seed, amp=True,
+                                     **kw)
+    check(data, n, 64, 64)
