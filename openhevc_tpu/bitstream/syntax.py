@@ -156,6 +156,11 @@ def avail_mask(zscan: np.ndarray, pred_mode: np.ndarray, constrained: bool,
 
 PRED_L0, PRED_L1, PRED_BI = 0, 1, 2
 
+# 4:2:2 chroma intra mode mapping (8.4.4.2.3 Table 8-3; hevc.c:2252)
+TAB_MODE_IDX_422 = (
+    0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18, 19, 20,
+    21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28, 28, 29, 29, 30, 31)
+
 
 class SliceDataParser:
     def __init__(self, rbsp: bytes, sps: SPS, pps: PPS, sh: SliceHeader,
@@ -447,7 +452,7 @@ class SliceDataParser:
         intra_split = 1 if part_mode == PART_NxN else 0
         max_depth = sps.max_transform_hierarchy_depth_intra + intra_split
         self._transform_tree(x0, y0, x0, y0, log2_cb, 0, 0, max_depth,
-                             intra_split, log2_cb, (1, 1))
+                             intra_split, log2_cb, ((1, 1), (1, 1)))
 
     # -- inter CU -----------------------------------------------------------
     def _inter_cu(self, x0, y0, log2_cb, depth):
@@ -477,7 +482,7 @@ class SliceDataParser:
             max_depth = (sps.max_transform_hierarchy_depth_inter +
                          (1 if inter_split else 0))
             self._transform_tree(x0, y0, x0, y0, log2_cb, 0, 0, max_depth,
-                                 1 if inter_split else 0, log2_cb, (1, 1))
+                                 1 if inter_split else 0, log2_cb, ((1, 1), (1, 1)))
         else:
             fs.bounds_v[y4:y4 + n4, x4] = 1
             fs.bounds_h[y4, x4:x4 + n4] = 1
@@ -697,6 +702,9 @@ class SliceDataParser:
                 table = (0, 26, 10, 1)
                 m = table[idx]
                 cmodes.append(34 if m == modes[i] else m)
+        if self.sps.chroma_format_idc == 2:
+            # 4:2:2: mode mapped through Table 8-3 (hevc.c:2310)
+            cmodes = [TAB_MODE_IDX_422[m] for m in cmodes]
         self.intra_mode_c = cmodes[0]
         self.pu_chroma_modes = (cmodes * 4)[:4]
 
@@ -737,8 +745,12 @@ class SliceDataParser:
     # -- transform tree -----------------------------------------------------
     def _transform_tree(self, x0, y0, x_base, y_base, log2_tr, depth, blk_idx,
                         max_depth, intra_split, log2_cb, parent_cbf_c):
+        """cbf_cb/cbf_cr are 2-vectors: [1] is the second (lower) chroma
+        TB of a 4:2:2 pair (hls_transform_tree, hevc.c:1452/1495)."""
         sps = self.sps
-        cbf_cb, cbf_cr = parent_cbf_c
+        cbf_cb = list(parent_cbf_c[0])
+        cbf_cr = list(parent_cbf_c[1])
+        is422 = sps.chroma_format_idc == 2
         split = 0
         if (log2_tr <= sps.log2_max_tb and log2_tr > sps.log2_min_tb and
                 depth < max_depth and not (intra_split and depth == 0)):
@@ -746,29 +758,33 @@ class SliceDataParser:
         else:
             if log2_tr > sps.log2_max_tb or (intra_split and depth == 0):
                 split = 1
-        my_cbf_cb, my_cbf_cr = cbf_cb, cbf_cr
-        if log2_tr > 2 or self.sps.chroma_format_idc == 3:
-            if depth == 0 or cbf_cb:
-                my_cbf_cb = self.bin("cbf_cbcr", depth)
+        if log2_tr > 2 or sps.chroma_format_idc == 3:
+            if depth == 0 or cbf_cb[0]:
+                cbf_cb[0] = self.bin("cbf_cbcr", depth)
+                if is422 and (not split or log2_tr == 3):
+                    cbf_cb[1] = self.bin("cbf_cbcr", depth)
             else:
-                my_cbf_cb = 0
-            if depth == 0 or cbf_cr:
-                my_cbf_cr = self.bin("cbf_cbcr", depth)
+                cbf_cb = [0, 0]
+            if depth == 0 or cbf_cr[0]:
+                cbf_cr[0] = self.bin("cbf_cbcr", depth)
+                if is422 and (not split or log2_tr == 3):
+                    cbf_cr[1] = self.bin("cbf_cbcr", depth)
             else:
-                my_cbf_cr = 0
+                cbf_cr = [0, 0]
         if split:
             h = 1 << (log2_tr - 1)
             for i, (dx, dy) in enumerate(((0, 0), (h, 0), (0, h), (h, h))):
                 self._transform_tree(x0 + dx, y0 + dy, x0, y0, log2_tr - 1,
                                      depth + 1, i, max_depth, intra_split,
-                                     log2_cb, (my_cbf_cb, my_cbf_cr))
+                                     log2_cb, (cbf_cb, cbf_cr))
             return
         cbf_luma = 1
         if self.cu_pred_mode == MODE_INTRA or depth != 0 or \
-                my_cbf_cb or my_cbf_cr:
+                cbf_cb[0] or cbf_cr[0] or \
+                (is422 and (cbf_cb[1] or cbf_cr[1])):
             cbf_luma = self.bin("cbf_luma", 0 if depth else 1)
         self._transform_unit(x0, y0, x_base, y_base, log2_tr, depth, blk_idx,
-                             cbf_luma, my_cbf_cb, my_cbf_cr)
+                             cbf_luma, cbf_cb, cbf_cr)
 
     def _transform_unit(self, x0, y0, x_base, y_base, log2_tr, depth, blk_idx,
                         cbf_luma, cbf_cb, cbf_cr):
@@ -790,25 +806,31 @@ class SliceDataParser:
                 if self.cu_pred_mode == MODE_INTRA else -1
             self._residual(x0, y0, log2_tr, 0, mode)
         mode_c = self._chroma_mode_at(x0, y0)
+        hs, vs = sps.hshift1, sps.vshift1
+        n_c = 2 if sps.chroma_format_idc == 2 else 1   # 4:2:2 TB pairs
         if log2_tr > 2 or is444:
-            clog2 = log2_tr if is444 else log2_tr - 1
-            cx, cy = (x0, y0) if is444 else (x0 >> 1, y0 >> 1)
-            if self.cu_pred_mode == MODE_INTRA:
-                self._emit_intra_job(1, cx, cy, 1 << clog2, mode_c)
-                self._emit_intra_job(2, cx, cy, 1 << clog2, mode_c)
-            if cbf_cb:
-                self._residual(cx, cy, clog2, 1, mode_c)
-            if cbf_cr:
-                self._residual(cx, cy, clog2, 2, mode_c)
+            # chroma TB log2 = luma - hshift (hevc.c:1210); 4:2:2 codes a
+            # vertical pair of square TBs per component (hevc.c:1302)
+            clog2 = log2_tr - hs
+            csz = 1 << clog2
+            cx, cy0 = x0 >> hs, y0 >> vs
+            for plane, cbf in ((1, cbf_cb), (2, cbf_cr)):
+                for i in range(n_c):
+                    cy = cy0 + (i << clog2)
+                    if self.cu_pred_mode == MODE_INTRA:
+                        self._emit_intra_job(plane, cx, cy, csz, mode_c)
+                    if cbf[i]:
+                        self._residual(cx, cy, clog2, plane, mode_c)
         elif blk_idx == 3:
             # chroma handled at the last 4x4 luma TB of the parent 8x8
-            if self.cu_pred_mode == MODE_INTRA:
-                self._emit_intra_job(1, x_base >> 1, y_base >> 1, 4, mode_c)
-                self._emit_intra_job(2, x_base >> 1, y_base >> 1, 4, mode_c)
-            if cbf_cb:
-                self._residual(x_base >> 1, y_base >> 1, 2, 1, mode_c)
-            if cbf_cr:
-                self._residual(x_base >> 1, y_base >> 1, 2, 2, mode_c)
+            cx, cy0 = x_base >> hs, y_base >> vs
+            for plane, cbf in ((1, cbf_cb), (2, cbf_cr)):
+                for i in range(n_c):
+                    cy = cy0 + (i << 2)
+                    if self.cu_pred_mode == MODE_INTRA:
+                        self._emit_intra_job(plane, cx, cy, 4, mode_c)
+                    if cbf[i]:
+                        self._residual(cx, cy, 2, plane, mode_c)
 
     def _chroma_mode_at(self, x0, y0):
         """tu.intra_pred_mode_c selection (hevc.c:1460-1475): per-PU

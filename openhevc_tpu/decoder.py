@@ -197,7 +197,7 @@ class Decoder:
         # per-PB ref indices / collocated motion) fall back to Python
         use_native = self.native_parse and not (
             pps.tiles_enabled and not pps.uniform_spacing) and \
-            sps.chroma_format_idc != 3 and \
+            sps.chroma_format_idc == 1 and \
             sh.weighted_pred_table is None and not sh.temporal_mvp
         if use_native:
             from .bitstream.native import parse_slice_native

@@ -212,17 +212,20 @@ class PFrameEncoder(IntraFrameEncoder):
         self.recon[0][y0:y0 + size, x0:x0 + size] = \
             np.clip(pred + rec_res, 0, (1 << cfg.bit_depth) - 1)
 
+    @staticmethod
+    def _chroma_any(node):
+        cbs, crs = node["chroma_levels"]
+        return any(bool(np.any(lvl)) for (lvl, _t) in cbs + crs)
+
     def _tree_has_coeffs(self, node):
         if node["split"]:
             r = any(self._tree_has_coeffs(ch) for ch in node["children"])
             if node["log2"] == 3 and "chroma_levels" in node:
-                cb, cr = node["chroma_levels"][:2]
-                r = r or np.any(cb) or np.any(cr)
+                r = r or self._chroma_any(node)
             return r
         r = bool(np.any(node["luma_levels"]))
         if "chroma_levels" in node:
-            cb, cr = node["chroma_levels"][:2]
-            r = r or bool(np.any(cb)) or bool(np.any(cr))
+            r = r or self._chroma_any(node)
         return r
 
     # ----- PU encoding ------------------------------------------------------

@@ -350,6 +350,9 @@ class IntraFrameEncoder:
                 cmodes.append(34 if m == modes[i] else m)
                 self.enc.bin("intra_chroma_pred_mode", 0, 1)
                 self.enc.bypass_bits(chroma_idx, 2)
+        if cfg.chroma_format_idc == 2:
+            from ..bitstream.syntax import TAB_MODE_IDX_422
+            cmodes = [TAB_MODE_IDX_422[m] for m in cmodes]
         self.cu_modes = (modes * 4)[:4]
         self.pu_modes_c = (cmodes * 4)[:4]
         self.mode_c = cmodes[0]
@@ -513,11 +516,17 @@ class IntraFrameEncoder:
             node["chroma_levels"] = self._chroma_tu(x0, y0, size >> 1)
 
     def _chroma_tu(self, x0, y0, csize):
+        """Returns ([(cb_levels, ts)], [(cr_levels, ts)]) — one entry per
+        chroma TB (two stacked TBs in 4:2:2), closed-loop in decode
+        order (all cb TBs then all cr TBs, hevc.c:1302/1335)."""
         h, v = self.cfg.hshift1, self.cfg.vshift1
+        n_c = 2 if self.cfg.chroma_format_idc == 2 else 1
         mc = self._chroma_mode_at(x0, y0) if self.cu_is_intra else -1
-        cb, ts_cb = self._tu_levels(1, x0 >> h, y0 >> v, csize, mc)
-        cr, ts_cr = self._tu_levels(2, x0 >> h, y0 >> v, csize, mc)
-        return (cb, cr, ts_cb, ts_cr)
+        cbs = [self._tu_levels(1, x0 >> h, (y0 >> v) + i * csize, csize, mc)
+               for i in range(n_c)]
+        crs = [self._tu_levels(2, x0 >> h, (y0 >> v) + i * csize, csize, mc)
+               for i in range(n_c)]
+        return (cbs, crs)
 
     def _emit_tree(self, node, x0, y0, x_base, y_base, log2_tr, depth,
                    blk_idx, parent_cbf):
@@ -526,14 +535,20 @@ class IntraFrameEncoder:
             self.enc.bin("split_transform_flag", 5 - log2_tr,
                          1 if node["split"] else 0)
         cbf_cb_p, cbf_cr_p = parent_cbf
-        cbf_cb = cbf_cr = 0
+        cbf_cb = cbf_cr = (0, 0)
+        is422 = cfg.chroma_format_idc == 2
+        split = node["split"]
         if log2_tr > 2 or cfg.chroma_format_idc == 3:
             cbf_cb, cbf_cr = self._subtree_chroma_cbf(node)
-            if depth == 0 or cbf_cb_p:
-                self.enc.bin("cbf_cbcr", depth, cbf_cb)
-            if depth == 0 or cbf_cr_p:
-                self.enc.bin("cbf_cbcr", depth, cbf_cr)
-        if node["split"]:
+            if depth == 0 or cbf_cb_p[0]:
+                self.enc.bin("cbf_cbcr", depth, cbf_cb[0])
+                if is422 and (not split or log2_tr == 3):
+                    self.enc.bin("cbf_cbcr", depth, cbf_cb[1])
+            if depth == 0 or cbf_cr_p[0]:
+                self.enc.bin("cbf_cbcr", depth, cbf_cr[0])
+                if is422 and (not split or log2_tr == 3):
+                    self.enc.bin("cbf_cbcr", depth, cbf_cr[1])
+        if split:
             for i, ch in enumerate(node["children"]):
                 self._emit_tree(ch, ch["x"], ch["y"], node["x"], node["y"],
                                 log2_tr - 1, depth + 1, i, (cbf_cb, cbf_cr))
@@ -541,7 +556,7 @@ class IntraFrameEncoder:
         luma = node["luma_levels"]
         cbf_luma = int(np.any(luma))
         # explicit unless inferred 1 (inter, depth 0, no chroma cbf)
-        if self.cu_is_intra or depth != 0 or cbf_cb or cbf_cr:
+        if self.cu_is_intra or depth != 0 or any(cbf_cb) or any(cbf_cr):
             self.enc.bin("cbf_luma", 0 if depth else 1, cbf_luma)
         else:
             assert cbf_luma, "inferred cbf_luma=1 requires nonzero levels"
@@ -553,42 +568,47 @@ class IntraFrameEncoder:
                                   ts=node.get("luma_ts", False),
                                   tqb=node.get("tqb", False))
         if log2_tr > 2 or cfg.chroma_format_idc == 3:
-            clog2 = log2_tr if cfg.chroma_format_idc == 3 else log2_tr - 1
-            cbl, crl, tsb, tsr = node["chroma_levels"]
-            mc = self._chroma_mode_at(node["x"], node["y"]) \
-                if self.cu_is_intra else -1
-            scan = self._scan_for(clog2, 1, mc)
-            if np.any(cbl):
-                self._encode_residual(cbl, clog2, 1, scan, ts=tsb,
-                                      tqb=node.get("tqb", False))
-            if np.any(crl):
-                self._encode_residual(crl, clog2, 2, scan, ts=tsr,
-                                      tqb=node.get("tqb", False))
+            clog2 = log2_tr - cfg.hshift1
+            self._emit_chroma(node["chroma_levels"], clog2,
+                              self._chroma_mode_at(node["x"], node["y"])
+                              if self.cu_is_intra else -1,
+                              node.get("tqb", False))
         elif blk_idx == 3:
-            cbl, crl, tsb, tsr = self._find_parent(x_base, y_base)
-            scan = self._scan_for(2, 1, self.mode_c)
-            if np.any(cbl):
-                self._encode_residual(cbl, 2, 1, scan, ts=tsb,
-                                      tqb=node.get("tqb", False))
-            if np.any(crl):
-                self._encode_residual(crl, 2, 2, scan, ts=tsr,
-                                      tqb=node.get("tqb", False))
+            self._emit_chroma(self._find_parent(x_base, y_base), 2,
+                              self.mode_c if self.cu_is_intra else -1,
+                              node.get("tqb", False))
+
+    def _emit_chroma(self, chroma_levels, clog2, mc, tqb):
+        cbs, crs = chroma_levels
+        scan = self._scan_for(clog2, 1, mc)
+        for plane, tbs in ((1, cbs), (2, crs)):
+            for (lvl, tsf) in tbs:
+                if np.any(lvl):
+                    self._encode_residual(lvl, clog2, plane, scan,
+                                          ts=tsf, tqb=tqb)
 
     def _find_parent(self, x_base, y_base):
         # located chroma levels stored during process at the 8x8 parent
         return self._parent_chroma[(x_base, y_base)]
 
     def _subtree_chroma_cbf(self, node):
+        """((cbf_cb0, cbf_cb1), (cbf_cr0, cbf_cr1)): per-TB values at
+        leaves / aggregated 8x8 nodes; at higher split nodes only [0] is
+        coded and it gates the whole subtree, so it ORs everything."""
+        def pair(tbs):
+            v = [int(np.any(lvl)) for (lvl, _ts) in tbs]
+            return (v[0], v[1] if len(v) > 1 else 0)
         if not node["split"]:
-            cb, cr = node["chroma_levels"][:2]
-            return int(np.any(cb)), int(np.any(cr))
+            cbs, crs = node["chroma_levels"]
+            return pair(cbs), pair(crs)
         if node["log2"] == 3 and self.cfg.chroma_format_idc != 3:
-            cb, cr = node["chroma_levels"][:2]
+            cbs, crs = node["chroma_levels"]
             self._parent_chroma[(node["x"], node["y"])] = \
                 node["chroma_levels"]
-            return int(np.any(cb)), int(np.any(cr))
+            return pair(cbs), pair(crs)
         a = [self._subtree_chroma_cbf(ch) for ch in node["children"]]
-        return (int(any(x[0] for x in a)), int(any(x[1] for x in a)))
+        return ((int(any(any(x[0]) for x in a)), 0),
+                (int(any(any(x[1]) for x in a)), 0))
 
     def _scan_for(self, log2_tr, c_idx, mode):
         cfg = self.cfg

@@ -257,3 +257,76 @@ def test_amp(seed, kw):
                                      min_cb_log2=3, seed=seed, amp=True,
                                      **kw)
     check(data, n, 64, 64)
+
+
+# ---- Range extension: 4:2:2 chroma ---------------------------------------
+
+def frames422(W, H, n, rng, maxval=256):
+    dt = np.uint16 if maxval > 256 else np.uint8
+    return [(rng.integers(0, maxval, (H, W)).astype(dt),
+             rng.integers(0, maxval, (H, W // 2)).astype(dt),
+             rng.integers(0, maxval, (H, W // 2)).astype(dt))
+            for _ in range(n)]
+
+
+@pytest.mark.parametrize("seed,kw", [
+    (11, dict(qp=26, min_cb_log2=3)),                    # NxN
+    (12, dict(qp=34, W=96, ctb_log2=5, min_cb_log2=3)),  # TU splits + pairs
+    (13, dict(qp=30, min_cb_log2=3, sao=True, deblock=True)),
+    (14, dict(qp=30, min_cb_log2=3, bit_depth=10)),
+    (15, dict(qp=30, min_cb_log2=3, transform_skip=True)),
+    (16, dict(qp=30, min_cb_log2=3, transquant_bypass=True)),
+    (17, dict(qp=30, pcm=True)),
+])
+def test_rext_422_intra(seed, kw):
+    rng = np.random.default_rng(seed)
+    W, H = kw.pop("W", 64), kw.pop("H", 64)
+    maxval = 1024 if kw.get("bit_depth", 8) == 10 else 256
+    frames = frames422(W, H, 2, rng, maxval)
+    data, _ = encode_intra_stream(frames, W, H, ctb_log2=kw.pop("ctb_log2", 4),
+                                  seed=seed, chroma_format_idc=2, **kw)
+    check(data, 2, W, H)
+
+
+def _mv_frames422(W, H, n, rng):
+    base = [rng.integers(0, 256, (H * 2, W * 2)).astype(np.uint8),
+            rng.integers(0, 256, (H * 2, W)).astype(np.uint8),
+            rng.integers(0, 256, (H * 2, W)).astype(np.uint8)]
+    out = []
+    for _ in range(n):
+        dx = int(rng.integers(0, W // 2))
+        dy = int(rng.integers(0, H // 2))
+        out.append((base[0][dy:dy + H, dx:dx + W].copy(),
+                    base[1][dy:dy + H, dx // 2:dx // 2 + W // 2].copy(),
+                    base[2][dy:dy + H, dx // 2:dx // 2 + W // 2].copy()))
+    return out
+
+
+@pytest.mark.parametrize("seed,kw", [
+    (21, dict(n_refs=1)),
+    (22, dict(n_refs=2, b_slices=True, sao=True, deblock=True, tmvp=True)),
+    (23, dict(n_refs=2, b_slices=True, weighted=True)),
+])
+def test_rext_422_inter(seed, kw):
+    rng = np.random.default_rng(seed)
+    frames = _mv_frames422(64, 64, 4, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                     seed=seed, chroma_format_idc=2, **kw)
+    check(data, 4, 64, 64)
+
+
+def test_rext_422_jax_engine():
+    rng = np.random.default_rng(24)
+    frames = _mv_frames422(64, 64, 3, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                     seed=24, n_refs=2, b_slices=True,
+                                     sao=True, deblock=True,
+                                     chroma_format_idc=2)
+    ref = ref_decode(data)
+    d = Decoder("jax")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 3
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
