@@ -45,6 +45,7 @@ def main(argv=None):
     dec = OpenHevc(args.threads, args.thread_type, engine=args.engine)
     dec.set_check_md5(not args.no_check_md5)
     dec.set_temporal_layer_id(args.temporal_layer)
+    dec.set_active_decoders(args.layer)
     dec.set_view_layers(args.layer)
     dec.start()
 

@@ -71,7 +71,11 @@ class OpenHevc:
 
     # -- lifecycle ----------------------------------------------------------
     def start(self):
-        self._dec = Decoder(self.engine)
+        if self.active_decoders >= 1:
+            from .decoder import ShvcDecoder
+            self._dec = ShvcDecoder(self.engine)   # SHVC 2-layer chain
+        else:
+            self._dec = Decoder(self.engine)
         if self._extradata is not None:
             self._dec.set_extradata(self._extradata)
         return 1

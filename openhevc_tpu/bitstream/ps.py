@@ -172,6 +172,13 @@ class VPS:
     max_sub_layers: int = 1
     temporal_id_nesting: int = 1
     ptl: ProfileTierLevel | None = None
+    # SHVC extension (parse_vps_extension, hevc_ps.c:714)
+    num_direct_ref_layers: tuple = (0,)
+    rep_formats: tuple = ()        # (width, height, chroma_idc, bit_depth)
+    rep_format_idx: tuple = (0,)
+    max_one_active_ref_layer: int = 1
+    phase_align: int = 0
+    default_dep_type: int = 0
 
 
 def parse_vps(rbsp: bytes) -> VPS:
@@ -184,8 +191,117 @@ def parse_vps(rbsp: bytes) -> VPS:
     v.temporal_id_nesting = r.read1()
     r.read(16)
     v.ptl = parse_ptl(r, v.max_sub_layers - 1)
-    # ordering info / layer sets / timing: parsed-and-ignored for now
+    sub_layer_ordering = r.read1()
+    for _ in range((0 if sub_layer_ordering else v.max_sub_layers - 1),
+                   v.max_sub_layers):
+        r.ue(); r.ue(); r.ue()
+    max_layer_id = r.read(6)
+    num_layer_sets = r.ue() + 1
+    n_in_set = [1] + [0] * (num_layer_sets - 1)
+    for i in range(1, num_layer_sets):
+        for j in range(max_layer_id + 1):
+            n_in_set[i] += r.read1()
+    if r.read1():           # vps_timing_info_present (not written by us)
+        raise NotImplementedError("vps timing info")
+    if r.read1() and v.max_layers > 1:   # vps_extension_flag
+        r.align()
+        _parse_vps_extension(r, v, num_layer_sets, n_in_set)
     return v
+
+
+def _parse_vps_extension(r: BitReader, v: VPS, num_layer_sets, n_in_set):
+    """Mirror of parse_vps_extension (hevc_ps.c:714) for the field set
+    the SHVC writer emits; unrecognized shapes raise."""
+    nl = v.max_layers
+    r.read1()               # avc_base_layer_flag
+    splitting = r.read1()
+    n_scal = sum(r.read1() for _ in range(16))
+    dim_len = [r.read(3) + 1 for _ in range(n_scal - (1 if splitting else 0))]
+    nuh_present = r.read1()
+    for i in range(1, nl):
+        if nuh_present:
+            r.read(6)
+        for j in range(n_scal):
+            r.read(dim_len[j])
+    view_len = r.read(4) + 1
+    r.read(view_len)        # view_id_val[0] (NumViews == 1 here)
+    ndr = [0] * nl
+    for i in range(1, nl):
+        ndr[i] = sum(r.read1() for _ in range(i))
+    v.num_direct_ref_layers = tuple(ndr)
+    if r.read1():           # sub_layers_max_minus1_present
+        for _ in range(nl - 1):
+            r.read(3)
+    if r.read1():           # max_tid_ref_present
+        for i in range(nl - 1):
+            for j in range(i + 1, nl):
+                r.read(3)   # (approximates dep-gated reads; writer emits 0)
+    r.read1()               # all_ref_layers_active
+    assert r.read(10) == num_layer_sets - 1
+    n_ptl = r.read(6) + 1
+    for i in range(1, n_ptl):
+        if not r.read1():   # vps_profile_present_flag
+            r.read(6)
+        parse_ptl(r, v.max_sub_layers - 1)
+    more_ols = r.read1()
+    n_ols = num_layer_sets if not more_ols else         num_layer_sets + r.read(10)
+    if n_ols > 1:
+        default_one = r.read1()
+    for i in range(1, n_ols):
+        if i > num_layer_sets - 1:
+            raise NotImplementedError("additional output layer sets")
+        nb = 1
+        while (1 << nb) < n_ptl:
+            nb += 1
+        r.read(nb)          # profile_level_tier_idx
+    if nl > 1:
+        r.read1()           # alt_output_layer_flag
+    rep_idx_present = r.read1()
+    n_rep = (r.read(8) + 1) if rep_idx_present else nl
+    reps = []
+    for _ in range(n_rep):
+        present = r.read1()
+        w = r.read(16)
+        h = r.read(16)
+        cf, bd = 1, 8
+        if present:
+            cf = r.read(2)
+            if cf == 3:
+                r.read1()
+            bd = r.read(4) + 8
+            r.read(4)
+        reps.append((w, h, cf, bd))
+    v.rep_formats = tuple(reps)
+    if rep_idx_present:
+        v.rep_format_idx = tuple([0] + [
+            (r.read(8) if n_rep > 1 else 0) for _ in range(1, nl)])
+    else:
+        v.rep_format_idx = tuple(range(nl))
+    v.max_one_active_ref_layer = r.read1()
+    for i in range(1, nl):
+        if ndr[i] == 0:
+            r.read1()       # poc_lsb_not_present
+    v.phase_align = r.read1()
+    # DPB size table
+    n_sub_dpbs = [1] + [n_in_set[i] for i in range(1, n_ols)]
+    for i in range(1, n_ols):
+        sub_flag = r.read1()
+        for j in range(v.max_sub_layers):
+            present = 1 if j == 0 else (r.read1() if sub_flag else 0)
+            if present:
+                for _ in range(n_sub_dpbs[i]):
+                    r.ue()
+                r.ue(); r.ue()
+    dep_len = r.ue() + 2
+    if r.read1():           # default_direct_dependency_type_flag
+        v.default_dep_type = r.read(dep_len)
+    else:
+        for i in range(1, nl):
+            for j in range(i):
+                pass        # per-dep types (writer uses default)
+    # single_layer_for_non_irap, higher_layer_irap_skip, vps_vui
+    r.read1(); r.read1()
+    r.read1()
 
 
 @dataclass
@@ -270,14 +386,37 @@ class SPS:
         return 6 * (self.bit_depth - 8)
 
 
-def parse_sps(rbsp: bytes) -> SPS:
+def parse_sps(rbsp: bytes, layer_id: int = 0, vps: VPS | None = None) -> SPS:
+    """layer_id > 0 (SHVC EL): no sub-layers/PTL/geometry/bit-depth
+    fields — inherited from the VPS rep format (ff_hevc_decode_nal_sps,
+    hevc_ps.c:1556-1722)."""
     r = BitReader(rbsp)
     s = SPS()
     s.vps_id = r.read(4)
-    max_sub_layers_minus1 = r.read(3)
-    r.read1()  # sps_temporal_id_nesting_flag
-    s.ptl = parse_ptl(r, max_sub_layers_minus1)
+    if layer_id == 0:
+        max_sub_layers_minus1 = r.read(3)
+        r.read1()  # sps_temporal_id_nesting_flag
+        s.ptl = parse_ptl(r, max_sub_layers_minus1)
+    else:
+        max_sub_layers_minus1 = (vps.max_sub_layers - 1) if vps else 0
     s.sps_id = r.ue()
+    if layer_id > 0:
+        update_rep = r.read1()
+        rep_idx = r.read(8) if update_rep else \
+            (vps.rep_format_idx[layer_id] if vps else 0)
+        w, h, cf, bd = vps.rep_formats[rep_idx]
+        s.width, s.height = w, h
+        s.chroma_format_idc = cf
+        s.bit_depth = s.bit_depth_chroma = bd
+        if r.read1():  # conformance_window_flag
+            sub_w = 2 if cf in (1, 2) else 1
+            sub_h = 2 if cf == 1 else 1
+            s.crop_left = r.ue() * sub_w
+            s.crop_right = r.ue() * sub_w
+            s.crop_top = r.ue() * sub_h
+            s.crop_bottom = r.ue() * sub_h
+        s.log2_max_poc_lsb = r.ue() + 4
+        return _parse_sps_common(r, s, max_sub_layers_minus1, layer_id)
     s.chroma_format_idc = r.ue()
     if s.chroma_format_idc == 3:
         s.separate_colour_plane = r.read1()
@@ -293,6 +432,13 @@ def parse_sps(rbsp: bytes) -> SPS:
     s.bit_depth = r.ue() + 8
     s.bit_depth_chroma = r.ue() + 8
     s.log2_max_poc_lsb = r.ue() + 4
+    return _parse_sps_common(r, s, max_sub_layers_minus1, 0)
+
+
+def _parse_sps_common(r: BitReader, s: SPS, max_sub_layers_minus1: int,
+                      layer_id: int) -> SPS:
+    """SPS fields shared by BL and SHVC EL from
+    sps_sub_layer_ordering_info onward."""
     sub_layer_ordering = r.read1()
     for i in range((0 if sub_layer_ordering else max_sub_layers_minus1),
                    max_sub_layers_minus1 + 1):
@@ -307,7 +453,10 @@ def parse_sps(rbsp: bytes) -> SPS:
     s.max_transform_hierarchy_depth_intra = r.ue()
     s.scaling_list_enabled = r.read1()
     if s.scaling_list_enabled:
-        if r.read1():  # sps_scaling_list_data_present_flag
+        if layer_id > 0 and r.read1():  # sps_infer_scaling_list_flag
+            r.ue()                     # sps_scaling_list_ref_layer_id
+            s.scaling_list_enabled = 0
+        elif r.read1():  # sps_scaling_list_data_present_flag
             s.scaling_list = parse_scaling_list(r)
         else:
             s.scaling_list = {}
@@ -434,7 +583,7 @@ class PPS:
     log2_sao_offset_scale_chroma: int = 0
 
 
-def parse_pps(rbsp: bytes) -> PPS:
+def parse_pps(rbsp: bytes, layer_id: int = 0) -> PPS:
     r = BitReader(rbsp)
     p = PPS()
     p.pps_id = r.ue()
@@ -476,7 +625,9 @@ def parse_pps(rbsp: bytes) -> PPS:
         if not p.deblocking_filter_disabled:
             p.beta_offset = r.se() * 2
             p.tc_offset = r.se() * 2
-    if r.read1():  # pps_scaling_list_data_present_flag
+    if layer_id > 0 and r.read1():  # pps_infer_scaling_list_flag
+        r.ue()                          # pps_scaling_list_ref_layer_id
+    elif r.read1():  # pps_scaling_list_data_present_flag
         p.scaling_list = parse_scaling_list(r)
     p.lists_modification_present = r.read1()
     p.log2_parallel_merge_level = r.ue() + 2

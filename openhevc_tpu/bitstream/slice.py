@@ -60,10 +60,12 @@ class SliceHeader:
     entry_point_offsets: list = field(default_factory=list)
     data_start_byte: int = 0      # byte offset of slice data in the RBSP
     weighted_pred_table: object = None
+    inter_layer_pred: int = 0     # SHVC EL (hevc.c:808)
 
 
 def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS,
-                       pps: PPS) -> SliceHeader:
+                       pps: PPS, layer_id: int = 0,
+                       num_direct_ref_layers: int = 0) -> SliceHeader:
     r = BitReader(rbsp)
     sh = SliceHeader()
     sh.first_slice = r.read1()
@@ -85,6 +87,9 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS,
             sh.pic_output_flag = r.read1()
         if sps.separate_colour_plane:
             sh.colour_plane_id = r.read(2)
+        if layer_id > 0 and is_idr(nal_type):
+            # SHVC EL IDR carries pic_order_cnt_lsb (hevc.c:728)
+            sh.poc_lsb = r.read(sps.log2_max_poc_lsb)
         if not is_idr(nal_type):
             sh.poc_lsb = r.read(sps.log2_max_poc_lsb)
             if not r.read1():  # short_term_ref_pic_set_sps_flag
@@ -118,6 +123,10 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS,
                         sh.lt_msb_present.append(None)
             if sps.temporal_mvp_enabled:
                 sh.temporal_mvp = r.read1()
+        # SHVC EL: inter_layer_pred block, all slice types (hevc.c:805-830;
+        # with NumDirectRefLayers == 1 + max_one_active it is one flag)
+        if layer_id > 0 and num_direct_ref_layers > 0:
+            sh.inter_layer_pred = r.read1()
         if sps.sao_enabled:
             sh.sao_luma = r.read1()
             sh.sao_chroma = r.read1()

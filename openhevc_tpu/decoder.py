@@ -60,11 +60,16 @@ class DecodedPicture:
 
 
 class Decoder:
-    def __init__(self, engine: str = "np", native_parse: bool | None = None):
+    def __init__(self, engine: str = "np", native_parse: bool | None = None,
+                 layer: int = 0):
         """engine: 'np' (scalar oracle) or 'jax' (TPU pipeline).
         native_parse: host parse via native/libhevcparse.so (default: auto,
-        falls back to the Python parser if the build is unavailable)."""
+        falls back to the Python parser if the build is unavailable).
+        layer: nuh_layer_id this decoder handles (SHVC EL uses 1 with
+        shvc_bl set to the base-layer Decoder)."""
         self.engine = engine
+        self.layer = layer
+        self.shvc_bl: Decoder | None = None
         if native_parse is None:
             try:
                 from .bitstream.native import ensure_built
@@ -131,21 +136,23 @@ class Decoder:
         nal_type = (nal[0] >> 1) & 0x3F
         layer_id = ((nal[0] & 1) << 5) | (nal[1] >> 3)
         temporal_id = (nal[1] & 7) - 1
-        if layer_id != 0:
-            return  # SHVC enhancement layers: later phase
         rbsp = unescape_rbsp(nal[2:])
+        # parameter sets are parsed regardless of layer (ids are unique
+        # across layers; mirrors decode_nal_unit's VPS/SPS pass-through,
+        # hevc.c:3303); slices only for this decoder's layer
         if nal_type == NAL_VPS:
             v = PS.parse_vps(rbsp)
             self.vps[v.vps_id] = v
         elif nal_type == NAL_SPS:
-            s = PS.parse_sps(rbsp)
+            s = PS.parse_sps(rbsp, layer_id=layer_id,
+                             vps=self.vps.get(0))
             self.sps[s.sps_id] = s
         elif nal_type == NAL_PPS:
-            p = PS.parse_pps(rbsp)
+            p = PS.parse_pps(rbsp, layer_id=layer_id)
             self.pps[p.pps_id] = p
         elif nal_type in (NAL_SEI_PREFIX, NAL_SEI_SUFFIX):
             pass  # SEI (MD5 hash) handled by caller via sei.py later
-        elif nal_type <= 31:
+        elif nal_type <= 31 and layer_id == self.layer:
             self._decode_slice(nal_type, temporal_id, rbsp)
 
     def _compute_poc(self, sps, sh, nal_type, temporal_id):
@@ -173,15 +180,25 @@ class Decoder:
         return poc
 
     def _decode_slice(self, nal_type, temporal_id, rbsp):
+        ndr = 0
+        if self.layer > 0 and 0 in self.vps:
+            nd = self.vps[0].num_direct_ref_layers
+            ndr = nd[self.layer] if self.layer < len(nd) else 0
         sh = parse_slice_header(rbsp, nal_type,
                                 self._sps_for(rbsp, nal_type),
-                                self._pps_for(rbsp, nal_type))
+                                self._pps_for(rbsp, nal_type),
+                                layer_id=self.layer,
+                                num_direct_ref_layers=ndr)
         pps = self.pps[sh.pps_id]
         sps = self.sps[pps.sps_id]
         poc = self._compute_poc(sps, sh, nal_type, temporal_id)
         if is_idr(nal_type):
             self.ref_pics = {}
-        ref_list = self._build_ref_lists(sh, sps, poc)
+        il = None
+        if self.layer > 0 and sh.inter_layer_pred and \
+                self.shvc_bl is not None:
+            il = self._make_il_ref(poc, sps)
+        ref_list = self._build_ref_lists(sh, sps, poc, il=il)
         # collocated picture motion for TMVP (hevc_refs.c collocated_ref)
         col_motion = None
         if sh.temporal_mvp:
@@ -229,21 +246,40 @@ class Decoder:
                 np.zeros((h4, w4, 2, 2), np.int32),
                 np.zeros((h4, w4, 2), np.int32))
 
-    def _build_ref_lists(self, sh, sps, poc):
+    def _make_il_ref(self, poc, el_sps):
+        """Upsampled BL picture of this AU as the inter-layer reference
+        (ff_hevc_set_new_iter_layer_ref behavior; marked long-term with
+        the EL's own POC, hevc_refs.c:748)."""
+        bl_pic = self.shvc_bl.ref_pics.get(poc)
+        if bl_pic is None:
+            return None
+        from .ops.upsample_np import upsample_il_frame
+        planes = upsample_il_frame(bl_pic.planes, el_sps.width,
+                                   el_sps.height,
+                                   bit_depth=el_sps.bit_depth,
+                                   hs=el_sps.hshift1, vs=el_sps.vshift1)
+        self._il_planes = {poc: planes}
+        return (poc, True)
+
+    def _build_ref_lists(self, sh, sps, poc, il=None):
         """RPS -> L0/L1 reference POC lists (ff_hevc_frame_rps +
-        ff_hevc_slice_rpl behavior; no long-term support yet)."""
-        if sh.slice_type == I_SLICE or sh.st_rps is None:
+        ff_hevc_slice_rpl behavior; no long-term support yet). il: the
+        inter-layer entry (poc, True), inserted after ST-before in L0
+        and last in L1 (cand order, hevc_refs.c:457)."""
+        if sh.slice_type == I_SLICE:
             return [[], []]
         rps = sh.st_rps
         before, after = [], []
-        for delta, used in zip(rps.delta_poc, rps.used):
-            p = poc + delta
-            if not used:
-                continue
-            (before if delta < 0 else after).append((p, False))
+        if rps is not None:
+            for delta, used in zip(rps.delta_poc, rps.used):
+                p = poc + delta
+                if not used:
+                    continue
+                (before if delta < 0 else after).append((p, False))
         n0, n1 = sh.num_ref_idx
-        cands0 = before + after
-        cands1 = after + before
+        ilr = [il] if il else []
+        cands0 = before + ilr + after
+        cands1 = after + before + ilr
         l0 = [cands0[i % len(cands0)] for i in range(n0)] if cands0 else []
         l1 = [cands1[i % len(cands1)] for i in range(n1)] if cands1 else []
         if sh.list_mod_l0:
@@ -257,6 +293,10 @@ class Decoder:
     def _reconstruct(self, fs):
         refs = {p: pic.planes for p, pic in
                 getattr(self, "ref_pics", {}).items()}
+        il = getattr(self, "_il_planes", None)
+        if il:
+            refs.update(il)         # inter-layer ref (same poc as current)
+            self._il_planes = None
         if self.engine == "np":
             from .models.recon_np import reconstruct
             return reconstruct(fs, ref_planes=refs)
@@ -307,3 +347,28 @@ class Decoder:
         out = self.output + self.dpb
         self.output, self.dpb = [], []
         return out
+
+
+class ShvcDecoder:
+    """2-layer SHVC decode chain (the openHevcWrapper 2-decoder setup,
+    openHevcWrapper.c:95-140): both layers see the full access units;
+    the EL builds its inter-layer reference from the BL's decoded
+    picture of the same POC."""
+
+    def __init__(self, engine: str = "np"):
+        self.bl = Decoder(engine)
+        self.el = Decoder(engine, layer=1)
+        self.el.shvc_bl = self.bl
+
+    def set_extradata(self, data: bytes):
+        self.bl.set_extradata(data)
+        self.el.set_extradata(data)
+
+    def decode(self, data: bytes):
+        """Returns newly available EL pictures (the display layer)."""
+        self.bl.decode(data)
+        return self.el.decode(data)
+
+    def flush(self):
+        self.bl.flush()
+        return self.el.flush()

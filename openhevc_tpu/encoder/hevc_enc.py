@@ -200,10 +200,11 @@ def _write_st_rps(bw: BitWriter, idx: int, rps):
     return
 
 
-def write_pps(cfg: EncoderConfig) -> bytes:
+def write_pps(cfg: EncoderConfig, pps_id: int = 0, sps_id: int = 0,
+              layer_id: int = 0) -> bytes:
     bw = BitWriter()
-    bw.ue(0)                # pps_pic_parameter_set_id
-    bw.ue(0)                # pps_seq_parameter_set_id
+    bw.ue(pps_id)           # pps_pic_parameter_set_id
+    bw.ue(sps_id)           # pps_seq_parameter_set_id
     bw.put(0, 1)            # dependent_slice_segments_enabled_flag
     bw.put(0, 1)            # output_flag_present_flag
     bw.put(0, 3)            # num_extra_slice_header_bits
@@ -236,13 +237,15 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     if not cfg.deblock_disabled:
         bw.se(cfg.beta_offset_div2)   # pps_beta_offset_div2
         bw.se(cfg.tc_offset_div2)     # pps_tc_offset_div2
+    if layer_id > 0:
+        bw.put(0, 1)        # pps_infer_scaling_list_flag (hevc_ps.c:2383)
     bw.put(0, 1)            # pps_scaling_list_data_present_flag
     bw.put(0, 1)            # lists_modification_present_flag
     bw.ue(0)                # log2_parallel_merge_level_minus2
     bw.put(0, 1)            # slice_segment_header_extension_present_flag
     bw.put(0, 1)            # pps_extension_flag
     bw.align_one_then_zero()
-    return wrap_nal(NAL_PPS, bw.getvalue())
+    return wrap_nal(NAL_PPS, bw.getvalue(), layer_id=layer_id)
 
 
 def _write_pred_weight_table(bw: BitWriter, cfg, wt, slice_type):
@@ -274,13 +277,19 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
                        num_ref_l0: int | None = None,
                        num_ref_l1: int | None = None,
                        entry_point_offsets: list | None = None,
-                       weight_table: dict | None = None):
+                       weight_table: dict | None = None,
+                       pps_id: int = 0,
+                       inter_layer_pred: int | None = None):
     """slice_type: 0=B 1=P 2=I. Only the syntax paths this encoder exercises."""
     bw.put(1, 1)            # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:
         bw.put(0, 1)        # no_output_of_prior_pics_flag
-    bw.ue(0)                # slice_pic_parameter_set_id
+    bw.ue(pps_id)           # slice_pic_parameter_set_id
     bw.ue(slice_type)
+    if inter_layer_pred is not None and \
+            nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+        # SHVC EL IDR still carries pic_order_cnt_lsb (hevc.c:728)
+        bw.put(poc % (1 << cfg.log2_max_poc_lsb), cfg.log2_max_poc_lsb)
     if nal_type not in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
         bw.put(poc % (1 << cfg.log2_max_poc_lsb), cfg.log2_max_poc_lsb)
         if num_st_rps == 0:
@@ -291,6 +300,9 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
             bw.put(st_rps_idx, nbits)
         if cfg.temporal_mvp:
             bw.put(1, 1)    # slice_temporal_mvp_enabled_flag
+    if inter_layer_pred is not None:
+        # SHVC EL: one flag with NumDirectRefLayers==1 (hevc.c:808)
+        bw.put(1 if inter_layer_pred else 0, 1)
     if cfg.sao_enabled:
         bw.put(1, 1)        # slice_sao_luma_flag
         bw.put(1, 1)        # slice_sao_chroma_flag

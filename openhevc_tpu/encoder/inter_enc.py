@@ -43,7 +43,7 @@ class PFrameEncoder(IntraFrameEncoder):
         self.ct_depth = np.zeros((self.h4, self.w4), np.int8)
         self.skip_grid = np.zeros((self.h4, self.w4), np.uint8)
         self.ref_planes = {p: pl for p, pl in ref_pics}
-        l0 = [(p, False) for p, _ in ref_pics]
+        l0 = [(p, self.ref_lt) for p, _ in ref_pics]
         ref_list = [l0, list(l0) if slice_type == 0 else []]
         self.slice_type = slice_type
         self.mvctx = MotionContext(_Sps2(cfg), self.zscan, poc, slice_type,
@@ -62,13 +62,22 @@ class PFrameEncoder(IntraFrameEncoder):
         data, eps = self._encode_slice_data(slice_type=slice_type)
         bw = BitWriter()
         write_slice_header(bw, cfg, nal_type, slice_type=slice_type, poc=poc,
-                           st_rps_idx=len(ref_pics) - 1,
+                           st_rps_idx=self.st_rps_idx
+                           if self.st_rps_idx is not None
+                           else len(ref_pics) - 1,
                            num_st_rps=self.num_st_rps,
-                           num_ref_l0=len(ref_pics),
-                           num_ref_l1=len(ref_pics),
+                           num_ref_l0=self.num_ref_l0 or len(ref_pics),
+                           num_ref_l1=self.num_ref_l0 or len(ref_pics),
                            entry_point_offsets=eps,
-                           weight_table=self.weight_table)
-        return wrap_nal(nal_type, bw.getvalue() + data)
+                           weight_table=self.weight_table,
+                           pps_id=self.pps_id,
+                           inter_layer_pred=self.inter_layer_pred)
+        return wrap_nal(nal_type, bw.getvalue() + data,
+                        layer_id=self.layer_id)
+
+    st_rps_idx = None     # override (SHVC EL uses the empty RPS)
+    num_ref_l0 = None     # override for IL-only reference lists
+    ref_lt = False        # mark refs long-term (SHVC inter-layer ref)
 
     def _gen_weight_table(self, n_refs, slice_type):
         """Random explicit weights per ref (the conformance generator's
@@ -258,10 +267,22 @@ class PFrameEncoder(IntraFrameEncoder):
                 nref = len(self.mvctx.ref_list[lx])
                 ref = int(rng.integers(0, nref))
                 self._encode_ref_idx(ref, nref)
-                mvd = (int(rng.integers(-24, 25)),
-                       int(rng.integers(-24, 25)))
+                if self.zero_mv:
+                    # SHVC inter-layer refs: MV must be zero (the
+                    # reference's on-demand PU upsampling only covers the
+                    # PU's own CTB neighbourhood, ff_upsample_block,
+                    # hevc_filter.c:1370)
+                    pred0 = self.mvctx.amvp(x0, y0, w, h, lx, ref, 0)
+                    pred1 = self.mvctx.amvp(x0, y0, w, h, lx, ref, 1)
+                    mvp_pick = int(rng.integers(0, 2))
+                    pred = (pred0, pred1)[mvp_pick]
+                    mvd = (-pred[0], -pred[1])
+                else:
+                    mvd = (int(rng.integers(-24, 25)),
+                           int(rng.integers(-24, 25)))
                 self._encode_mvd(mvd)
-                mvp_flag = int(rng.integers(0, 2))
+                mvp_flag = mvp_pick if self.zero_mv else \
+                    int(rng.integers(0, 2))
                 enc.bin("mvp_l0_flag", 0, mvp_flag)
                 pred = self.mvctx.amvp(x0, y0, w, h, lx, ref, mvp_flag)
                 mv[lx] = (pred[0] + mvd[0], pred[1] + mvd[1])
@@ -283,6 +304,7 @@ class PFrameEncoder(IntraFrameEncoder):
                      r0=f.ref_idx[0], r1=f.ref_idx[1])
         self._pu_list.append(pb)
 
+    zero_mv = False       # force MV (0,0) on every PU (SHVC IL refs)
     weight_table = None   # pred_weight_table for the current slice
     _motion_store: dict = {}   # poc -> (pred_flag4, mv4, refpoc4) for TMVP
 

@@ -78,7 +78,12 @@ class IntraFrameEncoder:
         c = int(np.searchsorted(self.col_bd, rx, side="right")) - 1
         return int(self.col_bd[c + 1] - self.col_bd[c])
 
-    def encode_frame(self, y, u, v, nal_type=NAL_IDR_N_LP) -> bytes:
+    layer_id = 0          # SHVC: nuh_layer_id of emitted NALs
+    pps_id = 0
+    inter_layer_pred = None   # EL slice-header flag (None: BL, absent)
+
+    def encode_frame(self, y, u, v, nal_type=NAL_IDR_N_LP, poc=0,
+                     num_st_rps=0) -> bytes:
         cfg = self.cfg
         self.target = [np.asarray(y, np.int64), np.asarray(u, np.int64),
                        np.asarray(v, np.int64)]
@@ -92,9 +97,12 @@ class IntraFrameEncoder:
         self.ct_depth = np.zeros((self.h4, self.w4), np.int8)
         data, eps = self._encode_slice_data(slice_type=2)
         bw = BitWriter()
-        write_slice_header(bw, cfg, nal_type, slice_type=2,
-                           entry_point_offsets=eps)
-        return wrap_nal(nal_type, bw.getvalue() + data)
+        write_slice_header(bw, cfg, nal_type, slice_type=2, poc=poc,
+                           num_st_rps=num_st_rps,
+                           entry_point_offsets=eps, pps_id=self.pps_id,
+                           inter_layer_pred=self.inter_layer_pred)
+        return wrap_nal(nal_type, bw.getvalue() + data,
+                        layer_id=self.layer_id)
 
     def _encode_slice_data(self, slice_type):
         """CTB loop in tile-scan order with WPP/tile substream handling;

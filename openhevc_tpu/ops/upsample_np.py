@@ -59,7 +59,7 @@ def scale_add(bl: int, el: int, phase: int = 0):
 def upsample_plane(bl: np.ndarray, el_w: int, el_h: int,
                    scale_x: int, add_x: int, scale_y: int, add_y: int,
                    bit_depth: int = 8, luma: bool = True,
-                   win=(0, 0, 0, 0)) -> np.ndarray:
+                   win=(0, 0, 0, 0), off16_y: int = 0) -> np.ndarray:
     """Upsample one BL plane to (el_h, el_w). win = (left, right, top,
     bottom) scaled-reference-layer offsets in this plane's units."""
     filt = UP_FILTER_LUMA if luma else UP_FILTER_CHROMA
@@ -89,7 +89,7 @@ def upsample_plane(bl: np.ndarray, el_w: int, el_h: int,
     col_map = np.clip(np.arange(el_w), left, right_end - 1)
     for j in range(el_h):
         y = min(max(j, top), bottom_end - 1)
-        ref16 = ((y - top) * scale_y + add_y) >> 12
+        ref16 = (((y - top) * scale_y + add_y) >> 12) + off16_y
         phase = ref16 & 15
         refpos = (ref16 >> 4) - half
         rows = np.clip(np.arange(refpos, refpos + ntaps), 0, h_bl - 1)
@@ -115,3 +115,27 @@ def upsample_frame(bl_planes, el_w: int, el_h: int, bit_depth: int = 8,
     cr = upsample_plane(bl_planes[2], el_w >> 1, el_h >> 1, sx, axc, sy, ayc,
                         bit_depth, luma=False)
     return [y, cb, cr]
+
+
+def upsample_il_frame(planes, el_w: int, el_h: int, bit_depth: int = 8,
+                      hs: int = 1, vs: int = 1):
+    """Upsample a decoded BL frame [Y, Cb, Cr] to EL dimensions — the
+    inter-layer reference picture (hevc.c:473-487 scale/phase rules:
+    chroma reuses the luma-derived scales; vertical chroma phase is 1
+    with cross_layer_phase_alignment_flag == 0)."""
+    y = np.asarray(planes[0])
+    bl_h, bl_w = y.shape
+    sx, ax = scale_add(bl_w, el_w)
+    sy, ay = scale_add(bl_h, el_h)
+    out = [upsample_plane(y, el_w, el_h, sx, ax, sy, ay,
+                          bit_depth=bit_depth, luma=True)]
+    axc = ((0 * sx + 2) >> 2) + (1 << 11)
+    ayc = ((1 * sy + 2) >> 2) + (1 << 11)
+    for c in (1, 2):
+        # vertical chroma has a -4/16 position offset after the shift
+        # (hevcdsp_template.c chroma pass: refPos16 = (...>>12) - 4)
+        out.append(upsample_plane(np.asarray(planes[c]),
+                                  el_w >> hs, el_h >> vs, sx, axc, sy, ayc,
+                                  bit_depth=bit_depth, luma=False,
+                                  off16_y=-4))
+    return out

@@ -1,0 +1,69 @@
+"""SHVC 2-layer decode vs the reference (scalable openHEVC's flagship
+feature): BL + EL with inter-layer sample prediction from the upsampled
+BL picture, across x2 / x1.5 / SNR scalability ratios."""
+import numpy as np
+import pytest
+
+from conftest import ref_decode, ref_planes
+
+from openhevc_tpu.encoder.shvc_enc import encode_shvc_stream
+from openhevc_tpu.decoder import ShvcDecoder
+
+
+def _frames(w, h, n, rng):
+    return [tuple([rng.integers(0, 256, (h, w)).astype(np.uint8),
+                   rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+                   rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)])
+            for _ in range(n)]
+
+
+def _check(bl_size, el_size, seed, n=4, engine="np", **kw):
+    rng = np.random.default_rng(seed)
+    blf = _frames(*bl_size, n, rng)
+    elf = _frames(*el_size, n, rng)
+    data, recons = encode_shvc_stream(blf, elf, bl_size, el_size,
+                                      qp=30, seed=seed, **kw)
+    ref = ref_decode(data)
+    d = ShvcDecoder(engine)
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == n
+    for i in range(n):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(), recons[i])):
+            assert np.array_equal(got, np.asarray(want)), ("self", i, p)
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, np.asarray(want)), ("ref", i, p)
+
+
+@pytest.mark.parametrize("seed,bl,el,kw", [
+    (31, (32, 32), (64, 64), {}),                      # x2 spatial
+    (41, (32, 32), (48, 48), {}),                      # x1.5 spatial
+    (42, (48, 48), (48, 48), {}),                      # SNR (quality)
+    (43, (48, 32), (96, 64), dict(ctb_log2=5)),        # x2 rectangular
+])
+def test_shvc_2layer(seed, bl, el, kw):
+    _check(bl, el, seed, **kw)
+
+
+def test_shvc_jax_engine():
+    _check((32, 32), (64, 64), 51, n=3, engine="jax")
+
+
+def test_shvc_vps_roundtrip():
+    """My parser consumes the SHVC VPS extension + EL SPS it writes."""
+    from openhevc_tpu.encoder.hevc_enc import EncoderConfig
+    from openhevc_tpu.encoder.shvc_enc import write_vps_shvc, write_sps_el
+    from openhevc_tpu.bitstream import ps as PS
+    from openhevc_tpu.bitstream.bits import unescape_rbsp
+    from openhevc_tpu.decoder import split_nals
+    bl = EncoderConfig(width=32, height=32, pcm_enabled=False)
+    el = EncoderConfig(width=64, height=64, pcm_enabled=False)
+    vnal = split_nals(write_vps_shvc(bl, el))[0]
+    v = PS.parse_vps(unescape_rbsp(vnal[2:]))
+    assert v.max_layers == 2
+    assert v.num_direct_ref_layers == (0, 1)
+    assert v.rep_formats == ((32, 32, 1, 8), (64, 64, 1, 8))
+    snal = split_nals(write_sps_el(el))[0]
+    s = PS.parse_sps(unescape_rbsp(snal[2:]), layer_id=1, vps=v)
+    assert (s.width, s.height, s.sps_id) == (64, 64, 1)
