@@ -139,20 +139,20 @@ def escape_rbsp(rbsp: bytes) -> bytes:
 
 
 def unescape_rbsp(data: bytes) -> bytes:
-    """Remove emulation prevention bytes (ff_hevc_extract_rbsp behavior)."""
-    out = bytearray()
-    i, n = 0, len(data)
-    zeros = 0
-    while i < n:
-        b = data[i]
-        if zeros >= 2 and b == 3:
-            zeros = 0
-            i += 1
-            continue
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-        i += 1
-    return bytes(out)
+    """Remove emulation prevention bytes (ff_hevc_extract_rbsp behavior).
+
+    Vectorized: delete byte i iff data[i]==3 and data[i-2:i]==00 00.  This
+    equals the sequential zero-counter scan: a deleted byte is 0x03, so it
+    can never be part of a later 00 00 prefix, and the counter reset after
+    an escape is exactly the data[i-1]==3 exclusion."""
+    if b"\x00\x00\x03" not in data:
+        return data
+    import numpy as np
+    a = np.frombuffer(data, np.uint8)
+    z = a == 0
+    keep = np.ones(len(a), bool)
+    keep[2:] = ~((a[2:] == 3) & z[1:-1] & z[:-2])
+    return a[keep].tobytes()
 
 
 def nal_header(nal_type: int, layer_id: int = 0, temporal_id: int = 0) -> bytes:

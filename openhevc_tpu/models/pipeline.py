@@ -258,23 +258,141 @@ def _pack_from_raw(fs: FrameSymbols):
 class JaxEngine:
     """Per-shape jit cache around the packed pipeline."""
 
+    # VMEM budget gate for the fused whole-frame intra kernel (bytes of
+    # recon+residual buffers; beyond this fall back to the per-level path
+    # until the banded variant lands)
+    FUSED_VMEM_BUDGET = 12 * 2 ** 20
+
     def __init__(self):
         self._cache = {}
 
+    def _fused_ok(self, fs) -> bool:
+        import jax as _jax
+        if _jax.default_backend() != "tpu":
+            return False
+        from ..ops.intra_fused import padded_dims
+        sps = fs.sps
+        hl, wl = padded_dims(sps.height, sps.width)
+        hc, wc = padded_dims(sps.height >> sps.vshift1,
+                             sps.width >> sps.hshift1)
+        return (hl * wl + 2 * hc * wc) * 4 * 2 <= self.FUSED_VMEM_BUDGET
+
     def reconstruct(self, fs: FrameSymbols, ref_planes=None):
-        pf = pack_frame(fs)
-        H, W = pf.height, pf.width
+        H, W = fs.sps.height, fs.sps.width
         hs, vs = fs.sps.hshift1, fs.sps.vshift1
-        if fs.inter_pbs:
-            pf.inter = self._pack_inter(fs, ref_planes or {})
-        planes = self._run(pf)
-        y = np.asarray(planes[0, :H, :W])
-        u = np.asarray(planes[1, :H >> vs, :W >> hs])
-        v = np.asarray(planes[2, :H >> vs, :W >> hs])
+        if self._fused_ok(fs):
+            y, u, v = self._run_fused(fs, ref_planes or {})
+        else:
+            pf = pack_frame(fs)
+            if fs.inter_pbs:
+                pf.inter = self._pack_inter(fs, ref_planes or {})
+            planes = self._run(pf)
+            y = np.asarray(planes[0, :H, :W])
+            u = np.asarray(planes[1, :H >> vs, :W >> hs])
+            v = np.asarray(planes[2, :H >> vs, :W >> hs])
         # in-loop filters currently run via the scalar reference
         # (device deblock/SAO stencil kernels are the next optimization)
         from .recon_np import apply_loop_filters
         return apply_loop_filters([y, u, v], fs)
+
+    def _run_fused(self, fs: FrameSymbols, ref_planes):
+        """Whole-frame path around the fused Pallas intra kernel: residual
+        scatter into padded per-plane buffers, optional inter/PCM prefill,
+        one kernel invocation for every intra TU in decode order."""
+        from ..ops.intra_fused import (padded_dims, pack_meta_native,
+                                       pack_meta_objects, OY, OX,
+                                       intra_reconstruct_fused)
+        from ..ops.idct import scatter_blocks_abs, scatter_blocks_abs2
+        sps = fs.sps
+        H, W = sps.height, sps.width
+        hs, vs = sps.hshift1, sps.vshift1
+        Hc, Wc = H >> vs, W >> hs
+        bd = sps.bit_depth
+        hl, wl = padded_dims(H, W)
+        hc, wc = padded_dims(Hc, Wc)
+
+        # ---- residual into padded buffers (MXU dequant+IDCT per bucket) ---
+        res_l = jnp.zeros((hl, wl), jnp.int32)
+        res_c = jnp.zeros((2, hc, wc), jnp.int32)
+        buckets = _res_buckets(fs)
+        for s, b in buckets.items():
+            fl = b["flags"]
+            r = residual_bucket(jnp.asarray(b["levels"]),
+                                jnp.asarray(b["qp"]),
+                                jnp.asarray(fl[:, 0]), jnp.asarray(fl[:, 1]),
+                                jnp.asarray(fl[:, 2]), jnp.asarray(fl[:, 3]),
+                                jnp.asarray(fl[:, 4]), s=s, bit_depth=bd)
+            pl_ = b["plane"]
+            # coord-drop split: each bucket is scattered once per target
+            # buffer, with the other planes' rows pushed out of bounds
+            # (mode='drop') -- keeps shapes static for the jit cache
+            far = -(1 << 20)
+            if (pl_ == 0).any():
+                res_l = scatter_blocks_abs(
+                    res_l, r,
+                    jnp.asarray(np.where(pl_ == 0, b["x"] + OX, far)),
+                    jnp.asarray(np.where(pl_ == 0, b["y"] + OY, far)), s=s)
+            if (pl_ > 0).any():
+                res_c = scatter_blocks_abs2(
+                    res_c, r,
+                    jnp.asarray(np.maximum(pl_ - 1, 0)),
+                    jnp.asarray(np.where(pl_ > 0, b["x"] + OX, far)),
+                    jnp.asarray(np.where(pl_ > 0, b["y"] + OY, far)), s=s)
+
+        # ---- base planes (PCM prefill; inter prediction if present) -------
+        if fs.inter_pbs:
+            pf = pack_frame(fs)
+            pf.inter = self._pack_inter(fs, ref_planes)
+            planes4 = self._run_inter_only(pf)      # [4, H, W] post-inter
+            luma = _embed_luma(planes4, hl, wl, H, W)
+            chroma = _embed_chroma(planes4, hc, wc, Hc, Wc)
+        elif fs.pcm_blocks:
+            p0 = np.zeros((hl, wl), np.int32)
+            c0 = np.zeros((2, hc, wc), np.int32)
+            for p in fs.pcm_blocks:
+                s_ = p.size
+                p0[OY + p.y:OY + p.y + s_, OX + p.x:OX + p.x + s_] = \
+                    p.samples_y
+                cy, cx = p.y >> vs, p.x >> hs
+                ch_, cw_ = s_ >> vs, s_ >> hs
+                c0[0, OY + cy:OY + cy + ch_, OX + cx:OX + cx + cw_] = \
+                    p.samples_cb
+                c0[1, OY + cy:OY + cy + ch_, OX + cx:OX + cx + cw_] = \
+                    p.samples_cr
+            luma, chroma = jnp.asarray(p0), jnp.asarray(c0)
+        else:
+            luma = jnp.zeros((hl, wl), jnp.int32)
+            chroma = jnp.zeros((2, hc, wc), jnp.int32)
+
+        # ---- fused intra kernel -------------------------------------------
+        if fs.native_raw is not None:
+            meta = pack_meta_native(fs.native_raw,
+                                    bool(sps.strong_intra_smoothing))
+        else:
+            meta = pack_meta_objects(fs.intra_jobs,
+                                     bool(sps.strong_intra_smoothing))
+        luma, chroma = intra_reconstruct_fused(luma, chroma, res_l, res_c,
+                                               meta, bd)
+        # crop + downcast + concatenate on device: the host link is
+        # latency-bound (~30 ms/transfer), so ship ONE uint8/uint16 buffer
+        # and split on the host
+        flat = _crop_pack(luma, chroma, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
+        host = np.asarray(flat).astype(np.int32)
+        y = host[:H * W].reshape(H, W)
+        u = host[H * W:H * W + Hc * Wc].reshape(Hc, Wc)
+        v = host[H * W + Hc * Wc:].reshape(Hc, Wc)
+        return y, u, v
+
+    def _run_inter_only(self, pf: PackedFrame):
+        """The existing [4,H,W] pipeline through residual+inter, skipping
+        the intra stage (the fused kernel handles it)."""
+        pf2 = PackedFrame(width=pf.width, height=pf.height,
+                          bit_depth=pf.bit_depth,
+                          strong_smoothing=pf.strong_smoothing,
+                          planes0=pf.planes0, res=pf.res,
+                          intra={}, n_levels=0, inter=pf.inter,
+                          hshift=pf.hshift, vshift=pf.vshift)
+        return self._run(pf2)
 
     def _pack_inter(self, fs: FrameSymbols, ref_planes):
         """Dense MC fields from the motion grids + stacked reference
@@ -409,6 +527,97 @@ class JaxEngine:
             planes = _intra_scan(planes, res_planes, xs, sizes, bd,
                                  pf.strong_smoothing)
         return planes
+
+
+def _res_buckets(fs: FrameSymbols):
+    """Residual TU buckets keyed by size, with absolute plane coords and
+    pow2 row padding (padded rows get far-negative coords so the
+    mode='drop' scatter discards them)."""
+    raw = fs.native_raw
+    out = {}
+    if raw is not None:
+        cm = raw["cb_meta"]
+        arena = raw["cb_levels"]
+        for s in SIZES:
+            log2s = int(np.log2(s))
+            sel = np.nonzero(cm[:, 3] == log2s)[0]
+            if not len(sel):
+                continue
+            n = len(sel)
+            cap = 1 << max(4, (n - 1).bit_length())
+            offs = cm[sel, 6]
+            gather = offs[:, None] + np.arange(s * s)[None, :]
+            levels = np.zeros((cap, s, s), np.int32)
+            levels[:n] = arena[gather].reshape(n, s, s)
+            qp = np.zeros(cap, np.int32)
+            qp[:n] = cm[sel, 4]
+            fl = cm[sel, 5]
+            flags = np.zeros((cap, 5), bool)
+            flags[:n, 0] = (fl & 1) != 0
+            flags[:n, 1] = (fl & 2) != 0
+            flags[:n, 2] = (fl & 4) != 0
+            flags[:n, 3] = (fl & 16) != 0
+            flags[:n, 4] = (fl & 8) != 0
+            plane = np.full(cap, 0, np.int32)
+            plane[:n] = cm[sel, 0]
+            x = np.full(cap, -(1 << 20), np.int32)
+            y = np.full(cap, -(1 << 20), np.int32)
+            x[:n] = cm[sel, 1]
+            y[:n] = cm[sel, 2]
+            out[s] = dict(levels=levels, qp=qp, flags=flags, plane=plane,
+                          x=x, y=y)
+        return out
+    by_size = {s: [] for s in SIZES}
+    for cb in fs.coeff_blocks:
+        by_size[1 << cb.log2_size].append(cb)
+    for s in SIZES:
+        blocks = by_size[s]
+        if not blocks:
+            continue
+        n = len(blocks)
+        cap = 1 << max(4, (n - 1).bit_length())
+        levels = np.zeros((cap, s, s), np.int32)
+        qp = np.zeros(cap, np.int32)
+        flags = np.zeros((cap, 5), bool)
+        plane = np.zeros(cap, np.int32)
+        x = np.full(cap, -(1 << 20), np.int32)
+        y = np.full(cap, -(1 << 20), np.int32)
+        for i, cb in enumerate(blocks):
+            levels[i] = cb.levels
+            qp[i] = cb.qp
+            flags[i] = (cb.is_dst, cb.transform_skip, cb.transquant_bypass,
+                        cb.rdpcm_mode == 1, cb.rdpcm_mode >= 0)
+            plane[i] = cb.plane
+            x[i] = cb.x
+            y[i] = cb.y
+        out[s] = dict(levels=levels, qp=qp, flags=flags, plane=plane,
+                      x=x, y=y)
+    return out
+
+
+@partial(jax.jit, static_argnames=("H", "W", "Hc", "Wc", "bd"))
+def _crop_pack(luma, chroma, H, W, Hc, Wc, bd):
+    from ..ops.intra_fused import OY, OX
+    dt = jnp.uint8 if bd <= 8 else jnp.uint16
+    y = luma[OY:OY + H, OX:OX + W].astype(dt).reshape(-1)
+    u = chroma[0, OY:OY + Hc, OX:OX + Wc].astype(dt).reshape(-1)
+    v = chroma[1, OY:OY + Hc, OX:OX + Wc].astype(dt).reshape(-1)
+    return jnp.concatenate([y, u, v])
+
+
+@partial(jax.jit, static_argnames=("hl", "wl", "H", "W"))
+def _embed_luma(planes4, hl, wl, H, W):
+    from ..ops.intra_fused import OY, OX
+    return jnp.zeros((hl, wl), jnp.int32).at[
+        OY:OY + H, OX:OX + W].set(planes4[0, :H, :W])
+
+
+@partial(jax.jit, static_argnames=("hc", "wc", "Hc", "Wc"))
+def _embed_chroma(planes4, hc, wc, Hc, Wc):
+    from ..ops.intra_fused import OY, OX
+    c = jnp.zeros((2, hc, wc), jnp.int32)
+    c = c.at[0, OY:OY + Hc, OX:OX + Wc].set(planes4[1, :Hc, :Wc])
+    return c.at[1, OY:OY + Hc, OX:OX + Wc].set(planes4[2, :Hc, :Wc])
 
 
 @partial(jax.jit, static_argnames=("sizes", "bit_depth", "strong"))

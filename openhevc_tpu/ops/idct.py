@@ -88,3 +88,23 @@ def scatter_blocks(res_planes, r, plane_idx, bx, by, s: int):
     xs = bx[:, None, None] * s + ar[None, None, :]
     pi = plane_idx[:, None, None] * jnp.ones((n, s, s), jnp.int32)
     return res_planes.at[pi, ys, xs].add(r, mode="drop")
+
+
+@partial(jax.jit, static_argnames=("s",), donate_argnums=(0,))
+def scatter_blocks_abs(buf, r, xs, ys, s: int):
+    """buf: int32 [Hp, Wp]; r [N,s,s]; xs/ys absolute pixel coords."""
+    ar = jnp.arange(s)
+    yy = ys[:, None, None] + ar[None, :, None]
+    xx = xs[:, None, None] + ar[None, None, :]
+    return buf.at[yy, xx].add(r, mode="drop")
+
+
+@partial(jax.jit, static_argnames=("s",), donate_argnums=(0,))
+def scatter_blocks_abs2(buf, r, pi, xs, ys, s: int):
+    """buf: int32 [2, Hp, Wp] (chroma pair); pi in {0,1}."""
+    n = r.shape[0]
+    ar = jnp.arange(s)
+    yy = ys[:, None, None] + ar[None, :, None]
+    xx = xs[:, None, None] + ar[None, None, :]
+    pb = pi[:, None, None] * jnp.ones((n, s, s), jnp.int32)
+    return buf.at[pb, yy, xx].add(r, mode="drop")
