@@ -140,29 +140,143 @@ def parse_st_rps(r: BitReader, sps: "SPS", idx: int, num_rps: int,
     return rps
 
 
-def parse_scaling_list(r: BitReader) -> dict:
-    """7.3.4 scaling_list_data. Returns resolved 4 sizeIds x 6 matrixIds."""
-    out = {}
+# Default scaling matrices, raster order (Table 7-5/7-6;
+# hevc_ps.c:30-52 default_scaling_list_intra/inter).
+_DEFAULT_SL_INTRA = np.array([
+    16, 16, 16, 16, 17, 18, 21, 24,
+    16, 16, 16, 16, 17, 19, 22, 25,
+    16, 16, 17, 18, 20, 22, 25, 29,
+    16, 16, 18, 21, 24, 27, 31, 36,
+    17, 17, 20, 24, 30, 35, 41, 47,
+    18, 19, 22, 27, 35, 44, 54, 65,
+    21, 22, 25, 31, 41, 54, 70, 88,
+    24, 25, 29, 36, 47, 65, 88, 115], np.int32)
+_DEFAULT_SL_INTER = np.array([
+    16, 16, 16, 16, 17, 18, 20, 24,
+    16, 16, 16, 17, 18, 20, 24, 25,
+    16, 16, 17, 18, 20, 24, 25, 28,
+    16, 17, 18, 20, 24, 25, 28, 33,
+    17, 18, 20, 24, 25, 28, 33, 41,
+    18, 20, 24, 25, 28, 33, 41, 54,
+    20, 24, 25, 28, 33, 41, 54, 71,
+    24, 25, 28, 33, 41, 54, 71, 91], np.int32)
+
+
+def _diag_scan_xy(n: int):
+    """Up-right diagonal scan order (6.5.3): [(x, y)] — matches
+    ff_hevc_diag_scan4x4/8x8 (hevc_cabac.c:460)."""
+    order = []
+    x = y = 0
+    while len(order) < n * n:
+        while y >= 0:
+            if x < n and y < n:
+                order.append((x, y))
+            y -= 1
+            x += 1
+        y = x
+        x = 0
+    return order
+
+
+_DIAG4 = _diag_scan_xy(4)
+_DIAG8 = _diag_scan_xy(8)
+
+
+class ScalingList:
+    """Resolved scaling matrices (ScalingList in hevc.h; filled by
+    scaling_list_data, hevc_ps.c:1419).
+
+    sl[size_id][matrix_id]: raster int32 arrays — 4x4 (size 0) or 8x8
+    (sizes 1..3; 16x16/32x32 are stored subsampled, exactly like the
+    reference). sl_dc[size_id-2][matrix_id]: DC scale for 16x16/32x32."""
+
+    def __init__(self):
+        self.sl = [[None] * 6 for _ in range(4)]
+        self.sl_dc = [[16] * 6 for _ in range(2)]
+        # defaults (set_default_scaling_list_data, hevc_ps.c:1389)
+        for m in range(6):
+            self.sl[0][m] = np.full(16, 16, np.int32)
+            for sz in (1, 2, 3):
+                self.sl[sz][m] = (_DEFAULT_SL_INTRA if m < 3 else
+                                  _DEFAULT_SL_INTER).copy()
+
+    def copy(self):
+        o = ScalingList.__new__(ScalingList)
+        o.sl = [[a.copy() for a in row] for row in self.sl]
+        o.sl_dc = [list(row) for row in self.sl_dc]
+        return o
+
+    def apply_444_fixup(self):
+        """chroma_format_idc==3: 32x32 chroma lists mirror the 16x16
+        chroma lists (hevc_ps.c:1475-1484)."""
+        for m in (1, 2, 4, 5):
+            self.sl[3][m] = self.sl[2][m].copy()
+            self.sl_dc[1][m] = self.sl_dc[0][m]
+        return self
+
+    def matrix(self, log2_size: int, matrix_id: int) -> np.ndarray:
+        """Expanded m[y][x] for one TB: 4x4/8x8 direct; 16x16/32x32 by
+        2x/4x replication of the 8x8 list with the DC entry overridden
+        (position lookup in hevc_cabac.c:1819-1830)."""
+        sz = log2_size - 2
+        base = self.sl[sz][matrix_id]
+        if sz == 0:
+            return base.reshape(4, 4)
+        m8 = base.reshape(8, 8)
+        if sz == 1:
+            return m8
+        rep = 1 << (sz - 1)
+        m = np.repeat(np.repeat(m8, rep, axis=0), rep, axis=1).copy()
+        m[0, 0] = self.sl_dc[sz - 2][matrix_id]
+        return m
+
+
+def parse_scaling_list(r: BitReader) -> ScalingList:
+    """7.3.4 scaling_list_data -> resolved ScalingList
+    (hevc_ps.c:1419-1473). Follows the reference exactly, including its
+    un-multiplied pred_matrix_id_delta for size 3 (hevc_ps.c:1442 uses
+    matrix_id - delta even though the spec scales delta by 3 there)."""
+    sl = ScalingList()
     for size_id in range(4):
         matrix_step = 1 if size_id < 3 else 3
         for matrix_id in range(0, 6, matrix_step):
-            pred_flag = r.read1()
-            if not pred_flag:
+            pred_mode_flag = r.read1()
+            if not pred_mode_flag:
                 delta = r.ue()
-                out[(size_id, matrix_id)] = ("ref", matrix_id - delta)
+                if delta:  # 0 = keep default
+                    ref = matrix_id - delta
+                    sl.sl[size_id][matrix_id] = sl.sl[size_id][ref].copy()
+                    if size_id > 1:
+                        sl.sl_dc[size_id - 2][matrix_id] = \
+                            sl.sl_dc[size_id - 2][ref]
             else:
                 coef_num = min(64, 1 << (4 + (size_id << 1)))
                 next_coef = 8
-                dc = 8
                 if size_id > 1:
-                    dc = r.se() + 8
-                    next_coef = dc
-                coefs = []
-                for _ in range(coef_num):
+                    next_coef = r.se() + 8
+                    sl.sl_dc[size_id - 2][matrix_id] = next_coef
+                scan = _DIAG4 if size_id == 0 else _DIAG8
+                w = 4 if size_id == 0 else 8
+                arr = sl.sl[size_id][matrix_id]
+                for i in range(coef_num):
+                    x, y = scan[i]
                     next_coef = (next_coef + r.se() + 256) % 256
-                    coefs.append(next_coef)
-                out[(size_id, matrix_id)] = ("explicit", dc, coefs)
-    return out
+                    arr[w * y + x] = next_coef
+    return sl
+
+
+def active_scaling_list(sps, pps) -> ScalingList | None:
+    """The list residual dequant actually uses: PPS override else SPS
+    (hevc_cabac.c:1484-1486), with the 4:4:4 fixup applied."""
+    if not sps.scaling_list_enabled:
+        return None
+    sl = pps.scaling_list if pps.scaling_list is not None \
+        else sps.scaling_list
+    if sl is None:
+        return None
+    if sps.chroma_format_idc == 3:
+        sl = sl.copy().apply_444_fixup()
+    return sl
 
 
 @dataclass
@@ -329,7 +443,7 @@ class SPS:
     max_transform_hierarchy_depth_inter: int = 0
     max_transform_hierarchy_depth_intra: int = 0
     scaling_list_enabled: int = 0
-    scaling_list: dict | None = None
+    scaling_list: ScalingList | None = None
     amp_enabled: int = 0
     sao_enabled: int = 0
     pcm_enabled: int = 0
@@ -459,7 +573,7 @@ def _parse_sps_common(r: BitReader, s: SPS, max_sub_layers_minus1: int,
         elif r.read1():  # sps_scaling_list_data_present_flag
             s.scaling_list = parse_scaling_list(r)
         else:
-            s.scaling_list = {}
+            s.scaling_list = ScalingList()  # defaults
     s.amp_enabled = r.read1()
     s.sao_enabled = r.read1()
     s.pcm_enabled = r.read1()
@@ -568,7 +682,7 @@ class PPS:
     deblocking_filter_disabled: int = 0
     beta_offset: int = 0
     tc_offset: int = 0
-    scaling_list: dict | None = None
+    scaling_list: ScalingList | None = None
     lists_modification_present: int = 0
     log2_parallel_merge_level: int = 2
     slice_header_extension_present: int = 0

@@ -1053,7 +1053,8 @@ class SliceDataParser:
             plane=c_idx, x=x0, y=y0, log2_size=log2_tr, qp=qp,
             is_dst=is_dst, transform_skip=bool(transform_skip),
             transquant_bypass=bool(self.cu_tqb), rdpcm_mode=rdpcm_mode,
-            levels=levels))
+            levels=levels,
+            matrix_id=3 * (self.cu_pred_mode != MODE_INTRA) + c_idx))
 
     def _last_sig_prefix(self, c_idx, log2_tr, elem):
         if c_idx == 0:

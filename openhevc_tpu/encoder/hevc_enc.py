@@ -64,6 +64,9 @@ class EncoderConfig:
     weighted_pred: bool = False
     temporal_mvp: bool = False
     level_idc: int = 120
+    # scaling lists: None off, "default" (enabled, no data), "sps"
+    # (explicit SPS data), "pps" (PPS override data)
+    scaling_list: str | None = None
 
     @property
     def ctb_size(self) -> int:
@@ -84,6 +87,97 @@ class EncoderConfig:
     @property
     def vshift1(self) -> int:
         return 1 if self.chroma_format_idc == 1 else 0
+
+
+# ---- scaling lists (7.3.4) -------------------------------------------------
+SPS_SL_SEED = 7
+PPS_SL_SEED = 13
+
+
+def scaling_list_plan(seed: int):
+    """Deterministic custom scaling lists exercising all three 7.3.4
+    coding paths (default / explicit DPCM / pred-from-ref).
+
+    Returns (plan, resolved ScalingList) where plan mirrors what
+    write_scaling_list_data emits and the resolved list matches what the
+    decoder's parse_scaling_list reconstructs (hevc_ps.c:1419)."""
+    from ..bitstream.ps import ScalingList, _DIAG4, _DIAG8
+    rng = np.random.default_rng(seed)
+    sl = ScalingList()
+    plan = []
+    for size_id in range(4):
+        step = 1 if size_id < 3 else 3
+        for matrix_id in range(0, 6, step):
+            kind = (matrix_id // step + size_id) % 3
+            if kind == 2 and matrix_id == 0:
+                kind = 1
+            if kind == 0:
+                plan.append((size_id, matrix_id, "default", None))
+            elif kind == 1:
+                n = 16 if size_id == 0 else 64
+                coefs = rng.integers(8, 48, n).astype(np.int32)
+                dc = int(rng.integers(8, 48)) if size_id > 1 else None
+                plan.append((size_id, matrix_id, "explicit", (dc, coefs)))
+                scan = _DIAG4 if size_id == 0 else _DIAG8
+                w = 4 if size_id == 0 else 8
+                arr = sl.sl[size_id][matrix_id]
+                for i, (x, y) in enumerate(scan):
+                    arr[w * y + x] = coefs[i]
+                if size_id > 1:
+                    sl.sl_dc[size_id - 2][matrix_id] = dc
+            else:
+                # the reference uses matrix_id - delta un-multiplied even
+                # for size 3 (hevc_ps.c:1442), so delta == step refs the
+                # previously-coded matrix in both cases
+                plan.append((size_id, matrix_id, "ref", step))
+                ref = matrix_id - step
+                sl.sl[size_id][matrix_id] = sl.sl[size_id][ref].copy()
+                if size_id > 1:
+                    sl.sl_dc[size_id - 2][matrix_id] = \
+                        sl.sl_dc[size_id - 2][ref]
+    return plan, sl
+
+
+def write_scaling_list_data(bw: BitWriter, seed: int):
+    """Emit scaling_list_data() (7.3.4) for scaling_list_plan(seed)."""
+    from ..bitstream.ps import _DIAG4, _DIAG8
+    plan, _ = scaling_list_plan(seed)
+    for size_id, matrix_id, kind, payload in plan:
+        if kind == "default":
+            bw.put(0, 1)    # scaling_list_pred_mode_flag
+            bw.ue(0)        # scaling_list_pred_matrix_id_delta
+        elif kind == "ref":
+            bw.put(0, 1)
+            bw.ue(payload)
+        else:
+            bw.put(1, 1)
+            dc, coefs = payload
+            prev = 8
+            if size_id > 1:
+                bw.se(dc - 8)   # scaling_list_dc_coef_minus8
+                prev = dc
+            for c in coefs:
+                delta = (int(c) - prev + 128) % 256 - 128
+                bw.se(delta)    # scaling_list_delta_coef
+                prev = int(c)
+
+
+def resolved_scaling(cfg: EncoderConfig):
+    """The ScalingList the decoder will actually apply for cfg (selection
+    rule of hevc_cabac.c:1484-1486 + 4:4:4 fixup), for the encoder's
+    closed-loop recon. None when scaling lists are off."""
+    if not cfg.scaling_list:
+        return None
+    from ..bitstream.ps import ScalingList
+    if cfg.scaling_list == "pps":
+        sl = scaling_list_plan(PPS_SL_SEED)[1]
+    elif cfg.scaling_list == "sps":
+        sl = scaling_list_plan(SPS_SL_SEED)[1]
+    else:
+        sl = ScalingList()
+    if cfg.chroma_format_idc == 3:
+        sl = sl.copy().apply_444_fixup()
+    return sl
 
 
 def _profile_tier_level(bw: BitWriter, cfg: EncoderConfig):
@@ -162,7 +256,15 @@ def write_sps(cfg: EncoderConfig, st_rps: list | None = None) -> bytes:
     bw.ue(cfg.max_tb_log2 - cfg.min_tb_log2)
     bw.ue(cfg.max_transform_hierarchy_depth)   # inter
     bw.ue(cfg.max_transform_hierarchy_depth)   # intra
-    bw.put(0, 1)            # scaling_list_enabled_flag
+    if cfg.scaling_list:
+        bw.put(1, 1)        # scaling_list_enabled_flag
+        if cfg.scaling_list == "sps":
+            bw.put(1, 1)    # sps_scaling_list_data_present_flag
+            write_scaling_list_data(bw, SPS_SL_SEED)
+        else:
+            bw.put(0, 1)    # enabled, default lists
+    else:
+        bw.put(0, 1)        # scaling_list_enabled_flag
     bw.put(1 if cfg.amp_enabled else 0, 1)
     bw.put(1 if cfg.sao_enabled else 0, 1)
     bw.put(1 if cfg.pcm_enabled else 0, 1)
@@ -239,7 +341,11 @@ def write_pps(cfg: EncoderConfig, pps_id: int = 0, sps_id: int = 0,
         bw.se(cfg.tc_offset_div2)     # pps_tc_offset_div2
     if layer_id > 0:
         bw.put(0, 1)        # pps_infer_scaling_list_flag (hevc_ps.c:2383)
-    bw.put(0, 1)            # pps_scaling_list_data_present_flag
+    if cfg.scaling_list == "pps":
+        bw.put(1, 1)        # pps_scaling_list_data_present_flag
+        write_scaling_list_data(bw, PPS_SL_SEED)
+    else:
+        bw.put(0, 1)        # pps_scaling_list_data_present_flag
     bw.put(0, 1)            # lists_modification_present_flag
     bw.ue(0)                # log2_parallel_merge_level_minus2
     bw.put(0, 1)            # slice_segment_header_extension_present_flag

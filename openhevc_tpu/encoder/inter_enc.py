@@ -472,7 +472,8 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                            min_cb_log2=3, seed=0, sao=False, deblock=False,
                            n_refs=1, max_merge=5, b_slices=False,
                            bit_depth=8, wpp=False, chroma_format_idc=1,
-                           weighted=False, tmvp=False, amp=False):
+                           weighted=False, tmvp=False, amp=False,
+                           scaling_list=None):
     """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
     expected recons). Expected output only valid without loop filters;
     with filters on, compare against the reference decoder."""
@@ -486,7 +487,8 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                         deblock_disabled=not deblock,
                         max_num_ref=n_refs, max_merge_cand=max_merge,
                         wpp=wpp, weighted_pred=weighted,
-                        temporal_mvp=tmvp, amp_enabled=amp)
+                        temporal_mvp=tmvp, amp_enabled=amp,
+                        scaling_list=scaling_list)
     rng = np.random.default_rng(seed)
     # one RPS per possible reference count (early frames have fewer refs)
     st_rps = [[-(i + 1) for i in range(k + 1)] for k in range(n_refs)]

@@ -38,6 +38,8 @@ class IntraFrameEncoder:
     def __init__(self, cfg: EncoderConfig, rng: np.random.Generator):
         self.cfg = cfg
         self.rng = rng
+        from .hevc_enc import resolved_scaling
+        self.scaling = resolved_scaling(cfg)
         w4 = (cfg.ctbs_w << cfg.ctb_log2) >> 2
         h4 = (cfg.ctbs_h << cfg.ctb_log2) >> 2
         self.w4, self.h4 = w4, h4
@@ -469,6 +471,12 @@ class IntraFrameEncoder:
             return levels, False
         ts = (cfg.transform_skip and size == 4 and
               bool(self.rng.random() < 0.5))
+        # decoder-side dequant scaling matrix (hevc_cabac.c:1484 gate:
+        # off for transform-skip TBs larger than 4x4)
+        sm = None
+        if self.scaling is not None and not (ts and log2 > 2):
+            sm = self.scaling.matrix(log2,
+                                     (0 if self.cu_is_intra else 3) + plane)
         if ts:
             # spatial-domain coding: forward shift mirrors the inverse
             # transform_skip scaling (15 - bd - log2)
@@ -476,7 +484,7 @@ class IntraFrameEncoder:
             coefs = resid << sh if sh > 0 else resid >> -sh
             levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
             levels = np.clip(levels, -32768, 32767)
-            d = T.dequant(levels, log2, qp, cfg.bit_depth)
+            d = T.dequant(levels, log2, qp, cfg.bit_depth, scaling=sm)
             rec_res = T.transform_skip(d, log2, cfg.bit_depth) \
                 if np.any(levels) else 0
         else:
@@ -485,7 +493,7 @@ class IntraFrameEncoder:
             levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
             levels = np.clip(levels, -32768, 32767)
             if np.any(levels):
-                d = T.dequant(levels, log2, qp, cfg.bit_depth)
+                d = T.dequant(levels, log2, qp, cfg.bit_depth, scaling=sm)
                 rec_res = T.inverse_transform(d, cfg.bit_depth,
                                               is_dst=is_dst)
             else:
@@ -850,7 +858,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         pcm_loop_filter_disabled=None, bit_depth=8,
                         transform_skip=False, transquant_bypass=False,
                         md5_sei=False, wpp=False, tile_cols=1,
-                        tile_rows=1, chroma_format_idc=1) -> bytes:
+                        tile_rows=1, chroma_format_idc=1,
+                        scaling_list=None) -> bytes:
     # NOTE: the reference decoder never clears its is_pcm no-filter map
     # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
     # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
@@ -875,7 +884,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         tc_offset_div2=tc_offset_div2,
                         transform_skip=transform_skip,
                         transquant_bypass=transquant_bypass,
-                        wpp=wpp, tile_cols=tile_cols, tile_rows=tile_rows)
+                        wpp=wpp, tile_cols=tile_cols, tile_rows=tile_rows,
+                        scaling_list=scaling_list)
     rng = np.random.default_rng(seed)
     out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)
     enc = IntraFrameEncoder(cfg, rng)

@@ -72,9 +72,23 @@ def pack_frame(fs: FrameSymbols) -> PackedFrame:
                        hshift=sps.hshift1, vshift=sps.vshift1)
 
 
+def _sm_for(sl, s, mid, tskip):
+    """Per-block dequant scaling matrices [cap, s, s] int32, or None when
+    scaling lists are off. Index 6 = flat 16 (used by padding rows and by
+    transform-skip TBs >4x4, the hevc_cabac.c:1484 gate)."""
+    if sl is None:
+        return None
+    log2s = int(np.log2(s))
+    table = np.stack([sl.matrix(log2s, m) for m in range(6)] +
+                     [np.full((s, s), 16, np.int32)])
+    use = np.where(tskip, 6, mid) if log2s > 2 else mid
+    return table[use]
+
+
 def _pack_from_objects(fs: FrameSymbols, W, H):
     """Reference packing path over Python object lists."""
     res = {}
+    sl = fs.active_scaling()
     by_size = {s: [] for s in SIZES}
     for cb in fs.coeff_blocks:
         by_size[1 << cb.log2_size].append(cb)
@@ -90,6 +104,7 @@ def _pack_from_objects(fs: FrameSymbols, W, H):
         plane = np.full(cap, 3, np.int32)
         bx = np.zeros(cap, np.int32)
         by = np.zeros(cap, np.int32)
+        mid = np.full(cap, 6, np.int32)
         for i, cb in enumerate(blocks):
             levels[i] = cb.levels
             qp[i] = cb.qp
@@ -98,8 +113,9 @@ def _pack_from_objects(fs: FrameSymbols, W, H):
             plane[i] = cb.plane
             bx[i] = cb.x // s
             by[i] = cb.y // s
+            mid[i] = cb.matrix_id
         res[s] = dict(levels=levels, qp=qp, flags=flags, plane=plane,
-                      bx=bx, by=by)
+                      bx=bx, by=by, sm=_sm_for(sl, s, mid, flags[:, 1]))
 
     # ---- intra dependency levels ------------------------------------------
     h4, w4 = H >> 2, W >> 2
@@ -168,6 +184,7 @@ def _pack_from_raw(fs: FrameSymbols):
     cm = raw["cb_meta"]          # [N, 8] plane,x,y,log2,qp,flags,lvl_off
     lv_arena = raw["cb_levels"]
     res = {}
+    sl = fs.active_scaling()
     for s in SIZES:
         log2s = int(np.log2(s))
         sel = np.nonzero(cm[:, 3] == log2s)[0]
@@ -195,8 +212,10 @@ def _pack_from_raw(fs: FrameSymbols):
         by = np.zeros(cap, np.int32)
         bx[:n] = cm[sel, 1] // s
         by[:n] = cm[sel, 2] // s
+        mid = np.full(cap, 6, np.int32)
+        mid[:n] = 3 * ((fl & 32) != 0) + cm[sel, 0]
         res[s] = dict(levels=levels, qp=qp, flags=flags, plane=plane,
-                      bx=bx, by=by)
+                      bx=bx, by=by, sm=_sm_for(sl, s, mid, flags[:, 1]))
 
     im = raw["ij_meta"]          # [N, 8] plane,x,y,size,mode,filt,level
     iav = raw["ij_avail"]        # [N, 132]
@@ -317,11 +336,13 @@ class JaxEngine:
         buckets = _res_buckets(fs)
         for s, b in buckets.items():
             fl = b["flags"]
+            sm = b.get("sm")
             r = residual_bucket(jnp.asarray(b["levels"]),
                                 jnp.asarray(b["qp"]),
                                 jnp.asarray(fl[:, 0]), jnp.asarray(fl[:, 1]),
                                 jnp.asarray(fl[:, 2]), jnp.asarray(fl[:, 3]),
-                                jnp.asarray(fl[:, 4]), s=s, bit_depth=bd)
+                                jnp.asarray(fl[:, 4]), s=s, bit_depth=bd,
+                                sm=None if sm is None else jnp.asarray(sm))
             pl_ = b["plane"]
             # coord-drop split: each bucket is scattered once per target
             # buffer, with the other planes' rows pushed out of bounds
@@ -452,11 +473,13 @@ class JaxEngine:
             if b is None:
                 continue
             fl = b["flags"]
+            sm = b.get("sm")
             r = residual_bucket(jnp.asarray(b["levels"]),
                                 jnp.asarray(b["qp"]),
                                 jnp.asarray(fl[:, 0]), jnp.asarray(fl[:, 1]),
                                 jnp.asarray(fl[:, 2]), jnp.asarray(fl[:, 3]),
-                                jnp.asarray(fl[:, 4]), s=s, bit_depth=bd)
+                                jnp.asarray(fl[:, 4]), s=s, bit_depth=bd,
+                                sm=None if sm is None else jnp.asarray(sm))
             res_planes = scatter_blocks(res_planes, r,
                                         jnp.asarray(b["plane"]),
                                         jnp.asarray(b["bx"]),
@@ -535,6 +558,7 @@ def _res_buckets(fs: FrameSymbols):
     mode='drop' scatter discards them)."""
     raw = fs.native_raw
     out = {}
+    sl = fs.active_scaling()
     if raw is not None:
         cm = raw["cb_meta"]
         arena = raw["cb_levels"]
@@ -564,8 +588,10 @@ def _res_buckets(fs: FrameSymbols):
             y = np.full(cap, -(1 << 20), np.int32)
             x[:n] = cm[sel, 1]
             y[:n] = cm[sel, 2]
+            mid = np.full(cap, 6, np.int32)
+            mid[:n] = 3 * ((fl & 32) != 0) + cm[sel, 0]
             out[s] = dict(levels=levels, qp=qp, flags=flags, plane=plane,
-                          x=x, y=y)
+                          x=x, y=y, sm=_sm_for(sl, s, mid, flags[:, 1]))
         return out
     by_size = {s: [] for s in SIZES}
     for cb in fs.coeff_blocks:
@@ -582,6 +608,7 @@ def _res_buckets(fs: FrameSymbols):
         plane = np.zeros(cap, np.int32)
         x = np.full(cap, -(1 << 20), np.int32)
         y = np.full(cap, -(1 << 20), np.int32)
+        mid = np.full(cap, 6, np.int32)
         for i, cb in enumerate(blocks):
             levels[i] = cb.levels
             qp[i] = cb.qp
@@ -590,8 +617,9 @@ def _res_buckets(fs: FrameSymbols):
             plane[i] = cb.plane
             x[i] = cb.x
             y[i] = cb.y
+            mid[i] = cb.matrix_id
         out[s] = dict(levels=levels, qp=qp, flags=flags, plane=plane,
-                      x=x, y=y)
+                      x=x, y=y, sm=_sm_for(sl, s, mid, flags[:, 1]))
     return out
 
 

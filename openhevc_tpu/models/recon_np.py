@@ -23,19 +23,25 @@ def residual_planes(fs: FrameSymbols):
            np.zeros((ch, cw), np.int32),
            np.zeros((ch, cw), np.int32)]
     bd = sps.bit_depth
+    sl = fs.active_scaling()
     for cb in fs.coeff_blocks:
         s = 1 << cb.log2_size
+        # scaling matrix applies except for transform-skip TBs larger
+        # than 4x4 (hevc_cabac.c:1484 gate)
+        m = None
+        if sl is not None and not (cb.transform_skip and cb.log2_size > 2):
+            m = sl.matrix(cb.log2_size, cb.matrix_id)
         if cb.transquant_bypass:
             r = cb.levels.astype(np.int32)
             if cb.rdpcm_mode >= 0:
                 r = T.rdpcm(r, cb.rdpcm_mode == 1)
         elif cb.transform_skip:
-            d = T.dequant(cb.levels, cb.log2_size, cb.qp, bd)
+            d = T.dequant(cb.levels, cb.log2_size, cb.qp, bd, scaling=m)
             r = T.transform_skip(d, cb.log2_size, bd)
             if cb.rdpcm_mode >= 0:
                 r = T.rdpcm(r, cb.rdpcm_mode == 1)
         else:
-            d = T.dequant(cb.levels, cb.log2_size, cb.qp, bd)
+            d = T.dequant(cb.levels, cb.log2_size, cb.qp, bd, scaling=m)
             r = T.inverse_transform(d, bd, is_dst=cb.is_dst)
         res[cb.plane][cb.y:cb.y + s, cb.x:cb.x + s] = r
     return res

@@ -1367,7 +1367,8 @@ struct Parser {
             rdpcm_mode = pred_mode_intra == 26 ? 1 : 0;
         int flags = (is_dst ? 1 : 0) | (transform_skip ? 2 : 0) |
                     (cu_tqb ? 4 : 0) | (rdpcm_mode >= 0 ? 8 : 0) |
-                    (rdpcm_mode == 1 ? 16 : 0);
+                    (rdpcm_mode == 1 ? 16 : 0) |
+                    (cu_pred_mode != MODE_INTRA ? 32 : 0);
         int32_t* meta = O->cb_meta + O->n_cb * 8;
         meta[0] = c_idx; meta[1] = x0; meta[2] = y0; meta[3] = log2_tr;
         meta[4] = qp; meta[5] = flags; meta[6] = O->lvl_used; meta[7] = 0;

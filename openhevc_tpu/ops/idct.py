@@ -28,15 +28,31 @@ def _clip16(x):
 
 @partial(jax.jit, static_argnames=("s", "bit_depth"))
 def residual_bucket(levels, qp, is_dst, tskip, bypass, rdpcm_vert, has_rdpcm,
-                    s: int, bit_depth: int):
+                    s: int, bit_depth: int, sm=None):
     """levels: int32 [N, s, s] raw; returns residual int32 [N, s, s].
 
-    qp [N] int32; flags [N] bool. has_rdpcm: [N] bool (apply cumsum)."""
+    qp [N] int32; flags [N] bool. has_rdpcm: [N] bool (apply cumsum).
+    sm: optional int32 [N, s, s] (or [1, s, s]) scaling matrices
+    (scale_m of hevc_cabac.c:1827; None = flat 16).
+
+    Dequant is restructured to stay int32-exact: the qp//6 left shift is
+    folded into the bd_shift right shift (exact for the reference's
+    round-to-nearest since the rounding bit vanishes when qp//6 >=
+    bd_shift), so the widest intermediate is |level|*m*72 < 2^31."""
     log2s = int(np.log2(s))
     bd_shift = bit_depth + log2s - 5
-    scale = (_LEVEL_SCALE[qp % 6] << (qp // 6)).astype(jnp.int32)
     lv = levels.astype(jnp.int32)
-    d = (lv * 16 * scale[:, None, None] + (1 << (bd_shift - 1))) >> bd_shift
+    lvm = lv * 16 if sm is None else lv * sm
+    prod = lvm * _LEVEL_SCALE[qp % 6][:, None, None]
+    e = (bd_shift - qp // 6)[:, None, None]
+    rnd = jnp.where(e > 0, 1 << jnp.maximum(e - 1, 0), 0)
+    # e<=0: result is prod << -e then int16-clipped; any |prod| >= 2^15
+    # saturates regardless, so pre-clip to 2^20 keeps the int32 shift
+    # (-e <= div6_max - 5 <= 5) overflow-free without changing the output
+    d = jnp.where(e > 0,
+                  (prod + rnd) >> jnp.maximum(e, 0),
+                  jnp.clip(prod, -(1 << 20), 1 << 20)
+                  << jnp.maximum(-e, 0))
     d = _clip16(d)
     # --- full inverse transform path ---
     if s == 4:

@@ -29,6 +29,7 @@ class CoeffBlock:
     transquant_bypass: bool
     rdpcm_mode: int       # -1 none, 0 horizontal, 1 vertical
     levels: np.ndarray    # int32 [s, s] raster order
+    matrix_id: int = 0    # 3*(pred!=intra)+cIdx (hevc_cabac.c:1487-1489)
 
 
 @dataclass
@@ -97,6 +98,14 @@ class FrameSymbols:
     # device packing without materializing per-TU Python objects
     native_raw: dict | None = None
 
+    def active_scaling(self):
+        """Resolved scaling list for dequant, or None when disabled
+        (selection rule of hevc_cabac.c:1484-1486)."""
+        if not hasattr(self, "_asl"):
+            from .bitstream.ps import active_scaling_list
+            self._asl = active_scaling_list(self.sps, self.pps)
+        return self._asl
+
     def ensure_objects(self):
         """Materialize coeff_blocks/intra_jobs from native_raw arrays
         (the native parser skips per-TU Python objects for speed; the
@@ -115,7 +124,8 @@ class FrameSymbols:
                 log2_size=int(m[3]), qp=int(m[4]), is_dst=bool(fl & 1),
                 transform_skip=bool(fl & 2), transquant_bypass=bool(fl & 4),
                 rdpcm_mode=(-1 if not fl & 8 else (1 if fl & 16 else 0)),
-                levels=lv.reshape(size, size)))
+                levels=lv.reshape(size, size),
+                matrix_id=3 * bool(fl & 32) + int(m[0])))
         im, iav = raw["ij_meta"], raw["ij_avail"]
         for i, m in enumerate(im):
             size = int(m[3])

@@ -54,3 +54,20 @@ def test_intra_stream(W, H, qp, ctb, seed, pcm):
     data, recons = encode_intra_stream(frames, W, H, qp=qp, ctb_log2=ctb,
                                        seed=seed, pcm=pcm)
     check_stream(data, recons, W, H)
+
+
+@pytest.mark.parametrize("mode,qp,ctb", [
+    ("default", 30, 5),     # enabled, default matrices (Table 7-5/7-6)
+    ("sps", 30, 6),         # explicit SPS lists; 32x32 TBs hit sl_dc + rep
+    ("pps", 37, 5),         # PPS override of SPS-enabled defaults
+])
+def test_intra_scaling_list(mode, qp, ctb):
+    """Dequant scaling matrices (7.3.4 / hevc_cabac.c:1484-1491,1819-1832):
+    default, explicit-DPCM, pred-from-ref and PPS-override paths, verified
+    bit-exact against the reference decoder."""
+    rng = np.random.default_rng(11)
+    W, H = 96, 64
+    frames = make_frames(W, H, 2, rng)
+    data, recons = encode_intra_stream(frames, W, H, qp=qp, ctb_log2=ctb,
+                                       seed=11, scaling_list=mode)
+    check_stream(data, recons, W, H)

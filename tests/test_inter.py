@@ -45,3 +45,20 @@ def test_lowdelay_p(W, H, qp, ctb, seed, nref, sao, dbk, mm):
         for p, (got, want) in enumerate(zip(mine[i].cropped(),
                                             ref_planes(f))):
             assert np.array_equal(got, want), (i, p)
+
+
+def test_lowdelay_scaling_list():
+    """Inter matrix ids (3 + c_idx, hevc_cabac.c:1487-1489) through P
+    slices, vs the reference decoder."""
+    rng = np.random.default_rng(31)
+    frames = moving_frames(64, 64, 3, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=33, ctb_log2=5,
+                                     seed=31, scaling_list="sps")
+    ref = ref_decode(data)
+    d = Decoder("np")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 3
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)

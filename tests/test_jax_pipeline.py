@@ -81,3 +81,18 @@ def test_upsample_jax_matches_numpy(rng):
         a = upsample_plane(bl, ew, eh, sx, ax, sy, ay, luma=luma)
         b = upsample_plane_jax(bl, ew, eh, sx, ax, sy, ay, luma=luma)
         assert np.array_equal(a, b), (bw, bh, ew, eh)
+
+
+def test_jax_engine_scaling_list():
+    """Scaling matrices through the jitted residual path (sm operand of
+    residual_bucket), vs encoder closed-loop recon."""
+    rng = np.random.default_rng(21)
+    frames = make_frames(96, 64, 2, rng)
+    data, recons = encode_intra_stream(frames, 96, 64, qp=31, ctb_log2=6,
+                                       seed=21, scaling_list="sps")
+    d = Decoder("jax")
+    pics = d.decode(data) + d.flush()
+    assert len(pics) == len(recons)
+    for i, pic in enumerate(pics):
+        for p, (got, want) in enumerate(zip(pic.cropped(), recons[i])):
+            assert np.array_equal(got, want), (i, p)
