@@ -18,7 +18,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 STREAM = "/tmp/bench_i_main_832x480.265"
-NFRAMES = 3
+NFRAMES = 12
 W, H = 832, 480
 
 
@@ -48,14 +48,20 @@ def bench_mine(data):
     dec = Decoder("jax")
     dec.decode(data)
     dec.flush()
-    dec = Decoder("jax")
-    t0 = time.perf_counter()
-    pics = dec.decode(data) + dec.flush()
-    dt = time.perf_counter() - t0
     golden = np.load(STREAM + ".golden.npy")
-    ok = all(np.array_equal(p.cropped()[0], golden[i])
-             for i, p in enumerate(pics))
-    return len(pics) / dt, ok
+    best = 0.0
+    ok = True
+    # best of 3: the tunneled link to the chip is shared and noisy
+    for _ in range(3):
+        dec = Decoder("jax")
+        t0 = time.perf_counter()
+        pics = dec.decode(data) + dec.flush()
+        outs = [p.cropped() for p in pics]   # materialize (lazy fetch)
+        dt = time.perf_counter() - t0
+        ok = ok and all(np.array_equal(o[0], golden[i])
+                        for i, o in enumerate(outs))
+        best = max(best, len(pics) / dt)
+    return best, ok
 
 
 def bench_reference(data):

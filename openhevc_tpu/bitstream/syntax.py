@@ -101,10 +101,24 @@ def chroma_qp(qp_y: int, offset: int, chroma_array_type: int,
     return q
 
 
+_ZSCAN_CACHE: dict = {}
+
+
 def zscan_grid(sps: SPS, rs_to_ts=None) -> np.ndarray:
     """z-scan order index per 4x4 block [H4, W4] (decode-order comparisons;
     same role as the reference's min_tb_addr_zs map, hevc_ps.c PPS deriv).
-    With tiles, CTBs are ranked by tile-scan order (rs_to_ts)."""
+    With tiles, CTBs are ranked by tile-scan order (rs_to_ts).
+    Geometry-static per (SPS, tile map): cached (it was ~7 ms/frame)."""
+    key = (sps.log2_ctb, sps.ctbs_w, sps.ctbs_h,
+           None if rs_to_ts is None else bytes(np.asarray(rs_to_ts).data))
+    hit = _ZSCAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _ZSCAN_CACHE[key] = out = _zscan_grid(sps, rs_to_ts)
+    return out
+
+
+def _zscan_grid(sps: SPS, rs_to_ts=None) -> np.ndarray:
     w4 = (sps.ctbs_w << sps.log2_ctb) >> 2
     h4 = (sps.ctbs_h << sps.log2_ctb) >> 2
     ys, xs = np.mgrid[0:h4, 0:w4]

@@ -284,6 +284,7 @@ class JaxEngine:
 
     def __init__(self):
         self._cache = {}
+        self._fetch_pool = FetchPool()
 
     def _fused_ok(self, fs) -> bool:
         import jax as _jax
@@ -300,7 +301,12 @@ class JaxEngine:
         H, W = fs.sps.height, fs.sps.width
         hs, vs = fs.sps.hshift1, fs.sps.vshift1
         if self._fused_ok(fs):
-            y, u, v = self._run_fused(fs, ref_planes or {})
+            lazy = self._run_fused(fs, ref_planes or {})
+            if fs.deblock_disabled and not (fs.sao_luma or fs.sao_chroma):
+                # no loop filters: hand the caller the deferred fetch so
+                # the device->host latency overlaps later frames' parse
+                return lazy
+            y, u, v = lazy.get()
         else:
             pf = pack_frame(fs)
             if fs.inter_pbs:
@@ -320,8 +326,7 @@ class JaxEngine:
         one kernel invocation for every intra TU in decode order."""
         from ..ops.intra_fused import (padded_dims, pack_meta_native,
                                        pack_meta_objects, OY, OX,
-                                       intra_reconstruct_fused)
-        from ..ops.idct import scatter_blocks_abs, scatter_blocks_abs2
+                                       _bucket as _meta_bucket)
         sps = fs.sps
         H, W = sps.height, sps.width
         hs, vs = sps.hshift1, sps.vshift1
@@ -330,37 +335,11 @@ class JaxEngine:
         hl, wl = padded_dims(H, W)
         hc, wc = padded_dims(Hc, Wc)
 
-        # ---- residual into padded buffers (MXU dequant+IDCT per bucket) ---
-        res_l = jnp.zeros((hl, wl), jnp.int32)
-        res_c = jnp.zeros((2, hc, wc), jnp.int32)
-        buckets = _res_buckets(fs)
-        for s, b in buckets.items():
-            fl = b["flags"]
-            sm = b.get("sm")
-            r = residual_bucket(jnp.asarray(b["levels"]),
-                                jnp.asarray(b["qp"]),
-                                jnp.asarray(fl[:, 0]), jnp.asarray(fl[:, 1]),
-                                jnp.asarray(fl[:, 2]), jnp.asarray(fl[:, 3]),
-                                jnp.asarray(fl[:, 4]), s=s, bit_depth=bd,
-                                sm=None if sm is None else jnp.asarray(sm))
-            pl_ = b["plane"]
-            # coord-drop split: each bucket is scattered once per target
-            # buffer, with the other planes' rows pushed out of bounds
-            # (mode='drop') -- keeps shapes static for the jit cache
-            far = -(1 << 20)
-            if (pl_ == 0).any():
-                res_l = scatter_blocks_abs(
-                    res_l, r,
-                    jnp.asarray(np.where(pl_ == 0, b["x"] + OX, far)),
-                    jnp.asarray(np.where(pl_ == 0, b["y"] + OY, far)), s=s)
-            if (pl_ > 0).any():
-                res_c = scatter_blocks_abs2(
-                    res_c, r,
-                    jnp.asarray(np.maximum(pl_ - 1, 0)),
-                    jnp.asarray(np.where(pl_ > 0, b["x"] + OX, far)),
-                    jnp.asarray(np.where(pl_ > 0, b["y"] + OY, far)), s=s)
+        # ---- residual arenas: two small uploads for the whole frame -------
+        arena8, arena16, escs, caps = _pack_arena(_res_buckets(fs))
 
         # ---- base planes (PCM prefill; inter prediction if present) -------
+        prefill = True
         if fs.inter_pbs:
             pf = pack_frame(fs)
             pf.inter = self._pack_inter(fs, ref_planes)
@@ -382,27 +361,29 @@ class JaxEngine:
                     p.samples_cr
             luma, chroma = jnp.asarray(p0), jnp.asarray(c0)
         else:
-            luma = jnp.zeros((hl, wl), jnp.int32)
-            chroma = jnp.zeros((2, hc, wc), jnp.int32)
+            prefill = False
+            luma = chroma = None
 
-        # ---- fused intra kernel -------------------------------------------
+        # ---- single dispatch: residual + fused intra + crop ---------------
         if fs.native_raw is not None:
             meta = pack_meta_native(fs.native_raw,
                                     bool(sps.strong_intra_smoothing))
         else:
             meta = pack_meta_objects(fs.intra_jobs,
                                      bool(sps.strong_intra_smoothing))
-        luma, chroma = intra_reconstruct_fused(luma, chroma, res_l, res_c,
-                                               meta, bd)
-        # crop + downcast + concatenate on device: the host link is
-        # latency-bound (~30 ms/transfer), so ship ONE uint8/uint16 buffer
-        # and split on the host
-        flat = _crop_pack(luma, chroma, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
-        host = np.asarray(flat).astype(np.int32)
-        y = host[:H * W].reshape(H, W)
-        u = host[H * W:H * W + Hc * Wc].reshape(Hc, Wc)
-        v = host[H * W + Hc * Wc:].reshape(Hc, Wc)
-        return y, u, v
+        n = meta.shape[1]
+        npad = _meta_bucket(n)
+        if npad != n:
+            meta = np.concatenate(
+                [meta, np.zeros((16, npad - n), meta.dtype)], axis=1)
+        flat = _frame_fused(arena8, arena16, escs, meta,
+                            np.full((1, 1), n, np.int32),
+                            luma, chroma, caps=caps, hl=hl, wl=wl, hc=hc,
+                            wc=wc, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd,
+                            npad=npad, prefill=prefill)
+        lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool)
+        self._fetch_pool.add(lp)
+        return lp
 
     def _run_inter_only(self, pf: PackedFrame):
         """The existing [4,H,W] pipeline through residual+inter, skipping
@@ -552,6 +533,218 @@ class JaxEngine:
         return planes
 
 
+# far-negative coord sentinel for padded scatter rows; must survive the
+# int16 arena round trip (mode='drop' discards any negative index)
+FAR = -(1 << 14)
+
+
+class FetchPool:
+    """Background, batched device->host output transfer.
+
+    The tunneled TPU runtime charges a flat ~23 ms completion-notification
+    window for EVERY blocking fetch (on top of ~40 MB/s wire), so frames
+    are fetched by a daemon thread — the wire transfer releases the GIL,
+    overlapping the next frames' host-side parse — and all frames pending
+    at drain time are stacked into ONE device array so a burst pays one
+    notification window."""
+
+    def __init__(self):
+        import threading
+        self._cv = threading.Condition()
+        self._queue: list[LazyPlanes] = []
+        self._thread = None
+        self._threading = threading
+
+    def add(self, lp):
+        with self._cv:
+            if self._thread is None:
+                self._thread = self._threading.Thread(
+                    target=self._loop, daemon=True)
+                self._thread.start()
+            self._queue.append(lp)
+            self._cv.notify()
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                batch = self._queue
+                self._queue = []
+            self._fetch(batch)
+
+    @staticmethod
+    def _fetch(ps):
+        by_len: dict = {}
+        for p in ps:
+            by_len.setdefault(p._flat.shape[0], []).append(p)
+        for group in by_len.values():
+            try:
+                if len(group) == 1:
+                    group[0]._set_host(np.asarray(group[0]._flat))
+                else:
+                    host = np.asarray(jnp.stack([p._flat for p in group]))
+                    for i, p in enumerate(group):
+                        p._set_host(host[i])
+            except BaseException as e:     # propagate into consumers
+                for p in group:
+                    p._fail(e)
+
+
+class LazyPlanes:
+    """Deferred device->host frame fetch (see FetchPool). Quacks like the
+    [Y, Cb, Cr] list the rest of the decoder expects."""
+
+    def __init__(self, flat, H, W, Hc, Wc, pool: FetchPool | None = None):
+        import threading
+        self._flat = flat
+        self._dims = (H, W, Hc, Wc)
+        self._mat = None
+        self._exc = None
+        self._done = threading.Event()
+        self._pool = pool
+
+    def _set_host(self, host):
+        H, W, Hc, Wc = self._dims
+        host = host.astype(np.int32)
+        self._mat = [host[:H * W].reshape(H, W),
+                     host[H * W:H * W + Hc * Wc].reshape(Hc, Wc),
+                     host[H * W + Hc * Wc:].reshape(Hc, Wc)]
+        self._flat = None
+        self._done.set()
+
+    def _fail(self, exc):
+        self._exc = exc
+        self._done.set()
+
+    def get(self):
+        if self._mat is None:
+            if self._pool is not None:
+                self._done.wait()
+            else:
+                self._set_host(np.asarray(self._flat))
+            if self._exc is not None:
+                raise self._exc
+        return self._mat
+
+    def __getitem__(self, i):
+        return self.get()[i]
+
+    def __iter__(self):
+        return iter(self.get())
+
+    def __len__(self):
+        return 3
+
+
+def _pack_arena(buckets):
+    """Pack every residual-bucket field across sizes into two uploads:
+    an int8 arena (the coefficient levels — the bulk of the bytes on the
+    ~50 MB/s host<->device link) and an int16 arena (qp/flags/coords, and
+    scaling matrices when present). Levels outside int8 range are rare;
+    they ride an int32 escape list ((local flat index, delta) pairs per
+    size, applied on device with a scatter-add).
+
+    Returns (arena8, arena16, esc, caps) with caps =
+    ((s, cap, has_sm, n_esc), ...) — the static layout key."""
+    p8, p16, pesc = [], [], []
+    caps = []
+    for s in SIZES:
+        b = buckets.get(s)
+        if b is None or len(b["qp"]) == 0:
+            caps.append((s, 0, 0, 0))
+            continue
+        cap = len(b["qp"])
+        sm = b.get("sm")
+        lv = b["levels"].reshape(-1)
+        lv8 = np.clip(lv, -128, 127)
+        esc = np.nonzero(lv != lv8)[0]
+        n_esc = max(8, -(-len(esc) // 64) * 64) if len(esc) else 0
+        caps.append((s, cap, 0 if sm is None else 1, n_esc))
+        p8.append(lv8.astype(np.int8))
+        if n_esc:
+            e = np.full((n_esc, 2), -1, np.int32)
+            e[:len(esc), 0] = esc
+            e[:len(esc), 1] = (lv[esc] - lv8[esc]).astype(np.int32)
+            pesc.append(e.reshape(-1))
+        p16 += [b["qp"].astype(np.int16),
+                b["flags"].reshape(-1).astype(np.int16),
+                b["plane"].astype(np.int16),
+                b["x"].astype(np.int16),
+                b["y"].astype(np.int16)]
+        if sm is not None:
+            p16.append(sm.reshape(-1).astype(np.int16))
+    arena8 = np.concatenate(p8) if p8 else np.zeros(1, np.int8)
+    arena16 = np.concatenate(p16) if p16 else np.zeros(1, np.int16)
+    esc = np.concatenate(pesc) if pesc else np.zeros(2, np.int32)
+    return arena8, arena16, esc, tuple(caps)
+
+
+@partial(jax.jit, static_argnames=("caps", "hl", "wl", "hc", "wc", "H", "W",
+                                   "Hc", "Wc", "bd", "npad", "prefill"))
+def _frame_fused(arena8, arena16, escs, meta, nn, pre_l, pre_c, *, caps,
+                 hl, wl, hc, wc, H, W, Hc, Wc, bd, npad, prefill):
+    """ONE dispatch for the whole post-parse frame: dequant+IDCT per size
+    bucket, residual scatter, fused Pallas intra wavefront, crop+downcast.
+    Minimal dispatches AND minimal bytes: the tunneled runtime gives
+    ~80 MB/s up / ~40 MB/s down, so inputs ship as int8 levels (+escape
+    scatter) and int16 sideband."""
+    from ..ops.intra_fused import _build, OY, OX
+    res_l = jnp.zeros((hl, wl), jnp.int32)
+    res_c = jnp.zeros((2, hc, wc), jnp.int32)
+    a8 = arena8.astype(jnp.int32)
+    a = arena16.astype(jnp.int32)
+    esc = escs.reshape(-1, 2)
+    off8 = off = eoff = 0
+    for s, cap, has_sm, n_esc in caps:
+        if cap == 0:
+            continue
+        lvf = a8[off8:off8 + cap * s * s]
+        off8 += cap * s * s
+        if n_esc:
+            e = esc[eoff:eoff + n_esc]
+            eoff += n_esc
+            lvf = lvf.at[e[:, 0]].add(e[:, 1], mode="drop")
+        lv = lvf.reshape(cap, s, s)
+        qp = a[off:off + cap]
+        off += cap
+        fl = a[off:off + cap * 5].reshape(cap, 5) != 0
+        off += cap * 5
+        plane = a[off:off + cap]
+        off += cap
+        x = a[off:off + cap]
+        off += cap
+        y = a[off:off + cap]
+        off += cap
+        sm = None
+        if has_sm:
+            sm = a[off:off + cap * s * s].reshape(cap, s, s)
+            off += cap * s * s
+        r = residual_bucket(lv, qp, fl[:, 0], fl[:, 1], fl[:, 2],
+                            fl[:, 3], fl[:, 4], s=s, bit_depth=bd, sm=sm)
+        ar = jnp.arange(s)
+        yl = jnp.where(plane == 0, y + OY, FAR)[:, None, None] + \
+            ar[None, :, None]
+        xl = jnp.where(plane == 0, x + OX, FAR)[:, None, None] + \
+            ar[None, None, :]
+        res_l = res_l.at[yl, xl].add(r, mode="drop")
+        yc = jnp.where(plane > 0, y + OY, FAR)[:, None, None] + \
+            ar[None, :, None]
+        xc = jnp.where(plane > 0, x + OX, FAR)[:, None, None] + \
+            ar[None, None, :]
+        pb = jnp.maximum(plane - 1, 0)[:, None, None] * \
+            jnp.ones((cap, s, s), jnp.int32)
+        res_c = res_c.at[pb, yc, xc].add(r, mode="drop")
+    if prefill:
+        luma, chroma = pre_l, pre_c
+    else:
+        luma = jnp.zeros((hl, wl), jnp.int32)
+        chroma = jnp.zeros((2, hc, wc), jnp.int32)
+    luma, chroma = _build(hl, wl, hc, wc, npad, bd)(
+        meta.astype(jnp.int32), nn, luma, chroma, res_l, res_c)
+    return _crop_pack(luma, chroma, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
+
+
 def _res_buckets(fs: FrameSymbols):
     """Residual TU buckets keyed by size, with absolute plane coords and
     pow2 row padding (padded rows get far-negative coords so the
@@ -568,7 +761,7 @@ def _res_buckets(fs: FrameSymbols):
             if not len(sel):
                 continue
             n = len(sel)
-            cap = 1 << max(4, (n - 1).bit_length())
+            cap = max(16, -(-n // 256) * 256)
             offs = cm[sel, 6]
             gather = offs[:, None] + np.arange(s * s)[None, :]
             levels = np.zeros((cap, s, s), np.int32)
@@ -584,8 +777,8 @@ def _res_buckets(fs: FrameSymbols):
             flags[:n, 4] = (fl & 8) != 0
             plane = np.full(cap, 0, np.int32)
             plane[:n] = cm[sel, 0]
-            x = np.full(cap, -(1 << 20), np.int32)
-            y = np.full(cap, -(1 << 20), np.int32)
+            x = np.full(cap, FAR, np.int32)
+            y = np.full(cap, FAR, np.int32)
             x[:n] = cm[sel, 1]
             y[:n] = cm[sel, 2]
             mid = np.full(cap, 6, np.int32)
@@ -601,13 +794,13 @@ def _res_buckets(fs: FrameSymbols):
         if not blocks:
             continue
         n = len(blocks)
-        cap = 1 << max(4, (n - 1).bit_length())
+        cap = max(16, -(-n // 256) * 256)
         levels = np.zeros((cap, s, s), np.int32)
         qp = np.zeros(cap, np.int32)
         flags = np.zeros((cap, 5), bool)
         plane = np.zeros(cap, np.int32)
-        x = np.full(cap, -(1 << 20), np.int32)
-        y = np.full(cap, -(1 << 20), np.int32)
+        x = np.full(cap, FAR, np.int32)
+        y = np.full(cap, FAR, np.int32)
         mid = np.full(cap, 6, np.int32)
         for i, cb in enumerate(blocks):
             levels[i] = cb.levels

@@ -26,6 +26,21 @@ def _clip16(x):
     return jnp.clip(x, -32768, 32767)
 
 
+def _immul(a, b_f32):
+    """Exact int16-range x int8-range matmul on the MXU.
+
+    a: int32 [M, K] with |a| < 2^15; b_f32: f32 [K, N] holding integers
+    |b| < 2^7 (the DCT/DST coefficients). a splits into a signed high byte
+    and unsigned low byte; each side's products are <= 2^15 so they are
+    exact in the MXU's bf16 multipliers, and the f32 accumulation of at
+    most 32 terms stays below 2^24 -> bit-exact int32 result."""
+    lo = jnp.dot((a & 255).astype(jnp.float32), b_f32,
+                 preferred_element_type=jnp.float32).astype(jnp.int32)
+    hi = jnp.dot((a >> 8).astype(jnp.float32), b_f32,
+                 preferred_element_type=jnp.float32).astype(jnp.int32)
+    return lo + (hi << 8)
+
+
 @partial(jax.jit, static_argnames=("s", "bit_depth"))
 def residual_bucket(levels, qp, is_dst, tskip, bypass, rdpcm_vert, has_rdpcm,
                     s: int, bit_depth: int, sm=None):
@@ -43,7 +58,14 @@ def residual_bucket(levels, qp, is_dst, tskip, bypass, rdpcm_vert, has_rdpcm,
     bd_shift = bit_depth + log2s - 5
     lv = levels.astype(jnp.int32)
     lvm = lv * 16 if sm is None else lv * sm
-    prod = lvm * _LEVEL_SCALE[qp % 6][:, None, None]
+    # level_scale[qp%6] as a select chain: XLA gather ops degrade this
+    # runtime's dispatch path (~23 ms/call tail afterwards), so no
+    # table[idx] anywhere on the device path
+    m6 = qp % 6
+    ls = jnp.int32(LEVEL_SCALE[5])
+    for i in range(5):
+        ls = jnp.where(m6 == i, jnp.int32(LEVEL_SCALE[i]), ls)
+    prod = lvm * ls[:, None, None]
     e = (bd_shift - qp // 6)[:, None, None]
     rnd = jnp.where(e > 0, 1 << jnp.maximum(e - 1, 0), 0)
     # e<=0: result is prod << -e then int16-clipped; any |prod| >= 2^15
@@ -54,29 +76,28 @@ def residual_bucket(levels, qp, is_dst, tskip, bypass, rdpcm_vert, has_rdpcm,
                   jnp.clip(prod, -(1 << 20), 1 << 20)
                   << jnp.maximum(-e, 0))
     d = _clip16(d)
-    # --- full inverse transform path ---
-    if s == 4:
-        mats_l = jnp.stack([jnp.asarray(DCT[4].T, jnp.int32),
-                            jnp.asarray(DST4, jnp.int32)])
-        mats_r = jnp.stack([jnp.asarray(DCT[4], jnp.int32),
-                            jnp.asarray(DST4.T, jnp.int32)])
-        sel = is_dst.astype(jnp.int32)
-        L = mats_l[sel]          # [N, 4, 4]
-        R = mats_r[sel]
-        t = jnp.einsum("nij,njk->nik", L, d, preferred_element_type=jnp.int32)
-    else:
-        L = jnp.asarray(DCT[s].T, jnp.int32)
-        R = jnp.asarray(DCT[s], jnp.int32)
-        t = jnp.einsum("ij,njk->nik", L, d, preferred_element_type=jnp.int32)
-    t = _clip16((t + 64) >> 7)
+    # --- full inverse transform path (t = L @ d, r = t @ R; both stages
+    # as flat [N*s, s] x [s, s] MXU matmuls on the transposed layout:
+    # t.T = d.T @ L.T, so one per-block transpose feeds each stage) ---
+    n = levels.shape[0]
     shift2 = 20 - bit_depth
+
+    def _two_stage(dT_flat, m1_f32, m2_f32):
+        tT = _immul(dT_flat, m1_f32)                     # rows (n,k) x i
+        tT = _clip16((tT + 64) >> 7)
+        t = tT.reshape(n, s, s).transpose(0, 2, 1).reshape(n * s, s)
+        r = _immul(t, m2_f32)                            # rows (n,i) x k
+        return _clip16((r + (1 << (shift2 - 1))) >> shift2)
+
+    dT = d.transpose(0, 2, 1).reshape(n * s, s)
+    dct_f = jnp.asarray(DCT[s], jnp.float32)             # = L.T for DCT
+    r_full = _two_stage(dT, dct_f, dct_f)
     if s == 4:
-        r_full = jnp.einsum("nij,njk->nik", t, R,
-                            preferred_element_type=jnp.int32)
-    else:
-        r_full = jnp.einsum("nij,jk->nik", t, R,
-                            preferred_element_type=jnp.int32)
-    r_full = _clip16((r_full + (1 << (shift2 - 1))) >> shift2)
+        dstT_f = jnp.asarray(DST4.T, jnp.float32)        # = L.T for DST
+        r_dst = _two_stage(dT, dstT_f, dstT_f)
+        sel = jnp.broadcast_to(is_dst[:, None], (n, s)).reshape(n * s)
+        r_full = jnp.where(sel[:, None], r_dst, r_full)
+    r_full = r_full.reshape(n, s, s)
     # --- transform-skip path (hevcdsp_template.c:139 behavior) ---
     ts_shift = 15 - bit_depth - log2s
     if ts_shift > 0:

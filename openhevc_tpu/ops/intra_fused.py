@@ -74,7 +74,7 @@ def pack_meta(planes, xs, ys, szs, modes, filts, avail_rows,
               strong_smoothing: bool) -> np.ndarray:
     """avail_rows: uint8/bool [N, >=4*max_s+1] in intra_np spec layout."""
     n = len(planes)
-    meta = np.zeros((n, 16), np.int32)
+    meta = np.zeros((n, 16), np.int64)
     meta[:, 0] = ys + OY
     meta[:, 1] = xs + OX
     meta[:, 2] = np.log2(szs).astype(np.int32) - 2
@@ -102,25 +102,30 @@ def pack_meta(planes, xs, ys, szs, modes, filts, avail_rows,
         gb = np.concatenate([left_g, corner_g, top_g], axis=1)  # [n, s+1]
         g = gb.shape[1]
         sh = np.arange(min(g, 16), dtype=np.int64)
-        meta[sel, 6] = (gb[:, :16].astype(np.int64) << sh[:gb[:, :16].shape[1]]).sum(1).astype(np.int32)
+        meta[sel, 6] = (gb[:, :16].astype(np.int64) << sh[:gb[:, :16].shape[1]]).sum(1)
         if g > 16:
             sh2 = np.arange(g - 16, dtype=np.int64)
-            meta[sel, 7] = (gb[:, 16:].astype(np.int64) << sh2).sum(1).astype(np.int32)
+            w1 = (gb[:, 16:].astype(np.int64) << sh2).sum(1)
+            meta[sel, 7] = w1 & 0xFFFF
+            meta[sel, 13] = (w1 >> 16) & 1
         meta[sel, 11] = av.any(1)
-    return np.ascontiguousarray(meta.T)
+    # shipped int16 (halves the per-frame upload on a ~50 MB/s link);
+    # the 17-bit avail word rides as two fields (7 lo, 13 hi), everything
+    # else fits: coords < 2^14, angles/modes tiny. Reassembled in _job.
+    return np.ascontiguousarray(meta.T.astype(np.int16))
 
 
 def pack_meta_native(raw: dict, strong_smoothing: bool) -> np.ndarray:
     im = raw["ij_meta"]
     if not len(im):
-        return np.zeros((16, 0), np.int32)
+        return np.zeros((16, 0), np.int16)
     return pack_meta(im[:, 0], im[:, 1], im[:, 2], im[:, 3], im[:, 4],
                      im[:, 5], raw["ij_avail"], strong_smoothing)
 
 
 def pack_meta_objects(jobs, strong_smoothing: bool) -> np.ndarray:
     if not jobs:
-        return np.zeros((16, 0), np.int32)
+        return np.zeros((16, 0), np.int16)
     n = len(jobs)
     planes = np.array([j.plane for j in jobs], np.int32)
     xs = np.array([j.x for j in jobs], np.int32)
@@ -180,7 +185,8 @@ def _job(s, bd, buf, res, m):
     y, x = m[0, 0], m[1, 0]
     mode = m[3, 0]
     do_filter = m[5, 0]
-    w0, w1 = m[6, 0], m[7, 0]
+    w0 = m[6, 0] & 0xFFFF
+    w1 = (m[7, 0] & 0xFFFF) | (m[13, 0] << 16)
     angle, inv = m[8, 0], m[9, 0]
     strong_allowed = m[10, 0]
     any_avail = m[11, 0]
@@ -441,10 +447,7 @@ def _build(hl, wl, hc, wc, npad, bd):
 
 
 def _bucket(n: int) -> int:
-    b = 1024
-    while b < n:
-        b *= 2
-    return b
+    return max(1024, -(-n // 1024) * 1024)
 
 
 def intra_reconstruct_fused(luma, chroma, res_l, res_c, meta: np.ndarray,
@@ -457,8 +460,9 @@ def intra_reconstruct_fused(luma, chroma, res_l, res_c, meta: np.ndarray,
     npad = _bucket(n)
     if npad != n:
         meta = np.concatenate(
-            [meta, np.zeros((16, npad - n), np.int32)], axis=1)
+            [meta, np.zeros((16, npad - n), meta.dtype)], axis=1)
     fn = _build(luma.shape[0], luma.shape[1], chroma.shape[1],
                 chroma.shape[2], npad, bit_depth)
     nn = jnp.asarray([[n]], jnp.int32)
-    return fn(jnp.asarray(meta), nn, luma, chroma, res_l, res_c)
+    return fn(jnp.asarray(meta).astype(jnp.int32), nn, luma, chroma,
+              res_l, res_c)
