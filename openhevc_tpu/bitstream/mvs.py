@@ -140,9 +140,28 @@ class MotionContext:
         return self.zscan[yn >> 2, xn >> 2] <= self.zscan[y_cur >> 2,
                                                           x_cur >> 2]
 
+    region4 = None       # per-4x4 slice/tile region ids (multi-slice)
+    _cur_reg = 0
+
+    def set_region4(self, region4):
+        """Per-4x4 region map (slice_no x tile) gating neighbour PU
+        availability (6.4.1: candidates in another slice segment/tile
+        are unavailable; reference gates via ctb_*_flag in
+        hls_decode_neighbour, hevc.c:2592)."""
+        self.region4 = region4
+
+    def _enter_pu(self, x0, y0):
+        if self.region4 is not None:
+            self._cur_reg = int(self.region4[y0 >> 2, x0 >> 2])
+
     def _avail_pu(self, cand_flag, x, y):
         if not cand_flag:
             return False
+        if self.region4 is not None:
+            h4, w4 = self.region4.shape
+            if self.region4[min(y >> 2, h4 - 1),
+                            min(x >> 2, w4 - 1)] != self._cur_reg:
+                return False
         return self.tab(x, y).pred_flag != PF_INTRA
 
     def _diff_mer(self, xn, yn, xp, yp):
@@ -212,6 +231,7 @@ class MotionContext:
     def merge_mode(self, x0, y0, w, h, log2_cb, part_mode, part_idx,
                    merge_idx, cu_x, cu_y) -> MvField:
         """ff_hevc_luma_mv_merge_mode behavior (incl. 8x4/4x8 bi->L0)."""
+        self._enter_pu(x0, y0)
         w2, h2 = w, h
         single_mcl = False
         if self.plevel > 2 and (1 << log2_cb) == 8:
@@ -341,6 +361,7 @@ class MotionContext:
     # ---- AMVP -------------------------------------------------------------
     def amvp(self, x0, y0, w, h, lx, ref_idx, mvp_flag) -> tuple:
         """ff_hevc_luma_mv_mvp_mode behavior. Returns the predictor MV."""
+        self._enter_pu(x0, y0)
         (cand_left, cand_up, cand_up_left, cand_up_right,
          cand_bottom_left) = self._neighbour_flags(x0, y0, w, h)
         cur_ref_poc, cur_ref_lt = self.ref_list[lx][ref_idx]

@@ -178,7 +178,17 @@ TAB_MODE_IDX_422 = (
 
 class SliceDataParser:
     def __init__(self, rbsp: bytes, sps: SPS, pps: PPS, sh: SliceHeader,
-                 nal_type: int, poc: int, ref_list=None, col_motion=None):
+                 nal_type: int, poc: int, ref_list=None, col_motion=None,
+                 start_ts: int = 0, shared: dict | None = None,
+                 dep_ctx=None, slice_no: int = 0):
+        """One slice segment. For pictures with multiple slice segments,
+        `shared` carries the picture-wide state (frame symbols, motion
+        grids, region maps) from the previous segment's parser, start_ts
+        is the segment address in tile-scan CTBs, slice_no identifies the
+        independent slice (dependent segments keep their parent's), and
+        dep_ctx is the CABAC context table saved at the end of the
+        previous segment (dependent slice segments resume it,
+        ff_hevc_cabac_init hevc_cabac.c:606)."""
         self.sps, self.pps, self.sh = sps, pps, sh
         # initType (9.3.2.2): I->0, P->1, B->2; cabac_init_flag swaps P/B
         init_type = (0 if sh.slice_type == I_SLICE else
@@ -186,10 +196,17 @@ class SliceDataParser:
         if pps.cabac_init_present and sh.cabac_init_flag and \
                 sh.slice_type != I_SLICE:
             init_type = 3 - init_type  # swap 1<->2
-        self.ctx = init_states(init_type, max(0, min(51, sh.qp)))
+        if dep_ctx is not None:
+            self.ctx = list(dep_ctx)     # dependent segment resumes ctx
+        else:
+            self.ctx = init_states(init_type, max(0, min(51, sh.qp)))
         self.rbsp = rbsp
         self.cab = CabacDecoder(rbsp, sh.data_start_byte * 8)
         self.init_type = init_type
+        self.start_ts = start_ts
+        self.slice_no = slice_no
+        self.end_ts = None               # set by decode()
+        self.final_ctx = None
         w4 = (sps.ctbs_w << sps.log2_ctb) >> 2
         h4 = (sps.ctbs_h << sps.log2_ctb) >> 2
         self.w4, self.h4 = w4, h4
@@ -212,40 +229,75 @@ class SliceDataParser:
             self.row_bd = np.array([0, sps.ctbs_h])
             self.tile4 = None
             self.zscan = zscan_grid(sps)
-        fs = FrameSymbols(sps=sps, pps=pps, poc=poc,
-                          slice_type=sh.slice_type, slice_qp=sh.qp,
-                          nal_type=nal_type)
-        fs.ipm = np.full((h4, w4), 255, np.uint8)
-        fs.pred_mode = np.full((h4, w4), MODE_INTRA, np.uint8)
-        fs.is_pcm = np.zeros((h4, w4), np.uint8)
-        fs.tqb = np.zeros((h4, w4), np.uint8)
-        fs.cbf_luma4 = np.zeros((h4, w4), np.uint8)
-        fs.bounds_v = np.zeros((h4, w4), np.uint8)
-        fs.bounds_h = np.zeros((h4, w4), np.uint8)
-        fs.qp_y4 = np.full((h4, w4), sh.qp, np.int8)
-        fs.sao = np.zeros((sps.ctbs_h, sps.ctbs_w, 3, 6), np.int16)
-        fs.mvf = np.zeros((h4 // 2, w4 // 2, 2, 4), np.int32)
-        fs.weights = sh.weighted_pred_table
-        fs.deblock_disabled = bool(sh.deblocking_filter_disabled)
-        fs.beta_offset = sh.beta_offset
-        fs.tc_offset = sh.tc_offset
-        fs.sao_luma = bool(sh.sao_luma)
-        fs.sao_chroma = bool(sh.sao_chroma)
-        self.fs = fs
-        self.ct_depth = np.zeros((h4, w4), np.int8)
-        self.skip_grid = np.zeros((h4, w4), np.uint8)
-        from .mvs import MotionContext
-        self.ref_list = ref_list or [[], []]
-        fs.ref_poc_l0 = [p for p, _ in self.ref_list[0]]
-        fs.ref_poc_l1 = [p for p, _ in self.ref_list[1]]
-        self.mc = MotionContext(
-            sps, self.zscan, poc, sh.slice_type, sh.max_num_merge_cand,
-            self.ref_list, pps.log2_parallel_merge_level)
-        if col_motion is not None and sh.temporal_mvp:
-            # (col_poc, pred_flag4, mv4, refpoc4) of the collocated pic
-            self.mc.set_col_motion(*col_motion,
-                                   colloc_from_l0=sh.collocated_list)
-        fs.motion = self.mc
+        if shared is not None:
+            # continue the picture started by an earlier slice segment
+            if self.tiles or self.wpp:
+                raise ValueError(
+                    "multi-slice pictures with tiles/WPP not supported")
+            fs = shared["fs"]
+            self.fs = fs
+            self.ct_depth = shared["ct_depth"]
+            self.skip_grid = shared["skip_grid"]
+            self.region4 = shared["region4"]
+            self.region_ctb = shared["region_ctb"]
+            self.n_regions = shared["n_regions"]
+            self.ctb_order = shared["ctb_order"]
+            self.tile4 = self.region4
+            self.mc = fs.motion
+            self.mc.set_region4(self.region4)
+            self.ref_list = self.mc.ref_list
+            self.shared = shared
+        else:
+            fs = FrameSymbols(sps=sps, pps=pps, poc=poc,
+                              slice_type=sh.slice_type, slice_qp=sh.qp,
+                              nal_type=nal_type)
+            fs.ipm = np.full((h4, w4), 255, np.uint8)
+            fs.pred_mode = np.full((h4, w4), MODE_INTRA, np.uint8)
+            fs.is_pcm = np.zeros((h4, w4), np.uint8)
+            fs.tqb = np.zeros((h4, w4), np.uint8)
+            fs.cbf_luma4 = np.zeros((h4, w4), np.uint8)
+            fs.bounds_v = np.zeros((h4, w4), np.uint8)
+            fs.bounds_h = np.zeros((h4, w4), np.uint8)
+            fs.qp_y4 = np.full((h4, w4), sh.qp, np.int8)
+            fs.sao = np.zeros((sps.ctbs_h, sps.ctbs_w, 3, 6), np.int16)
+            fs.mvf = np.zeros((h4 // 2, w4 // 2, 2, 4), np.int32)
+            fs.weights = sh.weighted_pred_table
+            fs.deblock_disabled = bool(sh.deblocking_filter_disabled)
+            fs.beta_offset = sh.beta_offset
+            fs.tc_offset = sh.tc_offset
+            fs.sao_luma = bool(sh.sao_luma)
+            fs.sao_chroma = bool(sh.sao_chroma)
+            self.fs = fs
+            self.ct_depth = np.zeros((h4, w4), np.int8)
+            self.skip_grid = np.zeros((h4, w4), np.uint8)
+            # region map: slice_no x tile id per 4x4 / per CTB — the
+            # 6.4.1 in-picture-prediction gate (neighbours in another
+            # slice segment or tile are unavailable)
+            self.n_regions = int(self.tile_id.max()) + 1
+            self.region_ctb = self.tile_id.astype(np.int32).copy()
+            n4c = 1 << (sps.log2_ctb - 2)
+            self.region4 = np.repeat(np.repeat(self.region_ctb, n4c, 0),
+                                     n4c, 1)[:h4, :w4].copy()
+            self.tile4 = self.region4 if self.tiles else None
+            self.ctb_order = []
+            from .mvs import MotionContext
+            self.ref_list = ref_list or [[], []]
+            fs.ref_poc_l0 = [p for p, _ in self.ref_list[0]]
+            fs.ref_poc_l1 = [p for p, _ in self.ref_list[1]]
+            self.mc = MotionContext(
+                sps, self.zscan, poc, sh.slice_type, sh.max_num_merge_cand,
+                self.ref_list, pps.log2_parallel_merge_level)
+            if col_motion is not None and sh.temporal_mvp:
+                # (col_poc, pred_flag4, mv4, refpoc4) of collocated pic
+                self.mc.set_col_motion(*col_motion,
+                                       colloc_from_l0=sh.collocated_list)
+            fs.motion = self.mc
+            self.shared = dict(fs=fs, ct_depth=self.ct_depth,
+                               skip_grid=self.skip_grid,
+                               region4=self.region4,
+                               region_ctb=self.region_ctb,
+                               n_regions=self.n_regions,
+                               ctb_order=self.ctb_order)
         # per-CU state
         self.cu_qp = sh.qp
         self.cu_tqb = 0
@@ -282,17 +334,28 @@ class SliceDataParser:
     def decode(self) -> FrameSymbols:
         sps = self.sps
         cs = 1 << sps.log2_ctb
+        n4c = cs >> 2
         n_ctb = sps.ctbs_w * sps.ctbs_h
         ctb_tile_rs = 0
         saved_ctx = None
-        ctb_order = []
-        for ts in range(n_ctb):
+        ctb_order = self.ctb_order
+        h4, w4 = self.region4.shape
+        for ts in range(self.start_ts, n_ctb):
             rs = int(self.ts_order[ts])
             x0 = (rs % sps.ctbs_w) * cs
             y0 = (rs // sps.ctbs_w) * cs
             ctb_order.append((x0, y0))
+            # paint this CTB's region (slice_no x tile) before any
+            # neighbour-availability query can touch it
+            if self.slice_no:
+                ry, rx = rs // sps.ctbs_w, rs % sps.ctbs_w
+                reg = self.slice_no * self.n_regions + \
+                    int(self.tile_id[ry, rx])
+                self.region_ctb[ry, rx] = reg
+                self.region4[ry * n4c:min((ry + 1) * n4c, h4),
+                             rx * n4c:min((rx + 1) * n4c, w4)] = reg
             tw = self._tile_width_of(rs)
-            if ts > 0:
+            if ts > self.start_ts:
                 prev_rs = int(self.ts_order[ts - 1])
                 new_tile = self.tiles and \
                     self.tile_id.flat[rs] != self.tile_id.flat[prev_rs]
@@ -321,10 +384,17 @@ class SliceDataParser:
                              (tw == 2 and ctb_tile_rs % tw == 0)):
                 saved_ctx = list(self.ctx)
             end = self.terminate()
+            if end:
+                # end_of_slice_segment_flag: this segment is done; the
+                # picture continues with the next VCL NAL (decoder
+                # accumulates segments until all CTBs are covered)
+                self.end_ts = ts + 1
+                break
             if ts == n_ctb - 1:
-                assert end == 1, "missing end_of_slice"
-            elif end:
-                raise ValueError(f"premature end_of_slice at CTB {ts}")
+                raise ValueError("missing end_of_slice")
+        else:
+            self.end_ts = n_ctb
+        self.final_ctx = list(self.ctx)
         self.fs.ctb_order = ctb_order
         return self.fs
 
@@ -332,11 +402,13 @@ class SliceDataParser:
     def _sao_params(self, x0: int, y0: int):
         sps, sh, fs = self.sps, self.sh, self.fs
         rx, ry = x0 >> sps.log2_ctb, y0 >> sps.log2_ctb
-        if x0 > 0 and self.tile_id[ry, rx] == self.tile_id[ry, rx - 1]:
+        # merge candidates must be in the same slice segment AND tile
+        # (sao_merge_left/up availability, 7.3.8.3)
+        if x0 > 0 and self.region_ctb[ry, rx] == self.region_ctb[ry, rx - 1]:
             if self.bin("sao_merge_flag"):
                 fs.sao[ry, rx] = fs.sao[ry, rx - 1]
                 return
-        if y0 > 0 and self.tile_id[ry, rx] == self.tile_id[ry - 1, rx]:
+        if y0 > 0 and self.region_ctb[ry, rx] == self.region_ctb[ry - 1, rx]:
             if self.bin("sao_merge_flag"):
                 fs.sao[ry, rx] = fs.sao[ry - 1, rx]
                 return

@@ -88,6 +88,8 @@ class Decoder:
         self.ref_pics: dict[int, DecodedPicture] = {}
         self.n_output_pending = 0
         self._jax_engine = None
+        self._next_vcl_continues = False
+        self._acc = None
         self.is_nalff = False        # length-prefixed NALs (hvcC input)
         self.nal_length_size = 4
 
@@ -191,39 +193,83 @@ class Decoder:
                                 num_direct_ref_layers=ndr)
         pps = self.pps[sh.pps_id]
         sps = self.sps[pps.sps_id]
-        poc = self._compute_poc(sps, sh, nal_type, temporal_id)
-        if is_idr(nal_type):
-            self.ref_pics = {}
-        il = None
-        if self.layer > 0 and sh.inter_layer_pred and \
-                self.shvc_bl is not None:
-            il = self._make_il_ref(poc, sps)
-        ref_list = self._build_ref_lists(sh, sps, poc, il=il)
-        # collocated picture motion for TMVP (hevc_refs.c collocated_ref)
-        col_motion = None
-        if sh.temporal_mvp:
-            cl = 0 if sh.collocated_list else 1
-            lst = ref_list[cl] or ref_list[1 - cl]
-            if lst:
-                idx = min(sh.collocated_ref_idx, len(lst) - 1)
-                col = self.ref_pics.get(lst[idx][0])
-                if col is not None and col.motion is not None:
-                    col_motion = (col.poc,) + col.motion
+        acc = getattr(self, "_acc", None)
+        if not sh.first_slice and acc is None:
+            return                      # mid-picture join: drop segment
+        if sh.dependent and acc is not None:
+            # dependent slice segment: all slice-level fields inherit
+            # from the preceding independent segment (7.4.7.1; the
+            # reference keeps the previous SliceHeader)
+            import copy
+            base = copy.copy(acc["sh0"])
+            base.first_slice = 0
+            base.dependent = 1
+            base.segment_address = sh.segment_address
+            base.data_start_byte = sh.data_start_byte
+            base.entry_point_offsets = sh.entry_point_offsets
+            sh = base
+        if sh.first_slice:
+            poc = self._compute_poc(sps, sh, nal_type, temporal_id)
+            if is_idr(nal_type):
+                self.ref_pics = {}
+            il = None
+            if self.layer > 0 and sh.inter_layer_pred and \
+                    self.shvc_bl is not None:
+                il = self._make_il_ref(poc, sps)
+            ref_list = self._build_ref_lists(sh, sps, poc, il=il)
+            # collocated picture motion for TMVP (hevc_refs.c)
+            col_motion = None
+            if sh.temporal_mvp:
+                cl = 0 if sh.collocated_list else 1
+                lst = ref_list[cl] or ref_list[1 - cl]
+                if lst:
+                    idx = min(sh.collocated_ref_idx, len(lst) - 1)
+                    col = self.ref_pics.get(lst[idx][0])
+                    if col is not None and col.motion is not None:
+                        col_motion = (col.poc,) + col.motion
+            acc = dict(sh0=sh, poc=poc, sps=sps, pps=pps,
+                       ref_list=ref_list, col_motion=col_motion,
+                       nal_type=nal_type, shared=None, parser=None,
+                       n_parsed=0, slice_no=-1)
+            self._acc = acc
+        poc = acc["poc"]
+        n_ctb = sps.ctbs_w * sps.ctbs_h
+        single_slice = sh.first_slice and not self._next_vcl_continues
         # native core supports uniform tiles + WPP; non-uniform tile
-        # spacing, 4:4:4 chroma, weighted prediction, and TMVP (need
-        # per-PB ref indices / collocated motion) fall back to Python
-        use_native = self.native_parse and not (
+        # spacing, 4:4:4 chroma, weighted prediction, TMVP (need per-PB
+        # ref indices / collocated motion), and multi-slice pictures
+        # fall back to Python
+        use_native = single_slice and self.native_parse and not (
             pps.tiles_enabled and not pps.uniform_spacing) and \
             sps.chroma_format_idc == 1 and \
             sh.weighted_pred_table is None and not sh.temporal_mvp
         if use_native:
             from .bitstream.native import parse_slice_native
             fs = parse_slice_native(rbsp, sps, pps, sh, nal_type, poc,
-                                    ref_list=ref_list)
+                                    ref_list=acc["ref_list"])
+            acc["n_parsed"] = n_ctb
         else:
-            fs = SliceDataParser(rbsp, sps, pps, sh, nal_type, poc,
-                                 ref_list=ref_list,
-                                 col_motion=col_motion).decode()
+            if not sh.dependent:
+                acc["slice_no"] += 1
+            start_ts = sh.segment_address  # == rs in tile-scan-free case
+            if pps.tiles_enabled:
+                from .bitstream.ps import ctb_tile_maps
+                rs_to_ts = ctb_tile_maps(pps, sps)[0]
+                start_ts = int(np.asarray(rs_to_ts).flat[start_ts])
+            p = SliceDataParser(
+                rbsp, sps, pps, sh, nal_type, poc,
+                ref_list=acc["ref_list"], col_motion=acc["col_motion"],
+                start_ts=start_ts, shared=acc["shared"],
+                dep_ctx=(acc["parser"].final_ctx
+                         if sh.dependent and acc["parser"] else None),
+                slice_no=max(acc["slice_no"], 0))
+            fs = p.decode()
+            acc["shared"] = p.shared
+            acc["parser"] = p
+            acc["n_parsed"] += p.end_ts - p.start_ts
+        if acc["n_parsed"] < n_ctb:
+            return                      # picture continues in next NAL
+        self._acc = None
         planes = self._reconstruct(fs)
         pic = DecodedPicture(poc=poc, planes=planes, sps=sps,
                              motion=self._motion_of(fs))
@@ -337,9 +383,22 @@ class Decoder:
         pictures in output order."""
         nals = self._split_nalff(data) if self.is_nalff \
             else split_nals(data)
-        for nal in nals:
-            if len(nal) >= 2:
-                self._handle_nal(nal)
+        nals = [n for n in nals if len(n) >= 2]
+        # lookahead: does the next VCL NAL of this layer continue the
+        # current picture (first_slice_segment_in_pic_flag == 0)? Drives
+        # multi-slice accumulation and the native single-slice fast path.
+        nxt = [False] * len(nals)
+        prev_vcl = None
+        for i, n in enumerate(nals):
+            ntype = (n[0] >> 1) & 0x3F
+            lid = ((n[0] & 1) << 5) | (n[1] >> 3)
+            if ntype <= 31 and lid == self.layer and len(n) >= 3:
+                if prev_vcl is not None:
+                    nxt[prev_vcl] = (n[2] >> 7) == 0
+                prev_vcl = i
+        for i, nal in enumerate(nals):
+            self._next_vcl_continues = nxt[i]
+            self._handle_nal(nal)
         out, self.output = self.output, []
         return out
 

@@ -67,6 +67,7 @@ class EncoderConfig:
     # scaling lists: None off, "default" (enabled, no data), "sps"
     # (explicit SPS data), "pps" (PPS override data)
     scaling_list: str | None = None
+    dependent_slices: bool = False      # PPS dependent_slice_segments_enabled
 
     @property
     def ctb_size(self) -> int:
@@ -307,7 +308,7 @@ def write_pps(cfg: EncoderConfig, pps_id: int = 0, sps_id: int = 0,
     bw = BitWriter()
     bw.ue(pps_id)           # pps_pic_parameter_set_id
     bw.ue(sps_id)           # pps_seq_parameter_set_id
-    bw.put(0, 1)            # dependent_slice_segments_enabled_flag
+    bw.put(1 if cfg.dependent_slices else 0, 1)  # dependent_slice_segments
     bw.put(0, 1)            # output_flag_present_flag
     bw.put(0, 3)            # num_extra_slice_header_bits
     bw.put(1 if cfg.sign_data_hiding else 0, 1)
@@ -385,12 +386,37 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
                        entry_point_offsets: list | None = None,
                        weight_table: dict | None = None,
                        pps_id: int = 0,
-                       inter_layer_pred: int | None = None):
-    """slice_type: 0=B 1=P 2=I. Only the syntax paths this encoder exercises."""
-    bw.put(1, 1)            # first_slice_segment_in_pic_flag
+                       inter_layer_pred: int | None = None,
+                       first_slice: int = 1, segment_address: int = 0,
+                       dependent: int = 0):
+    """slice_type: 0=B 1=P 2=I. Only the syntax paths this encoder exercises.
+    Non-first slice segments carry segment_address (CTB raster) and, when
+    the PPS enables them, the dependent_slice_segment_flag (7.3.6.1)."""
+    bw.put(first_slice, 1)  # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:
         bw.put(0, 1)        # no_output_of_prior_pics_flag
     bw.ue(pps_id)           # slice_pic_parameter_set_id
+    if not first_slice:
+        if cfg.dependent_slices:
+            bw.put(dependent, 1)
+        import math
+        n_ctbs = cfg.ctbs_w * cfg.ctbs_h
+        addr_bits = max(1, math.ceil(math.log2(n_ctbs)))
+        bw.put(segment_address, addr_bits)
+    if dependent:
+        # dependent segments inherit the whole slice body; only entry
+        # points + alignment follow
+        if cfg.wpp or cfg.tile_cols > 1 or cfg.tile_rows > 1:
+            eps = entry_point_offsets or []
+            bw.ue(len(eps))
+            if eps:
+                blen = max(1, max(e - 1 for e in eps).bit_length())
+                bw.ue(blen - 1)
+                for e in eps:
+                    bw.put(e - 1, blen)
+        bw.put(1, 1)        # alignment_bit_equal_to_one
+        bw.align_zero()
+        return
     bw.ue(slice_type)
     if inter_layer_pred is not None and \
             nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
@@ -452,12 +478,15 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
 class SliceDataEncoder:
     """CABAC slice-data writer: owns the engine + context states."""
 
-    def __init__(self, bw: BitWriter, cfg: EncoderConfig, slice_type: int):
+    def __init__(self, bw: BitWriter, cfg: EncoderConfig, slice_type: int,
+                 ctx=None):
         self.bw = bw
         self.cfg = cfg
         init_type = (0 if slice_type == 2 else
                      2 if slice_type == 0 else 1)
-        self.ctx = init_states(init_type, cfg.qp)
+        # dependent slice segments resume the previous segment's contexts
+        self.ctx = list(ctx) if ctx is not None else \
+            init_states(init_type, cfg.qp)
         self.cabac = CabacEncoder(bw)
 
     def bin(self, elem: str, inc: int, val: int):

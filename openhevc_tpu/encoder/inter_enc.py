@@ -27,7 +27,7 @@ class PFrameEncoder(IntraFrameEncoder):
     num_st_rps = 1
 
     def encode_frame_p(self, y, u, v, poc, ref_pics, nal_type=NAL_TRAIL_R,
-                       slice_type=1):
+                       slice_type=1, num_slices=1, dependent=False):
         """ref_pics: [(poc, [Y,Cb,Cr])] in L0 order. slice_type 1=P,
         0=low-delay B (L1 == L0)."""
         cfg = self.cfg
@@ -59,19 +59,25 @@ class PFrameEncoder(IntraFrameEncoder):
         if cfg.weighted_pred:
             self.weight_table = self._gen_weight_table(len(ref_pics),
                                                        slice_type)
+        hdr_kw = dict(st_rps_idx=self.st_rps_idx
+                      if self.st_rps_idx is not None
+                      else len(ref_pics) - 1,
+                      num_ref_l0=self.num_ref_l0 or len(ref_pics),
+                      num_ref_l1=self.num_ref_l0 or len(ref_pics),
+                      weight_table=self.weight_table)
+        if num_slices > 1:
+            return self._encode_frame_sliced(nal_type, poc,
+                                             self.num_st_rps, num_slices,
+                                             dependent, slice_type,
+                                             **hdr_kw)
         data, eps = self._encode_slice_data(slice_type=slice_type)
         bw = BitWriter()
         write_slice_header(bw, cfg, nal_type, slice_type=slice_type, poc=poc,
-                           st_rps_idx=self.st_rps_idx
-                           if self.st_rps_idx is not None
-                           else len(ref_pics) - 1,
                            num_st_rps=self.num_st_rps,
-                           num_ref_l0=self.num_ref_l0 or len(ref_pics),
-                           num_ref_l1=self.num_ref_l0 or len(ref_pics),
                            entry_point_offsets=eps,
-                           weight_table=self.weight_table,
                            pps_id=self.pps_id,
-                           inter_layer_pred=self.inter_layer_pred)
+                           inter_layer_pred=self.inter_layer_pred,
+                           **hdr_kw)
         return wrap_nal(nal_type, bw.getvalue() + data,
                         layer_id=self.layer_id)
 
@@ -113,9 +119,11 @@ class PFrameEncoder(IntraFrameEncoder):
         # skip flag
         skip = rng.random() < 0.3
         inc = 0
-        if x0 > 0 and self.skip_grid[y4, x4 - 1]:
+        if x0 > 0 and self._same_tile4(x4, y4, x4 - 1, y4) and \
+                self.skip_grid[y4, x4 - 1]:
             inc += 1
-        if y0 > 0 and self.skip_grid[y4 - 1, x4]:
+        if y0 > 0 and self._same_tile4(x4, y4, x4, y4 - 1) and \
+                self.skip_grid[y4 - 1, x4]:
             inc += 1
         enc.bin("cu_skip_flag", inc, 1 if skip else 0)
         if skip:
@@ -473,7 +481,8 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                            n_refs=1, max_merge=5, b_slices=False,
                            bit_depth=8, wpp=False, chroma_format_idc=1,
                            weighted=False, tmvp=False, amp=False,
-                           scaling_list=None):
+                           scaling_list=None, num_slices=1,
+                           dependent_slices=False):
     """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
     expected recons). Expected output only valid without loop filters;
     with filters on, compare against the reference decoder."""
@@ -488,7 +497,8 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                         max_num_ref=n_refs, max_merge_cand=max_merge,
                         wpp=wpp, weighted_pred=weighted,
                         temporal_mvp=tmvp, amp_enabled=amp,
-                        scaling_list=scaling_list)
+                        scaling_list=scaling_list,
+                        dependent_slices=dependent_slices)
     rng = np.random.default_rng(seed)
     # one RPS per possible reference count (early frames have fewer refs)
     st_rps = [[-(i + 1) for i in range(k + 1)] for k in range(n_refs)]
@@ -511,13 +521,17 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
         if i == 0:
             enc.is_p = False
             enc._motion_store = {}
-            nal = enc.encode_frame(y, u, v, nal_type=NAL_IDR_N_LP)
+            nal = enc.encode_frame(y, u, v, nal_type=NAL_IDR_N_LP,
+                                   num_slices=num_slices,
+                                   dependent=dependent_slices)
             enc.store_motion(0, i_frame=True)
         else:
             refs = [(p, filtered[p]) for p in
                     sorted(range(len(filtered)), reverse=True)[:n_refs]]
             nal = enc.encode_frame_p(y, u, v, i, refs,
-                                     slice_type=0 if b_slices else 1)
+                                     slice_type=0 if b_slices else 1,
+                                     num_slices=num_slices,
+                                     dependent=dependent_slices)
             enc.store_motion(i)
         out += nal
         recons.append([p.copy() for p in enc.recon])

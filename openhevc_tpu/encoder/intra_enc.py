@@ -70,7 +70,12 @@ class IntraFrameEncoder:
             self.tile4 = None
             self.zscan = zscan_grid(_Sps(cfg))
 
+    region4 = None        # per-4x4 slice-region ids (multi-slice frames)
+    region_ctb = None
+
     def _same_tile4(self, xa4, ya4, xb4, yb4):
+        if self.region4 is not None:
+            return self.region4[ya4, xa4] == self.region4[yb4, xb4]
         if self.tile4 is None:
             return True
         return self.tile4[ya4, xa4] == self.tile4[yb4, xb4]
@@ -85,7 +90,8 @@ class IntraFrameEncoder:
     inter_layer_pred = None   # EL slice-header flag (None: BL, absent)
 
     def encode_frame(self, y, u, v, nal_type=NAL_IDR_N_LP, poc=0,
-                     num_st_rps=0) -> bytes:
+                     num_st_rps=0, num_slices=1,
+                     dependent=False) -> bytes:
         cfg = self.cfg
         self.target = [np.asarray(y, np.int64), np.asarray(u, np.int64),
                        np.asarray(v, np.int64)]
@@ -97,6 +103,9 @@ class IntraFrameEncoder:
         self.ipm = np.full((self.h4, self.w4), 255, np.uint8)
         self.pred_mode = np.ones((self.h4, self.w4), np.uint8)  # all intra
         self.ct_depth = np.zeros((self.h4, self.w4), np.int8)
+        if num_slices > 1:
+            return self._encode_frame_sliced(nal_type, poc, num_st_rps,
+                                             num_slices, dependent, 2)
         data, eps = self._encode_slice_data(slice_type=2)
         bw = BitWriter()
         write_slice_header(bw, cfg, nal_type, slice_type=2, poc=poc,
@@ -106,10 +115,43 @@ class IntraFrameEncoder:
         return wrap_nal(nal_type, bw.getvalue() + data,
                         layer_id=self.layer_id)
 
-    def _encode_slice_data(self, slice_type):
-        """CTB loop in tile-scan order with WPP/tile substream handling;
-        returns (data bytes, escaped entry-point offsets)."""
+    def _encode_frame_sliced(self, nal_type, poc, num_st_rps, num_slices,
+                             dependent, slice_type, **hdr_kw) -> bytes:
+        """Emit the picture as num_slices slice segments (one NAL each).
+        dependent=True makes every non-first segment a dependent slice
+        segment (inherited header + resumed CABAC contexts)."""
         cfg = self.cfg
+        n_ctb = cfg.ctbs_w * cfg.ctbs_h
+        bounds = [round(i * n_ctb / num_slices)
+                  for i in range(num_slices + 1)]
+        ranges = [(bounds[i], bounds[i + 1],
+                   1 if (dependent and i > 0) else 0)
+                  for i in range(num_slices) if bounds[i] < bounds[i + 1]]
+        segs = self._encode_slice_data(slice_type=slice_type,
+                                       slice_ranges=ranges)
+        out = b""
+        for i, ((data, eps), (st, _en, dep)) in enumerate(zip(segs, ranges)):
+            bw = BitWriter()
+            write_slice_header(bw, cfg, nal_type, slice_type=slice_type,
+                               poc=poc, num_st_rps=num_st_rps,
+                               entry_point_offsets=eps, pps_id=self.pps_id,
+                               inter_layer_pred=self.inter_layer_pred,
+                               first_slice=1 if i == 0 else 0,
+                               segment_address=int(self.ts_order[st]),
+                               dependent=dep, **hdr_kw)
+            out += wrap_nal(nal_type, bw.getvalue() + data,
+                            layer_id=self.layer_id)
+        return out
+
+    def _encode_slice_data(self, slice_type, slice_ranges=None):
+        """CTB loop in tile-scan order with WPP/tile substream handling;
+        returns (data bytes, escaped entry-point offsets). With
+        slice_ranges (list of (start_ts, end_ts, dependent)), encodes a
+        multi-segment picture and returns a list of (data, eps) per
+        segment instead."""
+        cfg = self.cfg
+        if slice_ranges is not None:
+            return self._encode_slice_segments(slice_type, slice_ranges)
         bw = BitWriter()
         self.enc = SliceDataEncoder(bw, cfg, slice_type=slice_type)
         cs = cfg.ctb_size
@@ -158,6 +200,55 @@ class IntraFrameEncoder:
         data = bw.getvalue()
         return data, self._escaped_offsets(data, boundaries)
 
+    def _encode_slice_segments(self, slice_type, slice_ranges):
+        """Encode each slice segment as its own CABAC stream, with
+        slice-boundary availability enforced through per-4x4 region ids
+        (mirrors SliceDataParser's region4; tiles/WPP not combined with
+        multi-slice yet)."""
+        cfg = self.cfg
+        assert not (self.tiles or self.wpp), \
+            "multi-slice with tiles/WPP not supported"
+        cs = cfg.ctb_size
+        n4c = cs >> 2
+        self.sao_params = np.zeros((cfg.ctbs_h, cfg.ctbs_w, 3, 6), np.int16)
+        self.region_ctb = np.zeros((cfg.ctbs_h, cfg.ctbs_w), np.int32)
+        self.region4 = np.zeros((self.h4, self.w4), np.int32)
+        tile4_save = self.tile4
+        self.tile4 = self.region4     # route avail_mask through regions
+        if hasattr(self, "mvctx"):
+            self.mvctx.set_region4(self.region4)
+        out = []
+        slice_no = -1
+        prev_ctx = None
+        for (start_ts, end_ts, dependent) in slice_ranges:
+            if not dependent:
+                slice_no += 1
+            bw = BitWriter()
+            self.enc = SliceDataEncoder(bw, cfg, slice_type=slice_type,
+                                        ctx=prev_ctx if dependent else None)
+            for ts in range(start_ts, end_ts):
+                rs = int(self.ts_order[ts])
+                x0 = (rs % cfg.ctbs_w) * cs
+                y0 = (rs // cfg.ctbs_w) * cs
+                ry, rx = rs // cfg.ctbs_w, rs % cfg.ctbs_w
+                self.region_ctb[ry, rx] = slice_no
+                self.region4[ry * n4c:min((ry + 1) * n4c, self.h4),
+                             rx * n4c:min((rx + 1) * n4c, self.w4)] = \
+                    slice_no
+                if cfg.sao_enabled:
+                    self._encode_sao(rx, ry)
+                self._quadtree(x0, y0, cfg.ctb_log2, 0)
+                self.enc.terminate(1 if ts == end_ts - 1 else 0)
+            bw.align_zero()
+            prev_ctx = list(self.enc.ctx)
+            out.append((bw.getvalue(), []))
+        self.region4 = None
+        self.region_ctb = None
+        self.tile4 = tile4_save
+        if hasattr(self, "mvctx"):
+            self.mvctx.set_region4(None)
+        return out
+
     @staticmethod
     def _escaped_offsets(data: bytes, boundaries):
         """entry_point_offsets (in coded/escaped bytes) from unescaped
@@ -189,13 +280,14 @@ class IntraFrameEncoder:
     def _encode_sao(self, rx, ry):
         cfg, rng, enc = self.cfg, self.rng, self.enc
         sp = self.sao_params
-        if rx > 0 and self.tile_id[ry, rx] == self.tile_id[ry, rx - 1]:
+        rc = self.region_ctb if self.region_ctb is not None else self.tile_id
+        if rx > 0 and rc[ry, rx] == rc[ry, rx - 1]:
             merge = int(rng.random() < 0.2)
             enc.bin("sao_merge_flag", 0, merge)
             if merge:
                 sp[ry, rx] = sp[ry, rx - 1]
                 return
-        if ry > 0 and self.tile_id[ry, rx] == self.tile_id[ry - 1, rx]:
+        if ry > 0 and rc[ry, rx] == rc[ry - 1, rx]:
             merge = int(rng.random() < 0.2)
             enc.bin("sao_merge_flag", 0, merge)
             if merge:
@@ -859,7 +951,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         transform_skip=False, transquant_bypass=False,
                         md5_sei=False, wpp=False, tile_cols=1,
                         tile_rows=1, chroma_format_idc=1,
-                        scaling_list=None) -> bytes:
+                        scaling_list=None, num_slices=1,
+                        dependent_slices=False) -> bytes:
     # NOTE: the reference decoder never clears its is_pcm no-filter map
     # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
     # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
@@ -885,14 +978,16 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         transform_skip=transform_skip,
                         transquant_bypass=transquant_bypass,
                         wpp=wpp, tile_cols=tile_cols, tile_rows=tile_rows,
-                        scaling_list=scaling_list)
+                        scaling_list=scaling_list,
+                        dependent_slices=dependent_slices)
     rng = np.random.default_rng(seed)
     out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)
     enc = IntraFrameEncoder(cfg, rng)
     recons = []
     for (y, u, v) in frames:
         enc._parent_chroma = {}
-        out += enc.encode_frame(y, u, v)
+        out += enc.encode_frame(y, u, v, num_slices=num_slices,
+                                dependent=dependent_slices)
         recons.append([p.copy() for p in enc.recon])
         if md5_sei:
             assert not (sao or deblock), \

@@ -71,3 +71,22 @@ def test_intra_scaling_list(mode, qp, ctb):
     data, recons = encode_intra_stream(frames, W, H, qp=qp, ctb_log2=ctb,
                                        seed=11, scaling_list=mode)
     check_stream(data, recons, W, H)
+
+
+@pytest.mark.parametrize("num_slices,dependent", [
+    (2, False),     # two independent slices
+    (4, False),     # four slices, boundaries mid-row
+    (3, True),      # one independent + two dependent slice segments
+])
+def test_intra_multi_slice(num_slices, dependent):
+    """Multiple slice segments per picture (7.3.6.1): slice-boundary
+    in-picture-prediction gating, per-segment CABAC (fresh for
+    independent, resumed for dependent segments), decoder accumulation
+    of segments; bit-exact vs the reference decoder."""
+    rng = np.random.default_rng(41)
+    W, H = 96, 80
+    frames = make_frames(W, H, 2, rng)
+    data, recons = encode_intra_stream(frames, W, H, qp=31, ctb_log2=4,
+                                       seed=41, num_slices=num_slices,
+                                       dependent_slices=dependent)
+    check_stream(data, recons, W, H)

@@ -62,3 +62,22 @@ def test_lowdelay_scaling_list():
         for p, (got, want) in enumerate(zip(mine[i].cropped(),
                                             ref_planes(f))):
             assert np.array_equal(got, want), (i, p)
+
+
+@pytest.mark.parametrize("num_slices,dependent", [(2, False), (3, True)])
+def test_lowdelay_multi_slice(num_slices, dependent):
+    """Multi-slice P pictures: merge/AMVP neighbour gating at slice
+    boundaries (6.4.1), per-segment CABAC; vs the reference decoder."""
+    rng = np.random.default_rng(51)
+    frames = moving_frames(64, 64, 3, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=32, ctb_log2=4,
+                                     seed=51, num_slices=num_slices,
+                                     dependent_slices=dependent)
+    ref = ref_decode(data)
+    d = Decoder("np")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 3
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
