@@ -173,12 +173,17 @@ class MotionContext:
     # hevc_mvs.c:227, derive_temporal_colocated_mvs :172) --------------
     col = None                   # (col_poc, pred_flag4, mv4, refpoc4)
     colloc_from_l0 = 1           # sh collocated_from_l0 flag
+    col_lt_map: dict = {}
     temporal_mvp = False
 
     def set_col_motion(self, col_poc, pred_flag, mv, refpoc,
-                       colloc_from_l0=1):
+                       colloc_from_l0=1, lt_map=None):
+        """lt_map: {poc: is_long_term} of the collocated picture's
+        reference lists (the refPicList saved per HEVCFrame that
+        derive_temporal_colocated_mvs consults for colIsLt)."""
         self.col = (col_poc, pred_flag, mv, refpoc)
         self.colloc_from_l0 = colloc_from_l0
+        self.col_lt_map = lt_map or {}
         self.temporal_mvp = True
 
     def _derive_col_mv(self, pf, mvs2, rps2, ref_idx, X, col_poc):
@@ -196,10 +201,16 @@ class MotionContext:
             else:
                 # collocated from L1 -> use col's L0 MVs and vice versa
                 l = 0 if self.colloc_from_l0 == 0 else 1
-        cur_ref_poc = self.ref_list[X][ref_idx][0]
-        col_poc_diff = col_poc - int(rps2[l])
-        cur_poc_diff = self.poc - cur_ref_poc
+        cur_ref_poc, cur_lt = self.ref_list[X][ref_idx]
+        col_ref_poc = int(rps2[l])
+        col_lt = bool(self.col_lt_map.get(col_ref_poc, False))
+        if col_lt != bool(cur_lt):
+            return None              # 8.5.3.2.8: LT/ST mismatch -> unavail
         mv_col = (int(mvs2[l, 0]), int(mvs2[l, 1]))
+        if cur_lt:
+            return mv_col            # long-term: never scaled
+        col_poc_diff = col_poc - col_ref_poc
+        cur_poc_diff = self.poc - cur_ref_poc
         if col_poc_diff == cur_poc_diff or col_poc_diff == 0:
             return mv_col
         return mv_scale(mv_col, col_poc_diff, cur_poc_diff)
@@ -224,8 +235,11 @@ class MotionContext:
             pf = int(cpf[py, px])
             if pf == 0:
                 continue
-            return 1, self._derive_col_mv(pf, cmv[py, px], crp[py, px],
-                                          ref_idx, X, col_poc)
+            mv = self._derive_col_mv(pf, cmv[py, px], crp[py, px],
+                                     ref_idx, X, col_poc)
+            if mv is None:
+                continue
+            return 1, mv
         return 0, (0, 0)
 
     def merge_mode(self, x0, y0, w, h, log2_cb, part_mode, part_idx,

@@ -118,7 +118,13 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS,
                         sh.lt_poc.append(r.read(sps.log2_max_poc_lsb))
                         sh.lt_used.append(r.read1())
                     if r.read1():  # delta_poc_msb_present_flag
-                        sh.lt_msb_present.append(r.ue())
+                        d = r.ue()
+                        # DeltaPocMsbCycleLt accumulates across slice-header
+                        # entries (7.4.7.1; hevc.c decode_lt_rps :359)
+                        if i and i != num_sps_lt:
+                            d += prev_delta_msb
+                        sh.lt_msb_present.append(d)
+                        prev_delta_msb = d
                     else:
                         sh.lt_msb_present.append(None)
             if sps.temporal_mvp_enabled:

@@ -288,9 +288,13 @@ class SliceDataParser:
                 sps, self.zscan, poc, sh.slice_type, sh.max_num_merge_cand,
                 self.ref_list, pps.log2_parallel_merge_level)
             if col_motion is not None and sh.temporal_mvp:
-                # (col_poc, pred_flag4, mv4, refpoc4) of collocated pic
-                self.mc.set_col_motion(*col_motion,
-                                       colloc_from_l0=sh.collocated_list)
+                # (col_poc, pred_flag4, mv4, refpoc4[, lt_map]) of the
+                # collocated picture
+                self.mc.set_col_motion(*col_motion[:4],
+                                       colloc_from_l0=sh.collocated_list,
+                                       lt_map=(col_motion[4] if
+                                               len(col_motion) > 4
+                                               else None))
             fs.motion = self.mc
             self.shared = dict(fs=fs, ct_depth=self.ct_depth,
                                skip_grid=self.skip_grid,
@@ -301,6 +305,21 @@ class SliceDataParser:
         # per-CU state
         self.cu_qp = sh.qp
         self.cu_tqb = 0
+        # cu_qp_delta state (lc->qp_y / qPy_pred / first_qp_group,
+        # hevc.c:1085,2489-2500; get_qPy_pred hevc_filter.c:91)
+        self.qp_y = sh.qp
+        self.qPy_pred = sh.qp
+        self.first_qp_group = dep_ctx is None      # !dependent
+        self.is_qp_coded = 0
+        self.qg_delta = 0
+        self.qg_mask = 0
+        if pps.cu_qp_delta_enabled:
+            self.qg_mask = (1 << (sps.log2_ctb -
+                                  pps.diff_cu_qp_delta_depth)) - 1
+        if shared is not None and dep_ctx is not None and \
+                "qp_state" in shared:
+            self.qp_y, self.qPy_pred = shared["qp_state"]
+            self.cu_qp = self.qp_y
         self.cu_pred_mode = MODE_INTRA
         self.cu_part_mode = PART_2Nx2N
         self.pu_intra_modes = [1, 1, 1, 1]
@@ -366,7 +385,9 @@ class SliceDataParser:
                     self.cab.reinit(self.cab.consumed_bytes() * 8)
                     self.ctx = init_states(self.init_type,
                                            max(0, min(51, self.sh.qp)))
+                    self.first_qp_group = True
                 if self.wpp and ctb_tile_rs % tw == 0 and not new_tile:
+                    self.first_qp_group = True
                     end = self.terminate()   # end_of_subset_one_bit
                     if end != 1:
                         raise ValueError("missing end_of_subset")
@@ -395,6 +416,7 @@ class SliceDataParser:
         else:
             self.end_ts = n_ctb
         self.final_ctx = list(self.ctx)
+        self.shared["qp_state"] = (self.qp_y, self.qPy_pred)
         self.fs.ctb_order = ctb_order
         return self.fs
 
@@ -470,18 +492,85 @@ class SliceDataParser:
             split = 1 if (log2_cb > sps.log2_min_cb) else 0
             if boundary and log2_cb == sps.log2_min_cb:
                 split = 0
-        # (cu_qp_delta coding-group reset would go here)
+        if self.pps.cu_qp_delta_enabled and \
+                log2_cb >= sps.log2_ctb - self.pps.diff_cu_qp_delta_depth:
+            # new quantization group (hevc.c:2527)
+            self.is_qp_coded = 0
+            self.qg_delta = 0
         if split:
             h = cb >> 1
             for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
                 x1, y1 = x0 + dx, y0 + dy
                 if x1 < sps.width and y1 < sps.height:
                     self._coding_quadtree(x1, y1, log2_cb - 1, depth + 1)
+            if self.pps.cu_qp_delta_enabled and \
+                    ((x0 + cb) & self.qg_mask) == 0 and \
+                    ((y0 + cb) & self.qg_mask) == 0:
+                self.qPy_pred = self.qp_y      # hevc.c:2565
         else:
             self._coding_unit(x0, y0, log2_cb, depth)
 
     # -- coding unit --------------------------------------------------------
     def _coding_unit(self, x0, y0, log2_cb, depth):
+        self._coding_unit_body(x0, y0, log2_cb, depth)
+        if self.pps.cu_qp_delta_enabled:
+            # CU tail (hevc.c:2489-2500): derive the (possibly
+            # prediction-only) QP, paint it, update decode-order pred
+            if not self.is_qp_coded:
+                self._set_qPy(x0, y0)
+            cb = 1 << log2_cb
+            x4, y4 = x0 >> 2, y0 >> 2
+            n4 = cb >> 2
+            self.fs.qp_y4[y4:y4 + n4, x4:x4 + n4] = self.qp_y
+            if ((x0 + cb) & self.qg_mask) == 0 and \
+                    ((y0 + cb) & self.qg_mask) == 0:
+                self.qPy_pred = self.qp_y
+
+    def _set_qPy(self, x_base, y_base):
+        """ff_hevc_set_qPy + get_qPy_pred (hevc_filter.c:91-143)."""
+        sps, sh = self.sps, self.sh
+        ctb_mask = (1 << sps.log2_ctb) - 1
+        x_qg = x_base - (x_base & self.qg_mask)
+        y_qg = y_base - (y_base & self.qg_mask)
+        avail_a = (x_base & ctb_mask) and (x_qg & ctb_mask)
+        avail_b = (y_base & ctb_mask) and (y_qg & ctb_mask)
+        if self.first_qp_group or (x_qg == 0 and y_qg == 0):
+            self.first_qp_group = not self.is_qp_coded
+            pred = sh.qp
+        else:
+            pred = self.qPy_pred
+        qa = int(self.fs.qp_y4[y_qg >> 2, (x_qg - 1) >> 2]) \
+            if avail_a else pred
+        qb = int(self.fs.qp_y4[(y_qg - 1) >> 2, x_qg >> 2]) \
+            if avail_b else pred
+        qp = (qa + qb + 1) >> 1
+        if self.qg_delta != 0:
+            off = sps.qp_bd_offset
+            qp = (qp + self.qg_delta + 52 + 2 * off) % (52 + off) - off
+        self.qp_y = qp
+        self.cu_qp = qp
+
+    def _cu_qp_delta_abs(self) -> int:
+        """9.3.3.10 (ff_hevc_cu_qp_delta_abs, hevc_cabac.c:731): TU
+        prefix (<=5, ctx 0 then 1) + EG0 bypass suffix."""
+        prefix = 0
+        inc = 0
+        while prefix < 5 and self.bin("cu_qp_delta", inc):
+            prefix += 1
+            inc = 1
+        if prefix < 5:
+            return prefix
+        k = 0
+        suffix = 0
+        while self.bypass():
+            suffix += 1 << k
+            k += 1
+        while k:
+            k -= 1
+            suffix += self.bypass() << k
+        return prefix + suffix
+
+    def _coding_unit_body(self, x0, y0, log2_cb, depth):
         sps, pps, fs = self.sps, self.pps, self.fs
         cb = 1 << log2_cb
         x4, y4 = x0 >> 2, y0 >> 2
@@ -489,7 +578,7 @@ class SliceDataParser:
         self.ct_depth[y4:y4 + n4, x4:x4 + n4] = depth
         self.cu_x0, self.cu_y0, self.cu_log2 = x0, y0, log2_cb
         self.cu_tqb = 0
-        self.cu_qp = self.sh.qp  # (cu_qp_delta unsupported in parse v1)
+        self.cu_qp = self.qp_y if pps.cu_qp_delta_enabled else self.sh.qp
         fs.qp_y4[y4:y4 + n4, x4:x4 + n4] = self.cu_qp
         if pps.transquant_bypass_enabled:
             self.cu_tqb = self.bin("cu_transquant_bypass_flag")
@@ -875,6 +964,17 @@ class SliceDataParser:
     def _transform_unit(self, x0, y0, x_base, y_base, log2_tr, depth, blk_idx,
                         cbf_luma, cbf_cb, cbf_cr):
         sps, fs = self.sps, self.fs
+        is422 = sps.chroma_format_idc == 2
+        any_cbf = (cbf_luma or cbf_cb[0] or cbf_cr[0] or
+                   (is422 and (cbf_cb[1] or cbf_cr[1])))
+        if any_cbf and self.pps.cu_qp_delta_enabled and \
+                not self.is_qp_coded:
+            d = self._cu_qp_delta_abs()
+            if d and self.bypass():    # cu_qp_delta_sign_flag
+                d = -d
+            self.qg_delta = d
+            self.is_qp_coded = 1
+            self._set_qPy(self.cu_x0, self.cu_y0)
         n4 = 1 << max(0, log2_tr - 2)
         x4, y4 = x0 >> 2, y0 >> 2
         fs.bounds_v[y4:y4 + n4, x4] = 1

@@ -242,7 +242,8 @@ class Decoder:
         use_native = single_slice and self.native_parse and not (
             pps.tiles_enabled and not pps.uniform_spacing) and \
             sps.chroma_format_idc == 1 and \
-            sh.weighted_pred_table is None and not sh.temporal_mvp
+            sh.weighted_pred_table is None and not sh.temporal_mvp and \
+            not pps.cu_qp_delta_enabled
         if use_native:
             from .bitstream.native import parse_slice_native
             fs = parse_slice_native(rbsp, sps, pps, sh, nal_type, poc,
@@ -281,16 +282,19 @@ class Decoder:
 
     @staticmethod
     def _motion_of(fs):
-        """Per-4x4 (pred_flag, mv, refpoc) grids stored with the DPB entry
-        (the tab_mvf analogue kept per HEVCFrame for TMVP)."""
+        """Per-4x4 (pred_flag, mv, refpoc) grids + {poc: is_lt} of the
+        picture's reference lists, stored with the DPB entry (the
+        tab_mvf + refPicList analogue kept per HEVCFrame for TMVP)."""
         mc = getattr(fs, "motion", None)
         if mc is not None:
-            return (mc.pred_flag.copy(), mc.mv.copy(), mc.refpoc.copy())
+            lt_map = {p: lt for lst in mc.ref_list for (p, lt) in lst}
+            return (mc.pred_flag.copy(), mc.mv.copy(), mc.refpoc.copy(),
+                    lt_map)
         h4 = (fs.sps.ctbs_h << fs.sps.log2_ctb) >> 2
         w4 = (fs.sps.ctbs_w << fs.sps.log2_ctb) >> 2
         return (np.zeros((h4, w4), np.uint8),
                 np.zeros((h4, w4, 2, 2), np.int32),
-                np.zeros((h4, w4, 2), np.int32))
+                np.zeros((h4, w4, 2), np.int32), {})
 
     def _make_il_ref(self, poc, el_sps):
         """Upsampled BL picture of this AU as the inter-layer reference
@@ -307,11 +311,23 @@ class Decoder:
         self._il_planes = {poc: planes}
         return (poc, True)
 
+    def _find_lt_ref(self, p, sps):
+        """Resolve a long-term entry to a DPB picture POC: LSB match
+        first, then exact (find_ref_idx, hevc_refs.c:347-365)."""
+        mask = (1 << sps.log2_max_poc_lsb) - 1
+        for rp in sorted(self.ref_pics, reverse=True):
+            if (rp & mask) == p:
+                return rp
+        for rp in sorted(self.ref_pics, reverse=True):
+            if rp == p:
+                return rp
+        return p                     # missing ref: keep nominal poc
+
     def _build_ref_lists(self, sh, sps, poc, il=None):
         """RPS -> L0/L1 reference POC lists (ff_hevc_frame_rps +
-        ff_hevc_slice_rpl behavior; no long-term support yet). il: the
-        inter-layer entry (poc, True), inserted after ST-before in L0
-        and last in L1 (cand order, hevc_refs.c:457)."""
+        ff_hevc_slice_rpl behavior). il: the inter-layer entry
+        (poc, True), inserted after ST-before in L0 and last in L1
+        (cand order, hevc_refs.c:457)."""
         if sh.slice_type == I_SLICE:
             return [[], []]
         rps = sh.st_rps
@@ -322,10 +338,21 @@ class Decoder:
                 if not used:
                     continue
                 (before if delta < 0 else after).append((p, False))
+        # long-term entries (decode_lt_rps -> LT_CURR, hevc_refs.c:714)
+        lt = []
+        max_lsb = 1 << sps.log2_max_poc_lsb
+        for lsb, used, cyc in zip(sh.lt_poc, sh.lt_used,
+                                  sh.lt_msb_present):
+            if not used:
+                continue
+            p = lsb
+            if cyc is not None:
+                p = lsb + poc - cyc * max_lsb - (poc & (max_lsb - 1))
+            lt.append((self._find_lt_ref(p, sps), True))
         n0, n1 = sh.num_ref_idx
         ilr = [il] if il else []
-        cands0 = before + ilr + after
-        cands1 = after + before + ilr
+        cands0 = before + ilr + after + lt
+        cands1 = after + before + lt + ilr
         l0 = [cands0[i % len(cands0)] for i in range(n0)] if cands0 else []
         l1 = [cands1[i % len(cands1)] for i in range(n1)] if cands1 else []
         if sh.list_mod_l0:

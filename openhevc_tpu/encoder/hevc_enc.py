@@ -68,6 +68,8 @@ class EncoderConfig:
     # (explicit SPS data), "pps" (PPS override data)
     scaling_list: str | None = None
     dependent_slices: bool = False      # PPS dependent_slice_segments_enabled
+    lt_ref: bool = False                # SPS long_term_ref_pics_present
+    cu_qp_delta_depth: int | None = None  # PPS diff_cu_qp_delta_depth
 
     @property
     def ctb_size(self) -> int:
@@ -279,7 +281,11 @@ def write_sps(cfg: EncoderConfig, st_rps: list | None = None) -> bytes:
     bw.ue(len(st_rps))      # num_short_term_ref_pic_sets
     for i, rps in enumerate(st_rps):
         _write_st_rps(bw, i, rps)
-    bw.put(0, 1)            # long_term_ref_pics_present_flag
+    if cfg.lt_ref:
+        bw.put(1, 1)        # long_term_ref_pics_present_flag
+        bw.ue(0)            # num_long_term_ref_pics_sps
+    else:
+        bw.put(0, 1)        # long_term_ref_pics_present_flag
     bw.put(1 if cfg.temporal_mvp else 0, 1)  # sps_temporal_mvp_enabled
     bw.put(1 if cfg.strong_intra_smoothing else 0, 1)
     bw.put(0, 1)            # vui_parameters_present_flag
@@ -318,7 +324,11 @@ def write_pps(cfg: EncoderConfig, pps_id: int = 0, sps_id: int = 0,
     bw.se(cfg.qp - 26)      # init_qp_minus26
     bw.put(0, 1)            # constrained_intra_pred_flag
     bw.put(1 if cfg.transform_skip else 0, 1)
-    bw.put(0, 1)            # cu_qp_delta_enabled_flag
+    if cfg.cu_qp_delta_depth is not None:
+        bw.put(1, 1)        # cu_qp_delta_enabled_flag
+        bw.ue(cfg.cu_qp_delta_depth)
+    else:
+        bw.put(0, 1)        # cu_qp_delta_enabled_flag
     bw.se(0)                # pps_cb_qp_offset
     bw.se(0)                # pps_cr_qp_offset
     bw.put(0, 1)            # pps_slice_chroma_qp_offsets_present_flag
@@ -388,7 +398,7 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
                        pps_id: int = 0,
                        inter_layer_pred: int | None = None,
                        first_slice: int = 1, segment_address: int = 0,
-                       dependent: int = 0):
+                       dependent: int = 0, lt_entries: list | None = None):
     """slice_type: 0=B 1=P 2=I. Only the syntax paths this encoder exercises.
     Non-first slice segments carry segment_address (CTB raster) and, when
     the PPS enables them, the dependent_slice_segment_flag (7.3.6.1)."""
@@ -430,6 +440,18 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
         nbits = max(1, (num_st_rps - 1).bit_length())
         if num_st_rps > 1:
             bw.put(st_rps_idx, nbits)
+        if cfg.lt_ref:
+            # (num_long_term_sps absent: sps carries no LT candidates)
+            ents = lt_entries or []
+            bw.ue(len(ents))            # num_long_term_pics
+            for (lsb, used, cyc) in ents:
+                bw.put(lsb, cfg.log2_max_poc_lsb)  # poc_lsb_lt
+                bw.put(used, 1)                    # used_by_curr_pic_lt
+                if cyc is None:
+                    bw.put(0, 1)        # delta_poc_msb_present_flag
+                else:
+                    bw.put(1, 1)
+                    bw.ue(cyc)          # delta_poc_msb_cycle_lt
         if cfg.temporal_mvp:
             bw.put(1, 1)    # slice_temporal_mvp_enabled_flag
     if inter_layer_pred is not None:

@@ -27,9 +27,12 @@ class PFrameEncoder(IntraFrameEncoder):
     num_st_rps = 1
 
     def encode_frame_p(self, y, u, v, poc, ref_pics, nal_type=NAL_TRAIL_R,
-                       slice_type=1, num_slices=1, dependent=False):
-        """ref_pics: [(poc, [Y,Cb,Cr])] in L0 order. slice_type 1=P,
-        0=low-delay B (L1 == L0)."""
+                       slice_type=1, num_slices=1, dependent=False,
+                       lt_entries=None):
+        """ref_pics: [(poc, [Y,Cb,Cr])] or [(poc, planes, is_lt)] in L0
+        order. slice_type 1=P, 0=low-delay B (L1 == L0). lt_entries:
+        slice-header long-term list [(poc_lsb, used, msb_cycle|None)]
+        matching the is_lt refs."""
         cfg = self.cfg
         self.target = [np.asarray(y, np.int64), np.asarray(u, np.int64),
                        np.asarray(v, np.int64)]
@@ -42,8 +45,10 @@ class PFrameEncoder(IntraFrameEncoder):
         self.pred_mode = np.zeros((self.h4, self.w4), np.uint8)
         self.ct_depth = np.zeros((self.h4, self.w4), np.int8)
         self.skip_grid = np.zeros((self.h4, self.w4), np.uint8)
-        self.ref_planes = {p: pl for p, pl in ref_pics}
-        l0 = [(p, self.ref_lt) for p, _ in ref_pics]
+        norm = [(e[0], e[1], (e[2] if len(e) > 2 else self.ref_lt))
+                for e in ref_pics]
+        self.ref_planes = {p: pl for p, pl, _ in norm}
+        l0 = [(p, lt) for p, _, lt in norm]
         ref_list = [l0, list(l0) if slice_type == 0 else []]
         self.slice_type = slice_type
         self.mvctx = MotionContext(_Sps2(cfg), self.zscan, poc, slice_type,
@@ -59,9 +64,11 @@ class PFrameEncoder(IntraFrameEncoder):
         if cfg.weighted_pred:
             self.weight_table = self._gen_weight_table(len(ref_pics),
                                                        slice_type)
-        hdr_kw = dict(st_rps_idx=self.st_rps_idx
+        n_st = sum(1 for e in ref_pics if len(e) <= 2 or not e[2])
+        hdr_kw = dict(lt_entries=lt_entries,
+                      st_rps_idx=self.st_rps_idx
                       if self.st_rps_idx is not None
-                      else len(ref_pics) - 1,
+                      else max(n_st - 1, 0),
                       num_ref_l0=self.num_ref_l0 or len(ref_pics),
                       num_ref_l1=self.num_ref_l0 or len(ref_pics),
                       weight_table=self.weight_table)
@@ -482,7 +489,7 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                            bit_depth=8, wpp=False, chroma_format_idc=1,
                            weighted=False, tmvp=False, amp=False,
                            scaling_list=None, num_slices=1,
-                           dependent_slices=False):
+                           dependent_slices=False, lt_ref=False):
     """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
     expected recons). Expected output only valid without loop filters;
     with filters on, compare against the reference decoder."""
@@ -498,7 +505,7 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                         wpp=wpp, weighted_pred=weighted,
                         temporal_mvp=tmvp, amp_enabled=amp,
                         scaling_list=scaling_list,
-                        dependent_slices=dependent_slices)
+                        dependent_slices=dependent_slices, lt_ref=lt_ref)
     rng = np.random.default_rng(seed)
     # one RPS per possible reference count (early frames have fewer refs)
     st_rps = [[-(i + 1) for i in range(k + 1)] for k in range(n_refs)]
@@ -526,12 +533,23 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                                    dependent=dependent_slices)
             enc.store_motion(0, i_frame=True)
         else:
-            refs = [(p, filtered[p]) for p in
-                    sorted(range(len(filtered)), reverse=True)[:n_refs]]
+            if lt_ref and i >= 2:
+                # frame 0 rides as a long-term reference appended after
+                # the short-term window (LT_CURR order, hevc_refs.c:457)
+                sts = sorted((p for p in range(len(filtered)) if p != 0),
+                             reverse=True)[:n_refs]
+                refs = [(p, filtered[p], False) for p in sts] + \
+                    [(0, filtered[0], True)]
+                lt_entries = [(0, 1, None)]
+            else:
+                refs = [(p, filtered[p]) for p in
+                        sorted(range(len(filtered)), reverse=True)[:n_refs]]
+                lt_entries = None
             nal = enc.encode_frame_p(y, u, v, i, refs,
                                      slice_type=0 if b_slices else 1,
                                      num_slices=num_slices,
-                                     dependent=dependent_slices)
+                                     dependent=dependent_slices,
+                                     lt_entries=lt_entries)
             enc.store_motion(i)
         out += nal
         recons.append([p.copy() for p in enc.recon])

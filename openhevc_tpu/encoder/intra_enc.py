@@ -73,6 +73,75 @@ class IntraFrameEncoder:
     region4 = None        # per-4x4 slice-region ids (multi-slice frames)
     region_ctb = None
 
+    # ---- cu_qp_delta (mirrors SliceDataParser's state machine) ----------
+    def _qp_reset_slice(self, dependent=False):
+        cfg = self.cfg
+        self.qpd_on = cfg.cu_qp_delta_depth is not None
+        if not self.qpd_on:
+            return
+        self.qg_mask = (1 << (cfg.ctb_log2 - cfg.cu_qp_delta_depth)) - 1
+        if not dependent:
+            self.qp_y = cfg.qp
+            self.qPy_pred = cfg.qp
+        self.first_qp_group = not dependent
+        self.is_qp_coded = 0
+        self.qg_delta = 0
+        self.qg_target = 0
+        self.emit_delta_value = None
+        self.qp_try = self.qp_y
+        if getattr(self, "qp_y4", None) is None or not dependent:
+            self.qp_y4 = np.full((self.h4, self.w4), cfg.qp, np.int8)
+
+    def _qp_pred(self, x_base, y_base, delta, mutate):
+        """get_qPy_pred + set_qPy (hevc_filter.c:91-143); with
+        mutate=False it only previews the QP this CU would get."""
+        cfg = self.cfg
+        ctb_mask = (1 << cfg.ctb_log2) - 1
+        x_qg = x_base - (x_base & self.qg_mask)
+        y_qg = y_base - (y_base & self.qg_mask)
+        avail_a = (x_base & ctb_mask) and (x_qg & ctb_mask)
+        avail_b = (y_base & ctb_mask) and (y_qg & ctb_mask)
+        if self.first_qp_group or (x_qg == 0 and y_qg == 0):
+            if mutate:
+                self.first_qp_group = not self.is_qp_coded
+            pred = cfg.qp
+        else:
+            pred = self.qPy_pred
+        qa = int(self.qp_y4[y_qg >> 2, (x_qg - 1) >> 2]) \
+            if avail_a else pred
+        qb = int(self.qp_y4[(y_qg - 1) >> 2, x_qg >> 2]) \
+            if avail_b else pred
+        qp = (qa + qb + 1) >> 1
+        if delta:
+            off = 6 * (cfg.bit_depth - 8)
+            qp = (qp + delta + 52 + 2 * off) % (52 + off) - off
+        if mutate:
+            self.qp_y = qp
+        return qp
+
+    def _emit_cu_qp_delta(self, d):
+        """cu_qp_delta_abs (TU prefix <=5 + EG0 suffix) + sign
+        (hevc_cabac.c:731)."""
+        enc = self.enc
+        a = abs(d)
+        prefix = min(a, 5)
+        for i in range(prefix):
+            enc.bin("cu_qp_delta", 0 if i == 0 else 1, 1)
+        if prefix < 5:
+            enc.bin("cu_qp_delta", 0 if prefix == 0 else 1, 0)
+        else:
+            rem = a - 5
+            k = 0
+            while rem >= (1 << (k + 1)) - 1:
+                enc.bypass(1)
+                k += 1
+            enc.bypass(0)
+            val = rem - ((1 << k) - 1)
+            for b in range(k - 1, -1, -1):
+                enc.bypass((val >> b) & 1)
+        if a:
+            enc.bypass(1 if d < 0 else 0)
+
     def _same_tile4(self, xa4, ya4, xb4, yb4):
         if self.region4 is not None:
             return self.region4[ya4, xa4] == self.region4[yb4, xb4]
@@ -152,6 +221,7 @@ class IntraFrameEncoder:
         cfg = self.cfg
         if slice_ranges is not None:
             return self._encode_slice_segments(slice_type, slice_ranges)
+        self._qp_reset_slice()
         bw = BitWriter()
         self.enc = SliceDataEncoder(bw, cfg, slice_type=slice_type)
         cs = cfg.ctb_size
@@ -223,6 +293,7 @@ class IntraFrameEncoder:
         for (start_ts, end_ts, dependent) in slice_ranges:
             if not dependent:
                 slice_no += 1
+            self._qp_reset_slice(dependent=bool(dependent))
             bw = BitWriter()
             self.enc = SliceDataEncoder(bw, cfg, slice_type=slice_type,
                                         ctx=prev_ctx if dependent else None)
@@ -353,16 +424,46 @@ class IntraFrameEncoder:
             self.enc.bin("split_cu_flag", inc, split)
         else:
             split = 0
+        if self.qpd_on and \
+                log2_cb >= cfg.ctb_log2 - cfg.cu_qp_delta_depth:
+            # new quantization group: pick this QG's target delta
+            self.is_qp_coded = 0
+            self.qg_delta = 0
+            self.emit_delta_value = None
+            self.qg_target = int(self.rng.integers(-8, 9))
         if split:
             h = cb >> 1
             for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
                 x1, y1 = x0 + dx, y0 + dy
                 if x1 < cfg.width and y1 < cfg.height:
                     self._quadtree(x1, y1, log2_cb - 1, depth + 1)
+            if self.qpd_on and ((x0 + cb) & self.qg_mask) == 0 and \
+                    ((y0 + cb) & self.qg_mask) == 0:
+                self.qPy_pred = self.qp_y
         else:
             self._coding_unit(x0, y0, log2_cb, depth)
 
     def _coding_unit(self, x0, y0, log2_cb, depth):
+        if not self.qpd_on:
+            return self._coding_unit_body(x0, y0, log2_cb, depth)
+        if not self.is_qp_coded:
+            self.qp_try = self._qp_pred(x0, y0, self.qg_target,
+                                        mutate=False)
+        self._cu_has_cbf = False     # set by _tu_levels on nonzero levels
+        self._cu_qp_base = (x0, y0)
+        self._coding_unit_body(x0, y0, log2_cb, depth)
+        # decoder-mirror CU tail (hevc.c:2489-2500)
+        if not self.is_qp_coded:
+            self._qp_pred(x0, y0, 0, mutate=True)
+        cb = 1 << log2_cb
+        x4, y4 = x0 >> 2, y0 >> 2
+        n4 = cb >> 2
+        self.qp_y4[y4:y4 + n4, x4:x4 + n4] = self.qp_y
+        if ((x0 + cb) & self.qg_mask) == 0 and \
+                ((y0 + cb) & self.qg_mask) == 0:
+            self.qPy_pred = self.qp_y
+
+    def _coding_unit_body(self, x0, y0, log2_cb, depth):
         cfg = self.cfg
         n4 = 1 << (log2_cb - 2)
         x4, y4 = x0 >> 2, y0 >> 2
@@ -463,6 +564,12 @@ class IntraFrameEncoder:
         max_depth = cfg.max_transform_hierarchy_depth + intra_split
         plan = self._plan_tree(x0, y0, log2_cb, 0, max_depth, intra_split)
         self._process_tree(plan, x0, y0, log2_cb, 0, 0)
+        if self.qpd_on and self._cu_has_cbf and not self.is_qp_coded:
+            # this CU carries the QG's cu_qp_delta (first coded TU locks)
+            self.qg_delta = self.qg_target
+            self.is_qp_coded = 1
+            self.emit_delta_value = self.qg_target
+            self._qp_pred(x0, y0, self.qg_delta, mutate=True)
         self._emit_tree(plan, x0, y0, x0, y0, log2_cb, 0, 0, (1, 1))
 
     def _mpm_candidates(self, px, py):
@@ -527,6 +634,9 @@ class IntraFrameEncoder:
     pu_modes_c = [1, 1, 1, 1]
     cu_x0 = cu_y0 = 0
     cu_log2 = 4
+    qpd_on = False
+    qp_y4 = None
+    _cu_has_cbf = False
 
     def _pred_block(self, plane, x, y, size, mode):
         cfg = self.cfg
@@ -558,6 +668,8 @@ class IntraFrameEncoder:
         if self.cu_tqb:
             # lossless: levels ARE the residual
             levels = np.clip(resid, -32768, 32767).astype(np.int32)
+            if np.any(levels):
+                self._cu_has_cbf = True
             rec = np.clip(pred + levels, 0, (1 << cfg.bit_depth) - 1)
             self.recon[plane][y:y + size, x:x + size] = rec
             return levels, False
@@ -576,6 +688,8 @@ class IntraFrameEncoder:
             coefs = resid << sh if sh > 0 else resid >> -sh
             levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
             levels = np.clip(levels, -32768, 32767)
+            if np.any(levels):
+                self._cu_has_cbf = True
             d = T.dequant(levels, log2, qp, cfg.bit_depth, scaling=sm)
             rec_res = T.transform_skip(d, log2, cfg.bit_depth) \
                 if np.any(levels) else 0
@@ -585,6 +699,7 @@ class IntraFrameEncoder:
             levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
             levels = np.clip(levels, -32768, 32767)
             if np.any(levels):
+                self._cu_has_cbf = True
                 d = T.dequant(levels, log2, qp, cfg.bit_depth, scaling=sm)
                 rec_res = T.inverse_transform(d, cfg.bit_depth,
                                               is_dst=is_dst)
@@ -596,9 +711,10 @@ class IntraFrameEncoder:
 
     def _tu_qp(self, plane):
         cfg = self.cfg
+        base = self.qp_try if self.qpd_on else cfg.qp
         if plane == 0:
-            return cfg.qp
-        return chroma_qp(cfg.qp, 0, cfg.chroma_format_idc, 0)
+            return base
+        return chroma_qp(base, 0, cfg.chroma_format_idc, 0)
 
     def _process_tree(self, node, x_base, y_base, log2_cb, depth, blk_idx):
         """Decode-order closed loop, storing levels on the plan nodes."""
@@ -669,6 +785,15 @@ class IntraFrameEncoder:
         else:
             assert cbf_luma, "inferred cbf_luma=1 requires nonzero levels"
         # transform_unit emission
+        if self.qpd_on and self.emit_delta_value is not None:
+            eff_cb = cbf_cb if (log2_tr > 2 or
+                                cfg.chroma_format_idc == 3) else cbf_cb_p
+            eff_cr = cbf_cr if (log2_tr > 2 or
+                                cfg.chroma_format_idc == 3) else cbf_cr_p
+            if cbf_luma or eff_cb[0] or eff_cr[0] or \
+                    (is422 and (eff_cb[1] or eff_cr[1])):
+                self._emit_cu_qp_delta(self.emit_delta_value)
+                self.emit_delta_value = None
         mode = node["luma_mode"]
         if cbf_luma:
             scan = self._scan_for(log2_tr, 0, mode)
@@ -952,7 +1077,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         md5_sei=False, wpp=False, tile_cols=1,
                         tile_rows=1, chroma_format_idc=1,
                         scaling_list=None, num_slices=1,
-                        dependent_slices=False) -> bytes:
+                        dependent_slices=False,
+                        cu_qp_delta_depth=None) -> bytes:
     # NOTE: the reference decoder never clears its is_pcm no-filter map
     # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
     # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
@@ -979,7 +1105,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         transquant_bypass=transquant_bypass,
                         wpp=wpp, tile_cols=tile_cols, tile_rows=tile_rows,
                         scaling_list=scaling_list,
-                        dependent_slices=dependent_slices)
+                        dependent_slices=dependent_slices,
+                        cu_qp_delta_depth=cu_qp_delta_depth)
     rng = np.random.default_rng(seed)
     out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)
     enc = IntraFrameEncoder(cfg, rng)

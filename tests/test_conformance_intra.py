@@ -90,3 +90,20 @@ def test_intra_multi_slice(num_slices, dependent):
                                        seed=41, num_slices=num_slices,
                                        dependent_slices=dependent)
     check_stream(data, recons, W, H)
+
+
+@pytest.mark.parametrize("depth,ctb,qp", [
+    (0, 4, 30),     # QG == CTB
+    (1, 5, 34),     # QG = half CTB (multiple CUs per QG)
+    (2, 5, 26),     # QG = quarter CTB
+])
+def test_intra_cu_qp_delta(depth, ctb, qp):
+    """Per-CU QP: quantization groups, cu_qp_delta_abs/sign coding at the
+    first coded TU, QP prediction from left/above QGs + decode order
+    (get_qPy_pred, hevc_filter.c:91), bit-exact vs the reference."""
+    rng = np.random.default_rng(71)
+    W, H = 96, 64
+    frames = make_frames(W, H, 2, rng)
+    data, recons = encode_intra_stream(frames, W, H, qp=qp, ctb_log2=ctb,
+                                       seed=71, cu_qp_delta_depth=depth)
+    check_stream(data, recons, W, H)

@@ -81,3 +81,21 @@ def test_lowdelay_multi_slice(num_slices, dependent):
         for p, (got, want) in enumerate(zip(mine[i].cropped(),
                                             ref_planes(f))):
             assert np.array_equal(got, want), (i, p)
+
+
+def test_lowdelay_long_term_ref():
+    """Long-term reference pictures: slice-header LT list (poc_lsb
+    matching, decode_lt_rps), LT_CURR list order after ST refs, and
+    unscaled AMVP/merge MV handling for LT refs; vs the reference."""
+    rng = np.random.default_rng(61)
+    frames = moving_frames(64, 64, 5, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=32, ctb_log2=4,
+                                     seed=61, n_refs=1, lt_ref=True)
+    ref = ref_decode(data)
+    d = Decoder("np")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 5
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)

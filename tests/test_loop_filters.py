@@ -49,3 +49,27 @@ def test_loop_filters_jax_engine():
         for p, (got, want) in enumerate(zip(mine[i].cropped(),
                                             ref_planes(f))):
             assert np.array_equal(got, want), (i, p)
+
+
+def test_deblock_with_cu_qp_delta():
+    """Deblocking tc/beta lookups read the per-CU QP map (get_qPy,
+    hevc_filter.c:145): decode a cu_qp_delta stream with deblocking on
+    and compare against the reference decoder."""
+    import numpy as np
+    from conftest import ref_decode, ref_planes, make_frames
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    from openhevc_tpu.decoder import Decoder
+    rng = np.random.default_rng(81)
+    W, H = 96, 64
+    frames = make_frames(W, H, 2, rng)
+    data, _ = encode_intra_stream(frames, W, H, qp=33, ctb_log2=5, seed=81,
+                                  cu_qp_delta_depth=1, deblock=True,
+                                  sao=True)
+    ref = ref_decode(data)
+    d = Decoder("np")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 2
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
