@@ -302,9 +302,12 @@ class JaxEngine:
         hs, vs = fs.sps.hshift1, fs.sps.vshift1
         if self._fused_ok(fs):
             lazy = self._run_fused(fs, ref_planes or {})
-            if fs.deblock_disabled and not (fs.sao_luma or fs.sao_chroma):
-                # no loop filters: hand the caller the deferred fetch so
-                # the device->host latency overlaps later frames' parse
+            if lazy.device_filtered or (
+                    fs.deblock_disabled and
+                    not (fs.sao_luma or fs.sao_chroma)):
+                # filters ran on device (or none apply): hand the caller
+                # the deferred fetch so the device->host latency overlaps
+                # later frames' parse
                 return lazy
             y, u, v = lazy.get()
         else:
@@ -376,13 +379,32 @@ class JaxEngine:
         if npad != n:
             meta = np.concatenate(
                 [meta, np.zeros((16, npad - n), meta.dtype)], axis=1)
+        # in-loop filters on device when the whole-frame formulation is
+        # exact for this stream (ops/filters_jax.device_filters_ok)
+        from ..ops.filters_jax import device_filters_ok, prep_filters
+        fargs = None
+        fmask = 0
+        want_filters = (not fs.deblock_disabled or fs.sao_luma or
+                        fs.sao_chroma)
+        if want_filters and device_filters_ok(fs):
+            pff = prep_filters(fs)
+            if pff is not None:
+                fmask = (1 if pff["do_deblock"] else 0) |                         (2 if pff["do_sao"] else 0)
+                z2 = np.zeros((1, 1), np.int16)
+                z4 = np.zeros((1, 1, 3, 6), np.int16)
+                fargs = tuple(jnp.asarray(pff.get(k, z2)) for k in
+                              ("beta_v", "tc_v", "beta_h", "tc_h",
+                               "tc_cv1", "tc_ch1", "tc_cv2", "tc_ch2")) +                     (jnp.asarray(pff.get("sao", z4)),)
         flat = _frame_fused(arena8, arena16, escs, meta,
                             np.full((1, 1), n, np.int32),
-                            luma, chroma, caps=caps, hl=hl, wl=wl, hc=hc,
-                            wc=wc, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd,
-                            npad=npad, prefill=prefill)
+                            luma, chroma, fargs, caps=caps, hl=hl, wl=wl,
+                            hc=hc, wc=wc, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd,
+                            npad=npad, prefill=prefill, filters=fmask,
+                            cs=1 << sps.log2_ctb,
+                            bdc=sps.bit_depth_chroma)
         lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool)
         self._fetch_pool.add(lp)
+        lp.device_filtered = fmask != 0
         return lp
 
     def _run_inter_only(self, pf: PackedFrame):
@@ -595,6 +617,8 @@ class LazyPlanes:
     """Deferred device->host frame fetch (see FetchPool). Quacks like the
     [Y, Cb, Cr] list the rest of the decoder expects."""
 
+    device_filtered = False
+
     def __init__(self, flat, H, W, Hc, Wc, pool: FetchPool | None = None):
         import threading
         self._flat = flat
@@ -681,9 +705,11 @@ def _pack_arena(buckets):
 
 
 @partial(jax.jit, static_argnames=("caps", "hl", "wl", "hc", "wc", "H", "W",
-                                   "Hc", "Wc", "bd", "npad", "prefill"))
-def _frame_fused(arena8, arena16, escs, meta, nn, pre_l, pre_c, *, caps,
-                 hl, wl, hc, wc, H, W, Hc, Wc, bd, npad, prefill):
+                                   "Hc", "Wc", "bd", "npad", "prefill",
+                                   "filters", "cs", "bdc"))
+def _frame_fused(arena8, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
+                 *, caps, hl, wl, hc, wc, H, W, Hc, Wc, bd, npad, prefill,
+                 filters=0, cs=64, bdc=8):
     """ONE dispatch for the whole post-parse frame: dequant+IDCT per size
     bucket, residual scatter, fused Pallas intra wavefront, crop+downcast.
     Minimal dispatches AND minimal bytes: the tunneled runtime gives
@@ -742,7 +768,25 @@ def _frame_fused(arena8, arena16, escs, meta, nn, pre_l, pre_c, *, caps,
         chroma = jnp.zeros((2, hc, wc), jnp.int32)
     luma, chroma = _build(hl, wl, hc, wc, npad, bd)(
         meta.astype(jnp.int32), nn, luma, chroma, res_l, res_c)
-    return _crop_pack(luma, chroma, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
+    if not filters:
+        return _crop_pack(luma, chroma, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
+    # whole-frame deblock + SAO on device (ops/filters_jax.py);
+    # filters bitmask: 1 = deblock, 2 = SAO (static)
+    from ..ops.filters_jax import apply_filters_device
+    yv = luma[OY:OY + H, OX:OX + W]
+    cbv = chroma[0, OY:OY + Hc, OX:OX + Wc]
+    crv = chroma[1, OY:OY + Hc, OX:OX + Wc]
+    (beta_v, tc_v, beta_h, tc_h, tc_cv1, tc_ch1, tc_cv2, tc_ch2,
+     sao) = fargs
+    yv, cbv, crv = apply_filters_device(
+        yv, cbv, crv, beta_v, tc_v, beta_h, tc_h,
+        tc_cv1, tc_ch1, tc_cv2, tc_ch2, sao,
+        bd=bd, bdc=bdc, cs=cs, do_deblock=bool(filters & 1),
+        do_sao=bool(filters & 2))
+    dt = jnp.uint8 if bd <= 8 else jnp.uint16
+    return jnp.concatenate([yv.astype(dt).reshape(-1),
+                            cbv.astype(dt).reshape(-1),
+                            crv.astype(dt).reshape(-1)])
 
 
 def _res_buckets(fs: FrameSymbols):

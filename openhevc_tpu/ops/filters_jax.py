@@ -1,0 +1,395 @@
+"""In-loop filters on device: whole-frame deblocking + SAO as vectorized
+XLA stencils (TPU kernel equivalents of hevc_deblock.asm / hevc_sao_sse.c;
+scalar truth: ops/deblock_np.py, ops/sao_np.py).
+
+Design: the host derives all per-edge control data (boundary strengths,
+beta/tc thresholds, no-filter flags, per-CTB SAO params) as SMALL numpy
+arrays — table lookups stay off the device (XLA gathers degrade this
+runtime) — and the device applies the pixel stencils over the whole
+frame. Vertical-edge windows tile the row exactly (edges are 8 apart,
+each window spans +-4), so the pass is one reshape + elementwise math.
+
+Valid only where it matches the reference's staggered CTB schedule
+(ops/filters_sched.py): CTB >= 32 (the 16x16 SAO chroma-halo quirk) and
+no PCM/transquant-bypass no-filter blocks — device_filters_ok() gates.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .deblock_np import TC_TABLE, BETA_TABLE
+from ..bitstream.syntax import chroma_qp
+
+
+# =========================================================================
+# Host side: vectorized boundary strengths + per-edge parameters
+# =========================================================================
+
+def _mv_bs_vec(mc, py4, px4, qy4, qx4):
+    """Vectorized MV-difference rule (_mv_bs of deblock_np.py) over index
+    grids p/q (same shape). Returns int32 array (0/1)."""
+    PF_BI = 3
+    p_pf = mc.pred_flag[py4, px4].astype(np.int32)
+    q_pf = mc.pred_flag[qy4, qx4].astype(np.int32)
+    p_mv = mc.mv[py4, px4].astype(np.int64)       # [..., 2(list), 2(xy)]
+    q_mv = mc.mv[qy4, qx4].astype(np.int64)
+    p_poc = mc.refpoc[py4, px4]
+    q_poc = mc.refpoc[qy4, qx4]
+    p_ri = mc.ref_idx[py4, px4]
+    q_ri = mc.ref_idx[qy4, qx4]
+
+    same = ((p_pf == q_pf) &
+            (p_mv == q_mv).all(axis=(-2, -1)) &
+            (p_poc == q_poc).all(axis=-1) &
+            (p_ri == q_ri).all(axis=-1))
+
+    def far(a, b):
+        return (np.abs(a[..., 0] - b[..., 0]) >= 4) | \
+               (np.abs(a[..., 1] - b[..., 1]) >= 4)
+
+    # both BI
+    both_bi = (p_pf == PF_BI) & (q_pf == PF_BI)
+    same_all_poc = (q_poc[..., 0] == p_poc[..., 0]) & \
+        (q_poc[..., 0] == q_poc[..., 1]) & (p_poc[..., 0] == p_poc[..., 1])
+    straight = ~far(p_mv[..., 0, :], q_mv[..., 0, :]) & \
+        ~far(p_mv[..., 1, :], q_mv[..., 1, :])
+    crossed = ~far(p_mv[..., 1, :], q_mv[..., 0, :]) & \
+        ~far(p_mv[..., 0, :], q_mv[..., 1, :])
+    bi_case1 = same_all_poc & (straight | crossed)
+    match_ll = (p_poc[..., 0] == q_poc[..., 0]) & \
+        (p_poc[..., 1] == q_poc[..., 1])
+    bi_case2 = ~same_all_poc & match_ll & straight
+    match_x = (p_poc[..., 1] == q_poc[..., 0]) & \
+        (p_poc[..., 0] == q_poc[..., 1])
+    bi_case3 = ~same_all_poc & ~match_ll & match_x & crossed
+    bi_zero = bi_case1 | bi_case2 | bi_case3
+
+    # both uni
+    both_uni = (p_pf != PF_BI) & (q_pf != PF_BI)
+    lq = np.where((q_pf & 1) != 0, 0, 1)
+    lp = np.where((p_pf & 1) != 0, 0, 1)
+    q_poc_u = np.take_along_axis(q_poc, lq[..., None], axis=-1)[..., 0]
+    p_poc_u = np.take_along_axis(p_poc, lp[..., None], axis=-1)[..., 0]
+    q_mv_u = np.take_along_axis(q_mv, lq[..., None, None],
+                                axis=-2)[..., 0, :]
+    p_mv_u = np.take_along_axis(p_mv, lp[..., None, None],
+                                axis=-2)[..., 0, :]
+    uni_zero = (q_poc_u == p_poc_u) & ~far(q_mv_u, p_mv_u)
+
+    bs = np.ones(p_pf.shape, np.int32)
+    bs[both_bi & bi_zero] = 0
+    bs[both_uni & uni_zero] = 0
+    bs[same] = 0
+    return bs
+
+
+def boundary_strengths_vec(fs):
+    """Vectorized whole-frame BS (parity: boundary_strengths,
+    deblock_np.py / ff_hevc_deblocking_boundary_strengths)."""
+    sps = fs.sps
+    h4, w4 = sps.height >> 2, sps.width >> 2
+    h8, w8 = sps.height >> 3, sps.width >> 3
+    pm = fs.pred_mode[:h4, :w4]
+    cbf = fs.cbf_luma4[:h4, :w4]
+    vbs = np.zeros((h4, w8), np.int32)
+    hbs = np.zeros((h8, w4), np.int32)
+
+    def dir_bs(py4, px4, qy4, qx4, tu_edge):
+        intra = (pm[qy4, qx4] == 1) | (pm[py4, px4] == 1)
+        anycbf = (cbf[py4, px4] != 0) | (cbf[qy4, qx4] != 0)
+        if fs.motion is not None:
+            mv = _mv_bs_vec(fs.motion, py4, px4, qy4, qx4)
+        else:
+            mv = np.zeros(intra.shape, np.int32)
+        at_edge = np.where(intra, 2, np.where(anycbf, 1, mv))
+        interior = np.where(intra, 0, mv)
+        return np.where(tu_edge != 0, at_edge, interior)
+
+    if w8 > 1:
+        ys, xs8 = np.mgrid[0:h4, 1:w8]
+        vbs[:, 1:] = dir_bs(ys, xs8 * 2 - 1, ys, xs8 * 2,
+                            fs.bounds_v[:h4, 2:w4:2])
+    if h8 > 1:
+        ys8, xs = np.mgrid[1:h8, 0:w4]
+        hbs[1:, :] = dir_bs(ys8 * 2 - 1, xs, ys8 * 2, xs,
+                            fs.bounds_h[2:h4:2, :w4])
+    return vbs, hbs
+
+
+def device_filters_ok(fs) -> bool:
+    """Whole-frame device filtering is bit-exact to the reference's
+    staggered schedule except: 16x16 CTBs (SAO chroma-halo timing,
+    sao_np.py docstring) and PCM/transquant-bypass no-filter blocks
+    (restore_tqb_pixels quirks). 4:2:0 only for now."""
+    sps, pps = fs.sps, fs.pps
+    if sps.log2_ctb < 5 or sps.chroma_format_idc != 1:
+        return False
+    if (sps.pcm_enabled and sps.pcm_loop_filter_disabled) or \
+            pps.transquant_bypass_enabled:
+        return False
+    return True
+
+
+def prep_filters(fs):
+    """All control tensors for one frame's device filtering; None when
+    nothing to do. Shapes are tiny (per 4-sample edge / per CTB)."""
+    sps = fs.sps
+    do_deblock = not fs.deblock_disabled
+    do_sao = bool(sps.sao_enabled and (fs.sao_luma or fs.sao_chroma))
+    if not do_deblock and not do_sao:
+        return None
+    H, W = sps.height, sps.width
+    h4, w4, h8, w8 = H >> 2, W >> 2, H >> 3, W >> 3
+    bd, bdc = sps.bit_depth, sps.bit_depth_chroma
+    out = {"do_deblock": do_deblock, "do_sao": do_sao}
+    if do_deblock:
+        vbs, hbs = boundary_strengths_vec(fs)
+        qp4 = fs.qp_y4[:h4, :w4].astype(np.int32)
+        bo, to = fs.beta_offset, fs.tc_offset
+
+        def luma_params(bs, qp_p, qp_q):
+            qp = (qp_p + qp_q + 1) >> 1
+            beta = BETA_TABLE[np.clip(qp + bo, 0, 51)] << (bd - 8)
+            tc = TC_TABLE[np.clip(qp + 2 * (bs - 1) + to, 0, 53)] << (bd - 8)
+            act = bs > 0
+            return (np.where(act, beta, 0).astype(np.int16),
+                    np.where(act, tc, 0).astype(np.int16))
+
+        beta_v = np.zeros((h4, w8), np.int16)
+        tc_v = np.zeros((h4, w8), np.int16)
+        if w8 > 1:
+            beta_v[:, 1:], tc_v[:, 1:] = luma_params(
+                vbs[:, 1:], qp4[:, 1:w4 - 1:2], qp4[:, 2::2])
+        beta_h = np.zeros((h8, w4), np.int16)
+        tc_h = np.zeros((h8, w4), np.int16)
+        if h8 > 1:
+            beta_h[1:], tc_h[1:] = luma_params(
+                hbs[1:], qp4[1:h4 - 1:2], qp4[2::2])
+        out.update(beta_v=beta_v, tc_v=tc_v, beta_h=beta_h, tc_h=tc_h)
+
+        # chroma edges: every 16 luma samples, bs==2 only (4:2:0)
+        wc8, hc8 = (W >> 1) >> 3, (H >> 1) >> 3
+        hc4, wc4 = (H >> 1) >> 2, (W >> 1) >> 2
+        for c_idx in (1, 2):
+            off = fs.pps.cb_qp_offset if c_idx == 1 else fs.pps.cr_qp_offset
+            if c_idx == 1:
+                off += getattr(fs, "slice_cb_qp_offset", 0)
+            else:
+                off += getattr(fs, "slice_cr_qp_offset", 0)
+            tcv = np.zeros((hc4, wc8), np.int16)
+            if wc8 > 1:
+                # chroma seg (cy4, cx8): luma edge x=16*cx8, y4=cy4*2
+                cy4, cx8 = np.mgrid[0:hc4, 1:wc8]
+                bs = vbs[cy4 * 2, cx8 * 2]
+                qp_l = (qp4[cy4 * 2, cx8 * 4 - 1] +
+                        qp4[cy4 * 2, cx8 * 4] + 1) >> 1
+                qpc = np.vectorize(
+                    lambda q: chroma_qp(int(q), off,
+                                        sps.chroma_format_idc, 0))(qp_l)
+                tc = TC_TABLE[np.clip(qpc + 2 + to, 0, 53)] << (bdc - 8)
+                tcv[:, 1:] = np.where(bs == 2, tc, 0)
+            tch = np.zeros((hc8, wc4), np.int16)
+            if hc8 > 1:
+                cy8, cx4 = np.mgrid[1:hc8, 0:wc4]
+                bs = hbs[cy8 * 2, cx4 * 2]
+                qp_l = (qp4[cy8 * 4 - 1, cx4 * 2] +
+                        qp4[cy8 * 4, cx4 * 2] + 1) >> 1
+                qpc = np.vectorize(
+                    lambda q: chroma_qp(int(q), off,
+                                        sps.chroma_format_idc, 0))(qp_l)
+                tc = TC_TABLE[np.clip(qpc + 2 + to, 0, 53)] << (bdc - 8)
+                tch[1:] = np.where(bs == 2, tc, 0)
+            out[f"tc_cv{c_idx}"] = tcv
+            out[f"tc_ch{c_idx}"] = tch
+    if do_sao:
+        # per-CTB params [cH, cW, 3, 6] int16 as-is; luma/chroma gates
+        sao = fs.sao.astype(np.int16).copy()
+        if not fs.sao_luma:
+            sao[:, :, 0, 0] = 0
+        if not fs.sao_chroma:
+            sao[:, :, 1:, 0] = 0
+        out["sao"] = sao
+    return out
+
+
+# =========================================================================
+# Device side
+# =========================================================================
+
+def _shift_params(a):
+    """Edge-window k holds edge x8=k+1: roll params so index k matches
+    (last column wraps to edge 0 == picture edge, always inactive)."""
+    return jnp.roll(a.astype(jnp.int32), -1, axis=1)
+
+
+def _deblock_luma_dir(pl, beta_e, tc_e, bd: int):
+    """One direction of luma deblocking over the whole plane.
+    pl [H, W] int32, vertical edges at x=8k; beta/tc [H//4, W//8]
+    (0 where inactive). Bit-exact to _luma_edge_seg (8.7.2.5.3-7)."""
+    H, W = pl.shape
+    H4, W8 = H // 4, W // 8
+    w = jnp.roll(pl, -4, axis=1).reshape(H4, 4, W8, 8) \
+        .transpose(0, 2, 1, 3)                      # [H4, W8, line, col]
+    beta = _shift_params(beta_e)[:, :, None]        # [H4, W8, 1]
+    tc = _shift_params(tc_e)[:, :, None]
+    l0 = w[:, :, 0, :]
+    l3 = w[:, :, 3, :]
+
+    def dpq(l):
+        dp = jnp.abs(l[..., 1] - 2 * l[..., 2] + l[..., 3])
+        dq = jnp.abs(l[..., 6] - 2 * l[..., 5] + l[..., 4])
+        return dp, dq
+
+    dp0, dq0 = dpq(l0)
+    dp3, dq3 = dpq(l3)
+    d0 = dp0 + dq0
+    d3 = dp3 + dq3
+    b = beta[..., 0]
+    t = tc[..., 0]
+    filt = (t > 0) & (d0 + d3 < b)
+
+    def strong_line(l, d):
+        return ((2 * d < (b >> 2)) &
+                (jnp.abs(l[..., 0] - l[..., 3]) +
+                 jnp.abs(l[..., 4] - l[..., 7]) < (b >> 3)) &
+                (jnp.abs(l[..., 3] - l[..., 4]) < ((5 * t + 1) >> 1)))
+
+    strong = filt & strong_line(l0, d0) & strong_line(l3, d3)
+
+    p3, p2, p1, p0 = w[..., 0], w[..., 1], w[..., 2], w[..., 3]
+    q0, q1, q2, q3 = w[..., 4], w[..., 5], w[..., 6], w[..., 7]
+    # ---- strong filter ----
+    sp0 = jnp.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                   p0 - 2 * tc, p0 + 2 * tc)
+    sp1 = jnp.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - 2 * tc, p1 + 2 * tc)
+    sp2 = jnp.clip((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3,
+                   p2 - 2 * tc, p2 + 2 * tc)
+    sq0 = jnp.clip((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3,
+                   q0 - 2 * tc, q0 + 2 * tc)
+    sq1 = jnp.clip((p0 + q0 + q1 + q2 + 2) >> 2, q1 - 2 * tc, q1 + 2 * tc)
+    sq2 = jnp.clip((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3,
+                   q2 - 2 * tc, q2 + 2 * tc)
+    # ---- normal filter ----
+    maxv = (1 << bd) - 1
+    nd_p = (dp0 + dp3 < ((b + (b >> 1)) >> 3))[:, :, None]
+    nd_q = (dq0 + dq3 < ((b + (b >> 1)) >> 3))[:, :, None]
+    delta0 = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    dok = jnp.abs(delta0) < 10 * tc
+    delta = jnp.clip(delta0, -tc, tc)
+    np0 = jnp.clip(p0 + delta, 0, maxv)
+    nq0 = jnp.clip(q0 - delta, 0, maxv)
+    dp = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1,
+                  -(tc >> 1), tc >> 1)
+    np1 = jnp.clip(p1 + dp, 0, maxv)
+    dq = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - delta) >> 1,
+                  -(tc >> 1), tc >> 1)
+    nq1 = jnp.clip(q1 + dq, 0, maxv)
+
+    sm = strong[:, :, None]
+    fm = (filt & ~strong)[:, :, None] & dok
+    out_p0 = jnp.where(sm, sp0, jnp.where(fm, np0, p0))
+    out_p1 = jnp.where(sm, sp1, jnp.where(fm & nd_p, np1, p1))
+    out_p2 = jnp.where(sm, sp2, p2)
+    out_q0 = jnp.where(sm, sq0, jnp.where(fm, nq0, q0))
+    out_q1 = jnp.where(sm, sq1, jnp.where(fm & nd_q, nq1, q1))
+    out_q2 = jnp.where(sm, sq2, q2)
+    new = jnp.stack([p3, out_p2, out_p1, out_p0,
+                     out_q0, out_q1, out_q2, q3], axis=-1)
+    return jnp.roll(new.transpose(0, 2, 1, 3).reshape(H, W), 4, axis=1)
+
+
+def _deblock_chroma_dir(pl, tc_e, bd: int):
+    """Chroma deblocking, one direction: edges every 8 chroma samples,
+    tc [Hc//4, Wc//8] already zeroed where bs != 2."""
+    H, W = pl.shape
+    H4, W8 = H // 4, W // 8
+    w = jnp.roll(pl, -6, axis=1).reshape(H4, 4, W8, 8).transpose(0, 2, 1, 3)
+    tc = _shift_params(tc_e)[:, :, None]
+    p1, p0, q0, q1 = w[..., 0], w[..., 1], w[..., 2], w[..., 3]
+    maxv = (1 << bd) - 1
+    delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    act = tc > 0
+    np0 = jnp.where(act, jnp.clip(p0 + delta, 0, maxv), p0)
+    nq0 = jnp.where(act, jnp.clip(q0 - delta, 0, maxv), q0)
+    new = jnp.concatenate([jnp.stack([p1, np0, nq0, q1], axis=-1),
+                           w[..., 4:]], axis=-1)
+    return jnp.roll(new.transpose(0, 2, 1, 3).reshape(H, W), 6, axis=1)
+
+
+def _expand_ctb(a, cs: int, H: int, W: int):
+    """Per-CTB values -> per-pixel grid, gather-free (broadcast+reshape)."""
+    cH, cW = a.shape
+    g = jnp.broadcast_to(a[:, None, :, None], (cH, cs, cW, cs))
+    return g.reshape(cH * cs, cW * cs)[:H, :W]
+
+
+def _sao_component(pl, typ, second, offs, cs: int, bd: int):
+    """SAO one component. pl [H, W] int32 (deblocked input); typ/second
+    [cH, cW]; offs [cH, cW, 4]. Parity: sao() in sao_np.py."""
+    H, W = pl.shape
+    maxv = (1 << bd) - 1
+    typ_px = _expand_ctb(typ, cs, H, W)
+    sec_px = _expand_ctb(second, cs, H, W)
+    o = [_expand_ctb(offs[:, :, k], cs, H, W) for k in range(4)]
+
+    # ---- band ----
+    band = pl >> (bd - 5)
+    badd = jnp.zeros_like(pl)
+    for k in range(4):
+        badd = badd + jnp.where(band == ((sec_px + k) & 31), o[k], 0)
+    out_band = jnp.clip(pl + badd, 0, maxv)
+
+    # ---- edge (all 4 classes, select by sec_px) ----
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    neigh = (((-1, 0), (1, 0)), ((0, -1), (0, 1)),
+             ((-1, -1), (1, 1)), ((1, -1), (-1, 1)))
+    out_edge = pl
+    for eo, ((ax, ay), (bx, by)) in enumerate(neigh):
+        a = jnp.roll(pl, (-ay, -ax), axis=(0, 1))
+        bq = jnp.roll(pl, (-by, -bx), axis=(0, 1))
+        idx = 2 + jnp.sign(pl - a) + jnp.sign(pl - bq)
+        eadd = (jnp.where(idx == 0, o[0], 0) + jnp.where(idx == 1, o[1], 0) +
+                jnp.where(idx == 3, o[2], 0) + jnp.where(idx == 4, o[3], 0))
+        valid = ((xx >= max(0, -min(ax, bx, 0))) &
+                 (xx < W - max(ax, bx, 0)) &
+                 (yy >= max(0, -min(ay, by, 0))) &
+                 (yy < H - max(ay, by, 0)))
+        res = jnp.where(valid, jnp.clip(pl + eadd, 0, maxv), pl)
+        out_edge = jnp.where(sec_px == eo, res, out_edge)
+
+    return jnp.where(typ_px == 1, out_band,
+                     jnp.where(typ_px == 2, out_edge, pl))
+
+
+@partial(jax.jit, static_argnames=("bd", "bdc", "cs", "do_deblock",
+                                   "do_sao"))
+def apply_filters_device(y, cb, cr, beta_v, tc_v, beta_h, tc_h,
+                         tc_cv1, tc_ch1, tc_cv2, tc_ch2, sao,
+                         *, bd, bdc, cs, do_deblock, do_sao):
+    """Whole-frame deblock (vertical then horizontal, luma + chroma)
+    followed by SAO. y [H, W], cb/cr [Hc, Wc] int32."""
+    if do_deblock:
+        y = _deblock_luma_dir(y, beta_v, tc_v, bd)
+        y = _deblock_luma_dir(y.T, beta_h.T, tc_h.T, bd).T
+        cb = _deblock_chroma_dir(cb, tc_cv1, bdc)
+        cb = _deblock_chroma_dir(cb.T, tc_ch1.T, bdc).T
+        cr = _deblock_chroma_dir(cr, tc_cv2, bdc)
+        cr = _deblock_chroma_dir(cr.T, tc_ch2.T, bdc).T
+    if do_sao:
+        y = _sao_component(y, sao[:, :, 0, 0].astype(jnp.int32),
+                           sao[:, :, 0, 1].astype(jnp.int32),
+                           sao[:, :, 0, 2:6].astype(jnp.int32), cs, bd)
+        cb = _sao_component(cb, sao[:, :, 1, 0].astype(jnp.int32),
+                            sao[:, :, 1, 1].astype(jnp.int32),
+                            sao[:, :, 1, 2:6].astype(jnp.int32),
+                            cs >> 1, bdc)
+        cr = _sao_component(cr, sao[:, :, 2, 0].astype(jnp.int32),
+                            sao[:, :, 2, 1].astype(jnp.int32),
+                            sao[:, :, 2, 2:6].astype(jnp.int32),
+                            cs >> 1, bdc)
+    return y, cb, cr

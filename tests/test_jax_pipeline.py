@@ -96,3 +96,38 @@ def test_jax_engine_scaling_list():
     for i, pic in enumerate(pics):
         for p, (got, want) in enumerate(zip(pic.cropped(), recons[i])):
             assert np.array_equal(got, want), (i, p)
+
+
+def test_jax_device_filters():
+    """Deblock+SAO on device (ops/filters_jax.py): jax-engine decode of a
+    filtered stream (CTB 32, cu_qp_delta QP map) equals the reference."""
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import ref_decode, ref_planes
+    rng = np.random.default_rng(91)
+    W, H = 128, 96
+    frames = make_frames(W, H, 3, rng)
+    data, _ = encode_intra_stream(frames, W, H, qp=34, ctb_log2=5, seed=91,
+                                  deblock=True, sao=True,
+                                  cu_qp_delta_depth=1)
+    ref = ref_decode(data)
+    d = Decoder("jax")
+    # confirm the device filter path actually engages
+    from openhevc_tpu.models import pipeline as P
+    used = []
+    orig = P.JaxEngine._run_fused
+    def spy(self, fs, rp):
+        lp = orig(self, fs, rp)
+        used.append(lp.device_filtered)
+        return lp
+    P.JaxEngine._run_fused = spy
+    try:
+        mine = d.decode(data) + d.flush()
+    finally:
+        P.JaxEngine._run_fused = orig
+    assert used and all(used), "device filter path did not engage"
+    assert len(ref) == len(mine) == 3
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
