@@ -12,6 +12,9 @@ import numpy as np
 
 from .bits import BitWriter, wrap_nal
 
+SEI_TYPE_PIC_TIMING = 1
+SEI_TYPE_FRAME_PACKING = 45
+SEI_TYPE_ACTIVE_PARAMETER_SETS = 129
 SEI_TYPE_DECODED_PICTURE_HASH = 132
 NAL_SEI_SUFFIX = 40
 
@@ -87,3 +90,45 @@ def write_picture_hash_sei(planes, bit_depth: int) -> bytes:
         bw.put(b, 8)
     bw.align_one_then_zero()
     return wrap_nal(NAL_SEI_SUFFIX, bw.getvalue())
+
+
+def parse_frame_packing(payload: bytes) -> dict | None:
+    """SEI frame-packing arrangement (D.3.16;
+    decode_nal_sei_frame_packing_arrangement, hevc_sei.c:52)."""
+    from .bits import BitReader
+    r = BitReader(payload)
+    r.ue()                          # frame_packing_arrangement_id
+    present = not r.read1()         # cancel flag
+    if not present:
+        return None
+    out = {"arrangement_type": r.read(7),
+           "quincunx_subsampling": r.read1(),
+           "content_interpretation_type": r.read(6)}
+    r.read(6)                       # flipping/field/frame0 flags
+    if not out["quincunx_subsampling"] and out["arrangement_type"] != 5:
+        r.read(16)                  # grid positions
+    r.read(8)                       # reserved byte
+    out["persistence"] = r.read1()
+    return out
+
+
+def parse_pic_timing(payload: bytes, frame_field_info_present: bool):
+    """SEI picture timing (D.3.2; decode_pic_timing, hevc_sei.c:77):
+    returns pic_struct or None."""
+    if not frame_field_info_present or not payload:
+        return None
+    from .bits import BitReader
+    r = BitReader(payload)
+    return r.read(4)                # pic_struct
+
+
+def parse_active_parameter_sets(payload: bytes) -> dict:
+    """SEI active parameter sets (D.3.19; active_parameter_sets,
+    hevc_sei.c:110): the active VPS + SPS ids."""
+    from .bits import BitReader
+    r = BitReader(payload)
+    out = {"active_vps_id": r.read(4)}
+    r.read(2)                       # self_contained + no_update flags
+    n = r.ue() + 1                  # num_sps_ids_minus1 + 1
+    out["active_sps_ids"] = [r.ue() for _ in range(n)]
+    return out

@@ -90,6 +90,7 @@ class Decoder:
         self._jax_engine = None
         self._next_vcl_continues = False
         self._acc = None
+        self.max_ra = float("inf")   # RASL gate (s->max_ra, hevc.c:3375)
         self.is_nalff = False        # length-prefixed NALs (hvcC input)
         self.nal_length_size = 4
 
@@ -153,9 +154,32 @@ class Decoder:
             p = PS.parse_pps(rbsp, layer_id=layer_id)
             self.pps[p.pps_id] = p
         elif nal_type in (NAL_SEI_PREFIX, NAL_SEI_SUFFIX):
-            pass  # SEI (MD5 hash) handled by caller via sei.py later
+            self._handle_sei(rbsp)
         elif nal_type <= 31 and layer_id == self.layer:
             self._decode_slice(nal_type, temporal_id, rbsp)
+
+    def _handle_sei(self, rbsp):
+        """Structured SEI retention (ff_hevc_decode_nal_sei): picture
+        hash (conformance MD5), frame packing, pic timing, active
+        parameter sets land in self.sei."""
+        from .bitstream import sei as S
+        if not hasattr(self, "sei"):
+            self.sei = {}
+        try:
+            for (ptype, payload) in S.parse_sei(rbsp):
+                if ptype == S.SEI_TYPE_DECODED_PICTURE_HASH:
+                    self.sei["picture_hash"] = S.parse_picture_hash(payload)
+                elif ptype == S.SEI_TYPE_FRAME_PACKING:
+                    self.sei["frame_packing"] = S.parse_frame_packing(
+                        payload)
+                elif ptype == S.SEI_TYPE_PIC_TIMING:
+                    self.sei["pic_struct"] = S.parse_pic_timing(
+                        payload, True)
+                elif ptype == S.SEI_TYPE_ACTIVE_PARAMETER_SETS:
+                    self.sei["active_ps"] = \
+                        S.parse_active_parameter_sets(payload)
+        except Exception:
+            pass                     # SEI is advisory; never fatal
 
     def _compute_poc(self, sps, sh, nal_type, temporal_id):
         """8.3.1 (ff_hevc_compute_poc behavior)."""
@@ -234,6 +258,27 @@ class Decoder:
             self._acc = acc
         poc = acc["poc"]
         n_ctb = sps.ctbs_w * sps.ctbs_h
+        # RASL gating after a stream-starting CRA/BLA (hevc.c:3375-3398)
+        if sh.first_slice:
+            if self.max_ra == float("inf"):
+                if nal_type == 21 or 16 <= nal_type <= 18:  # CRA / BLA
+                    self.max_ra = poc
+                elif is_idr(nal_type):
+                    self.max_ra = float("-inf")
+            if nal_type in (8, 9) and poc <= self.max_ra:
+                self._acc = None
+                return                  # drop RASL ahead of the RAP
+            if nal_type == 9 and poc > self.max_ra:
+                self.max_ra = float("-inf")
+            # missing-reference concealment (generate_missing_ref,
+            # hevc_refs.c:538): fabricate mid-gray frames so decode
+            # continues deterministically
+            for lst in acc["ref_list"]:
+                for (p, _lt) in lst:
+                    if p not in self.ref_pics:
+                        self.ref_pics[p] = self._missing_ref(p, sps)
+        elif self._acc is None:
+            return                      # RASL continuation segments
         single_slice = sh.first_slice and not self._next_vcl_continues
         # native core supports uniform tiles + WPP; non-uniform tile
         # spacing, 4:4:4 chroma, weighted prediction, TMVP (need per-PB
@@ -279,6 +324,23 @@ class Decoder:
         while len(self.ref_pics) > 17:
             del self.ref_pics[min(self.ref_pics)]
         self._bump(pic, sps)
+
+    def _missing_ref(self, poc, sps):
+        """Concealment frame: mid-gray planes + zero motion
+        (generate_missing_ref, hevc_refs.c:538)."""
+        mid = 1 << (sps.bit_depth - 1)
+        H, W = sps.height, sps.width
+        hs, vs = sps.hshift1, sps.vshift1
+        h4 = (sps.ctbs_h << sps.log2_ctb) >> 2
+        w4 = (sps.ctbs_w << sps.log2_ctb) >> 2
+        planes = [np.full((H, W), mid, np.int32),
+                  np.full((H >> vs, W >> hs), mid, np.int32),
+                  np.full((H >> vs, W >> hs), mid, np.int32)]
+        motion = (np.zeros((h4, w4), np.uint8),
+                  np.zeros((h4, w4, 2, 2), np.int32),
+                  np.zeros((h4, w4, 2), np.int32), {})
+        return DecodedPicture(poc=poc, planes=planes, sps=sps,
+                              motion=motion)
 
     @staticmethod
     def _motion_of(fs):

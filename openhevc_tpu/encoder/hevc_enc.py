@@ -70,6 +70,7 @@ class EncoderConfig:
     dependent_slices: bool = False      # PPS dependent_slice_segments_enabled
     lt_ref: bool = False                # SPS long_term_ref_pics_present
     cu_qp_delta_depth: int | None = None  # PPS diff_cu_qp_delta_depth
+    constrained_intra: bool = False       # PPS constrained_intra_pred_flag
 
     @property
     def ctb_size(self) -> int:
@@ -322,7 +323,7 @@ def write_pps(cfg: EncoderConfig, pps_id: int = 0, sps_id: int = 0,
     bw.ue(cfg.max_num_ref - 1)  # num_ref_idx_l0_default_active_minus1
     bw.ue(cfg.max_num_ref - 1)  # num_ref_idx_l1_default_active_minus1
     bw.se(cfg.qp - 26)      # init_qp_minus26
-    bw.put(0, 1)            # constrained_intra_pred_flag
+    bw.put(1 if cfg.constrained_intra else 0, 1)  # constrained_intra_pred
     bw.put(1 if cfg.transform_skip else 0, 1)
     if cfg.cu_qp_delta_depth is not None:
         bw.put(1, 1)        # cu_qp_delta_enabled_flag

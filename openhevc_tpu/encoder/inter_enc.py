@@ -489,7 +489,8 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                            bit_depth=8, wpp=False, chroma_format_idc=1,
                            weighted=False, tmvp=False, amp=False,
                            scaling_list=None, num_slices=1,
-                           dependent_slices=False, lt_ref=False):
+                           dependent_slices=False, lt_ref=False,
+                           constrained_intra=False):
     """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
     expected recons). Expected output only valid without loop filters;
     with filters on, compare against the reference decoder."""
@@ -505,7 +506,8 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                         wpp=wpp, weighted_pred=weighted,
                         temporal_mvp=tmvp, amp_enabled=amp,
                         scaling_list=scaling_list,
-                        dependent_slices=dependent_slices, lt_ref=lt_ref)
+                        dependent_slices=dependent_slices, lt_ref=lt_ref,
+                        constrained_intra=constrained_intra)
     rng = np.random.default_rng(seed)
     # one RPS per possible reference count (early frames have fewer refs)
     st_rps = [[-(i + 1) for i in range(k + 1)] for k in range(n_refs)]

@@ -642,7 +642,8 @@ class IntraFrameEncoder:
         cfg = self.cfg
         hs = cfg.hshift1 if plane else 0
         vs = cfg.vshift1 if plane else 0
-        av = avail_mask(self.zscan, self.pred_mode, False, x, y, size,
+        av = avail_mask(self.zscan, self.pred_mode,
+                        bool(cfg.constrained_intra), x, y, size,
                         hs, vs, cfg.width, cfg.height, tile4=self.tile4)
         return I.intra_predict_block(
             self.recon[plane], x, y, size, mode, av,

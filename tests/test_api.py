@@ -94,3 +94,32 @@ def test_hvcc_extradata_input():
     for fr, want in zip(out, recons):
         for p, w in zip(fr.planes, want):
             assert np.array_equal(p, w)
+
+
+def test_au_parser():
+    """AU boundary detection (ff_hevc_parser behavior): multi-slice AUs
+    stay whole, parameter sets attach to the following AU, chunked
+    feeding reassembles, and per-AU info reports pict_type/IRAP."""
+    import numpy as np
+    from conftest import make_frames
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    from openhevc_tpu.bitstream.au_parser import AuParser, au_info
+    rng = np.random.default_rng(131)
+    frames = make_frames(64, 64, 3, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                  seed=131, num_slices=2)
+    p = AuParser()
+    aus = p.feed(data) + p.flush()
+    assert len(aus) == 3
+    assert b"".join(aus) == data
+    i0 = au_info(aus[0])
+    assert i0.pict_type == "I" and i0.irap and i0.idr
+    assert 32 in i0.nal_types and 33 in i0.nal_types  # VPS+SPS ride AU 0
+    assert sum(1 for t in i0.nal_types if t <= 31) == 2  # 2 slice segs
+    # chunked feeding (7-byte pieces)
+    p = AuParser()
+    aus2 = []
+    for i in range(0, len(data), 7):
+        aus2 += p.feed(data[i:i + 7])
+    aus2 += p.flush()
+    assert aus2 == aus

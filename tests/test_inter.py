@@ -99,3 +99,88 @@ def test_lowdelay_long_term_ref():
         for p, (got, want) in enumerate(zip(mine[i].cropped(),
                                             ref_planes(f))):
             assert np.array_equal(got, want), (i, p)
+
+
+def test_lowdelay_constrained_intra():
+    """Constrained intra prediction (PPS flag): intra CUs inside P
+    pictures may only predict from intra-coded neighbour samples; inter
+    neighbours are substituted (8.4.4.2.2); vs the reference decoder."""
+    rng = np.random.default_rng(101)
+    frames = moving_frames(64, 64, 4, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=32, ctb_log2=4,
+                                     seed=101, constrained_intra=True)
+    ref = ref_decode(data)
+    d = Decoder("np")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 4
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
+
+
+def test_missing_reference_concealment():
+    """Dropping a reference picture's NAL mid-stream: both decoders
+    fabricate a mid-gray concealment frame (generate_missing_ref,
+    hevc_refs.c:538) and continue deterministically."""
+    rng = np.random.default_rng(111)
+    frames = moving_frames(64, 64, 4, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=32, ctb_log2=4,
+                                     seed=111, n_refs=1)
+    from openhevc_tpu.decoder import split_nals
+    nals = split_nals(data)
+    # drop the second picture (first P frame); keep VPS/SPS/PPS + others
+    vcl = [i for i, n in enumerate(nals) if ((n[0] >> 1) & 0x3F) <= 31]
+    keep = [n for i, n in enumerate(nals) if i != vcl[1]]
+    patched = b"".join(b"\x00\x00\x01" + n for n in keep)
+    ref = ref_decode(patched)
+    d = Decoder("np")
+    mine = d.decode(patched) + d.flush()
+    assert len(ref) == len(mine) == 3
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
+
+
+def test_rasl_dropped_after_cra():
+    """A stream starting at a CRA: RASL pictures that reference
+    pre-CRA pictures are dropped, trailing pictures decode
+    (max_ra gating, hevc.c:3375-3398)."""
+    from openhevc_tpu.encoder.hevc_enc import (EncoderConfig, write_vps,
+                                               write_sps, write_pps)
+    from openhevc_tpu.encoder.inter_enc import PFrameEncoder
+    rng = np.random.default_rng(121)
+    W, H = 64, 64
+    frames = moving_frames(W, H, 3, rng)
+    cfg = EncoderConfig(width=W, height=H, qp=32, ctb_log2=4,
+                        min_cb_log2=3, min_tb_log2=2, max_tb_log2=4,
+                        max_transform_hierarchy_depth=2, pcm_enabled=False,
+                        deblock_disabled=True, max_num_ref=1)
+    st_rps = [[-1], [-2]]
+    data = write_vps(cfg) + write_sps(cfg, st_rps=st_rps) + write_pps(cfg)
+    enc = PFrameEncoder(cfg, rng)
+    enc.num_st_rps = len(st_rps)
+    enc.is_p = False
+    enc._motion_store = {}
+    enc._pu_list = []
+    enc._parent_chroma = {}
+    # CRA intra picture at poc 2 (NAL_CRA = 21)
+    data += enc.encode_frame(frames[0][0], frames[0][1], frames[0][2],
+                             nal_type=21, poc=2, num_st_rps=len(st_rps))
+    cra_recon = [p.copy() for p in enc.recon]
+    # RASL_N at poc 1 (leading picture; dropped by both decoders before
+    # its slice data is touched, so intra content suffices)
+    data += enc.encode_frame(frames[1][0], frames[1][1], frames[1][2],
+                             nal_type=8, poc=1, num_st_rps=len(st_rps))
+    # TRAIL_R at poc 3 referencing the CRA
+    data += enc.encode_frame_p(frames[2][0], frames[2][1], frames[2][2],
+                               3, [(2, cra_recon)], nal_type=1)
+    ref = ref_decode(data)
+    d = Decoder("np")
+    mine = d.decode(data) + d.flush()
+    assert len(mine) == len(ref) == 2      # RASL dropped by both
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
