@@ -596,13 +596,11 @@ def _parse_sps_common(r: BitReader, s: SPS, max_sub_layers_minus1: int,
     s.strong_intra_smoothing = r.read1()
     if r.read1():  # vui_parameters_present_flag
         _skip_vui(r, s)
-    if r.read1():  # sps_extension_flag (legacy single-flag form is rare;
-        # 4-flag form) — the 2013 syntax: sps_range_extension etc.
-        # We parse the modern 4+4 form used by RExt streams.
-        range_ext = 1
-        # NOTE: our own encoder never sets this; conformant RExt streams use
-        # sps_extension_present -> 4 flags. Here: treat first flag as
-        # sps_range_extension_flag per 7.3.2.2.
+    if r.read1():  # sps_extension_present_flag
+        # 1-bit sps_range_extension_flag + 7 reserved ext bits, then the
+        # RExt flag block (hevc_ps.c:1921-1927)
+        range_ext = r.read1()
+        r.read(7)
         if range_ext:
             s.transform_skip_rotation_enabled = r.read1()
             s.transform_skip_context_enabled = r.read1()
@@ -746,19 +744,25 @@ def parse_pps(rbsp: bytes, layer_id: int = 0) -> PPS:
     p.lists_modification_present = r.read1()
     p.log2_parallel_merge_level = r.ue() + 2
     p.slice_header_extension_present = r.read1()
-    if r.read1():  # pps_extension_flag -> range extension
-        if p.transform_skip_enabled:
-            p.log2_max_transform_skip_block_size = r.ue() + 2
-        p.cross_component_prediction_enabled = r.read1()
-        p.chroma_qp_offset_list_enabled = r.read1()
-        if p.chroma_qp_offset_list_enabled:
-            p.diff_cu_chroma_qp_offset_depth = r.ue()
-            n = r.ue() + 1
-            for _ in range(n):
-                p.cb_qp_offset_list.append(r.se())
-                p.cr_qp_offset_list.append(r.se())
-        p.log2_sao_offset_scale_luma = r.ue()
-        p.log2_sao_offset_scale_chroma = r.ue()
+    if r.read1():  # pps_extension_present_flag
+        # range flag + 7 ext bits (hevc_ps.c:2421-2424); the reference
+        # additionally gates on the RExt profile, which conformant
+        # streams using these tools signal anyway
+        range_ext = r.read1()
+        r.read(7)
+        if range_ext:
+            if p.transform_skip_enabled:
+                p.log2_max_transform_skip_block_size = r.ue() + 2
+            p.cross_component_prediction_enabled = r.read1()
+            p.chroma_qp_offset_list_enabled = r.read1()
+            if p.chroma_qp_offset_list_enabled:
+                p.diff_cu_chroma_qp_offset_depth = r.ue()
+                n = r.ue() + 1
+                for _ in range(n):
+                    p.cb_qp_offset_list.append(r.se())
+                    p.cr_qp_offset_list.append(r.se())
+            p.log2_sao_offset_scale_luma = r.ue()
+            p.log2_sao_offset_scale_chroma = r.ue()
     return p
 
 

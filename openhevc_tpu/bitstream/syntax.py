@@ -197,9 +197,12 @@ class SliceDataParser:
                 sh.slice_type != I_SLICE:
             init_type = 3 - init_type  # swap 1<->2
         if dep_ctx is not None:
-            self.ctx = list(dep_ctx)     # dependent segment resumes ctx
+            ctx0, stat0 = dep_ctx        # dependent segment resumes state
+            self.ctx = list(ctx0)
+            self.stat_coeff = list(stat0)
         else:
             self.ctx = init_states(init_type, max(0, min(51, sh.qp)))
+            self.stat_coeff = [0, 0, 0, 0]
         self.rbsp = rbsp
         self.cab = CabacDecoder(rbsp, sh.data_start_byte * 8)
         self.init_type = init_type
@@ -385,6 +388,7 @@ class SliceDataParser:
                     self.cab.reinit(self.cab.consumed_bytes() * 8)
                     self.ctx = init_states(self.init_type,
                                            max(0, min(51, self.sh.qp)))
+                    self.stat_coeff = [0, 0, 0, 0]
                     self.first_qp_group = True
                 if self.wpp and ctb_tile_rs % tw == 0 and not new_tile:
                     self.first_qp_group = True
@@ -395,15 +399,17 @@ class SliceDataParser:
                     if tw == 1:
                         self.ctx = init_states(self.init_type,
                                                max(0, min(51, self.sh.qp)))
+                        self.stat_coeff = [0, 0, 0, 0]
                     else:
-                        self.ctx = list(saved_ctx)
+                        self.ctx = list(saved_ctx[0])
+                        self.stat_coeff = list(saved_ctx[1])
             if sps.sao_enabled and (self.sh.sao_luma or self.sh.sao_chroma):
                 self._sao_params(x0, y0)
             self._coding_quadtree(x0, y0, sps.log2_ctb, 0)
             ctb_tile_rs += 1
             if self.wpp and (ctb_tile_rs % tw == 2 or
                              (tw == 2 and ctb_tile_rs % tw == 0)):
-                saved_ctx = list(self.ctx)
+                saved_ctx = (list(self.ctx), list(self.stat_coeff))
             end = self.terminate()
             if end:
                 # end_of_slice_segment_flag: this segment is done; the
@@ -415,7 +421,7 @@ class SliceDataParser:
                 raise ValueError("missing end_of_slice")
         else:
             self.end_ts = n_ctb
-        self.final_ctx = list(self.ctx)
+        self.final_ctx = (list(self.ctx), list(self.stat_coeff))
         self.shared["qp_state"] = (self.qp_y, self.qPy_pred)
         self.fs.ctb_order = ctb_order
         return self.fs
@@ -869,19 +875,23 @@ class SliceDataParser:
         # chroma mode: per PU for 4:4:4, single otherwise (7.3.8.5)
         n_cpu = n_pu if self.sps.chroma_format_idc == 3 else 1
         cmodes = []
+        self.pu_chroma_idx = []
         for i in range(n_cpu):
             if not self.bin("intra_chroma_pred_mode"):
                 cmodes.append(modes[i])
+                self.pu_chroma_idx.append(4)      # derived (DM)
             else:
                 idx = self.bypass_bits(2)
                 table = (0, 26, 10, 1)
                 m = table[idx]
                 cmodes.append(34 if m == modes[i] else m)
+                self.pu_chroma_idx.append(idx)
         if self.sps.chroma_format_idc == 2:
             # 4:2:2: mode mapped through Table 8-3 (hevc.c:2310)
             cmodes = [TAB_MODE_IDX_422[m] for m in cmodes]
         self.intra_mode_c = cmodes[0]
         self.pu_chroma_modes = (cmodes * 4)[:4]
+        self.pu_chroma_idx = (self.pu_chroma_idx * 4)[:4]
 
     def _mpm_candidates(self, x0, y0):
         sps, fs = self.sps, self.fs
@@ -1000,13 +1010,34 @@ class SliceDataParser:
             clog2 = log2_tr - hs
             csz = 1 << clog2
             cx, cy0 = x0 >> hs, y0 >> vs
+            # cross-component prediction (RExt, hevc.c:1295): active for
+            # 4:4:4 when luma has residual and the CU is inter or the
+            # chroma mode is derived-from-luma
+            cross_pf = bool(
+                getattr(self.pps, "cross_component_prediction_enabled", 0)
+                and cbf_luma and
+                (self.cu_pred_mode == MODE_INTER or
+                 self._chroma_idx_at(x0, y0) == 4))
             for plane, cbf in ((1, cbf_cb), (2, cbf_cr)):
+                scale = 0
+                if cross_pf:
+                    scale = self._res_scale(plane - 1)
                 for i in range(n_c):
                     cy = cy0 + (i << clog2)
                     if self.cu_pred_mode == MODE_INTRA:
                         self._emit_intra_job(plane, cx, cy, csz, mode_c)
                     if cbf[i]:
-                        self._residual(cx, cy, clog2, plane, mode_c)
+                        self._residual(cx, cy, clog2, plane, mode_c,
+                                       cross_scale=scale)
+                    elif scale:
+                        # zero-cbf chroma still receives the scaled luma
+                        # residual (hevc.c:1315-1329)
+                        self.fs.coeff_blocks.append(CoeffBlock(
+                            plane=plane, x=cx, y=cy, log2_size=clog2,
+                            qp=0, is_dst=False, transform_skip=False,
+                            transquant_bypass=True, rdpcm_mode=-1,
+                            levels=np.zeros((csz, csz), np.int32),
+                            cross_scale=scale))
         elif blk_idx == 3:
             # chroma handled at the last 4x4 luma TB of the parent 8x8
             cx, cy0 = x_base >> hs, y_base >> vs
@@ -1017,6 +1048,17 @@ class SliceDataParser:
                         self._emit_intra_job(plane, cx, cy, 4, mode_c)
                     if cbf[i]:
                         self._residual(cx, cy, 2, plane, mode_c)
+
+    def _chroma_idx_at(self, x0, y0):
+        """Coded intra_chroma_pred_mode index of the PU containing this
+        TB (4 = derived; lc->tu.chroma_mode_c, hevc.c:1465-1474)."""
+        if (self.sps.chroma_format_idc == 3 and
+                self.cu_part_mode == PART_NxN):
+            half = 1 << (self.cu_log2 - 1)
+            bi = (2 if (y0 - self.cu_y0) >= half else 0) + \
+                 (1 if (x0 - self.cu_x0) >= half else 0)
+            return self.pu_chroma_idx[bi]
+        return self.pu_chroma_idx[0]
 
     def _chroma_mode_at(self, x0, y0):
         """tu.intra_pred_mode_c selection (hevc.c:1460-1475): per-PU
@@ -1048,7 +1090,8 @@ class SliceDataParser:
             IntraJob(plane, x, y, size, mode, avail, filt))
 
     # -- residual coding ----------------------------------------------------
-    def _residual(self, x0, y0, log2_tr, c_idx, pred_mode_intra):
+    def _residual(self, x0, y0, log2_tr, c_idx, pred_mode_intra,
+                  cross_scale=0):
         sps, pps, fs = self.sps, self.pps, self.fs
         size = 1 << log2_tr
         levels = np.zeros((size, size), np.int32)
@@ -1065,7 +1108,13 @@ class SliceDataParser:
                 scan_idx = SCAN_VERT
             elif 22 <= pred_mode_intra <= 30:
                 scan_idx = SCAN_HORIZ
-        # (explicit_rdpcm for RExt inter would be parsed here)
+        explicit_rdpcm = -1       # -1 absent, else dir (0 horiz, 1 vert)
+        if (self.cu_pred_mode == MODE_INTER and
+                getattr(sps, "explicit_rdpcm_enabled", 0) and
+                (transform_skip or self.cu_tqb)):
+            if self.bin("explicit_rdpcm_flag", 1 if c_idx else 0):
+                explicit_rdpcm = self.bin("explicit_rdpcm_dir_flag",
+                                          1 if c_idx else 0)
         last_x = self._last_sig_prefix(c_idx, log2_tr, "last_sig_coeff_x_prefix")
         last_y = self._last_sig_prefix(c_idx, log2_tr, "last_sig_coeff_y_prefix")
         if last_x > 3:
@@ -1192,8 +1241,28 @@ class SliceDataParser:
             nb_signs = n_sig - (1 if (sign_hiding and hidden) else 0)
             sign_bits = self.bypass_bits(nb_signs) << (16 - nb_signs) \
                 if nb_signs else 0
-            rice = 0
+            # persistent Rice adaptation (9.3.3.13; hevc_cabac.c:1716-1786)
+            price = getattr(sps, "persistent_rice_adaptation", 0)
+            if price:
+                sb_type = 2 * (1 if c_idx == 0 else 0) + \
+                    (1 if (transform_skip or self.cu_tqb) else 0)
+                rice = self.stat_coeff[sb_type] >> 2
+            else:
+                rice = 0
+            rice_init = False
             sum_abs = 0
+
+            def bump(rem, rice):
+                nonlocal rice_init
+                if price and not rice_init:
+                    r0 = self.stat_coeff[sb_type] >> 2
+                    if rem >= (3 << r0):
+                        self.stat_coeff[sb_type] += 1
+                    elif 2 * rem < (1 << r0) and self.stat_coeff[sb_type]:
+                        self.stat_coeff[sb_type] -= 1
+                    rice_init = True
+                return rice
+
             for m in range(n_sig):
                 n = sig_idx[m]
                 xc = (x_cg << 2) + off_scan[n][0]
@@ -1204,12 +1273,14 @@ class SliceDataParser:
                         rem = self._abs_level_remaining(rice)
                         level += rem
                         if level > (3 << rice):
-                            rice = min(rice + 1, 4)
+                            rice = rice + 1 if price else min(rice + 1, 4)
+                        rice = bump(rem, rice)
                 else:
                     rem = self._abs_level_remaining(rice)
                     level = 1 + rem
                     if level > (3 << rice):
-                        rice = min(rice + 1, 4)
+                        rice = rice + 1 if price else min(rice + 1, 4)
+                    rice = bump(rem, rice)
                 if sign_hiding and hidden:
                     sum_abs += level
                     if n == first_nz and (sum_abs & 1):
@@ -1229,18 +1300,50 @@ class SliceDataParser:
                 (1 if sps.chroma_format_idc == 1 else sps.chroma_format_idc)
             qp = chroma_qp(self.cu_qp, offset, cat, sps.qp_bd_offset) + \
                 sps.qp_bd_offset
+        # transform-skip rotation: 4x4 intra TS blocks are decoded in
+        # reversed scan (hevc_cabac.c:1877-1884)
+        rot = (getattr(sps, "transform_skip_rotation_enabled", 0) and
+               log2_tr == 2 and self.cu_pred_mode == MODE_INTRA and
+               transform_skip and not self.cu_tqb)
+        if rot:
+            levels = levels[::-1, ::-1].copy()
+        # RDPCM gates mirror hevc_cabac.c:1868-1892 exactly (including
+        # the reference's rotation-flag gate on the TS implicit path)
         rdpcm_mode = -1
-        if self.cu_tqb or transform_skip:
-            if getattr(sps, "implicit_rdpcm_enabled", 0) and \
-                    self.cu_pred_mode == MODE_INTRA and \
-                    pred_mode_intra in (10, 26):
-                rdpcm_mode = 1 if pred_mode_intra == 26 else 0
+        intra_1026 = (self.cu_pred_mode == MODE_INTRA and
+                      pred_mode_intra in (10, 26))
+        if self.cu_tqb:
+            if explicit_rdpcm >= 0 or (
+                    getattr(sps, "implicit_rdpcm_enabled", 0) and
+                    intra_1026):
+                rdpcm_mode = (pred_mode_intra == 26) \
+                    if getattr(sps, "implicit_rdpcm_enabled", 0) \
+                    else explicit_rdpcm
+                rdpcm_mode = int(rdpcm_mode)
+        elif transform_skip:
+            if explicit_rdpcm >= 0 or (
+                    getattr(sps, "transform_skip_rotation_enabled", 0) and
+                    intra_1026):
+                rdpcm_mode = int(explicit_rdpcm) if explicit_rdpcm >= 0 \
+                    else (1 if pred_mode_intra == 26 else 0)
         fs.coeff_blocks.append(CoeffBlock(
             plane=c_idx, x=x0, y=y0, log2_size=log2_tr, qp=qp,
             is_dst=is_dst, transform_skip=bool(transform_skip),
             transquant_bypass=bool(self.cu_tqb), rdpcm_mode=rdpcm_mode,
             levels=levels,
-            matrix_id=3 * (self.cu_pred_mode != MODE_INTRA) + c_idx))
+            matrix_id=3 * (self.cu_pred_mode != MODE_INTRA) + c_idx,
+            cross_scale=cross_scale))
+
+    def _res_scale(self, idx) -> int:
+        """log2_res_scale_abs_plus1 + sign -> res_scale_val
+        (hls_cross_component_pred, hevc.c:1150; 4 TU ctx per comp)."""
+        i = 0
+        while i < 4 and self.bin("log2_res_scale_abs", 4 * idx + i):
+            i += 1
+        if i == 0:
+            return 0
+        sign = self.bin("res_scale_sign_flag", idx)
+        return (1 << (i - 1)) * (1 - 2 * sign)
 
     def _last_sig_prefix(self, c_idx, log2_tr, elem):
         if c_idx == 0:

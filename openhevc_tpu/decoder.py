@@ -288,7 +288,11 @@ class Decoder:
             pps.tiles_enabled and not pps.uniform_spacing) and \
             sps.chroma_format_idc == 1 and \
             sh.weighted_pred_table is None and not sh.temporal_mvp and \
-            not pps.cu_qp_delta_enabled
+            not pps.cu_qp_delta_enabled and \
+            not (sps.transform_skip_rotation_enabled or
+                 sps.implicit_rdpcm_enabled or sps.explicit_rdpcm_enabled or
+                 sps.persistent_rice_adaptation or
+                 getattr(pps, "cross_component_prediction_enabled", 0))
         if use_native:
             from .bitstream.native import parse_slice_native
             fs = parse_slice_native(rbsp, sps, pps, sh, nal_type, poc,

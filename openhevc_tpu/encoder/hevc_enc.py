@@ -71,6 +71,18 @@ class EncoderConfig:
     lt_ref: bool = False                # SPS long_term_ref_pics_present
     cu_qp_delta_depth: int | None = None  # PPS diff_cu_qp_delta_depth
     constrained_intra: bool = False       # PPS constrained_intra_pred_flag
+    # RExt tool flags (SPS range extension)
+    rext_rotation: bool = False           # transform_skip_rotation
+    rext_implicit_rdpcm: bool = False
+    rext_explicit_rdpcm: bool = False
+    rext_persistent_rice: bool = False
+    cross_component: bool = False         # PPS RExt (4:4:4 only)
+
+    @property
+    def any_rext(self) -> bool:
+        return (self.rext_rotation or self.rext_implicit_rdpcm or
+                self.rext_explicit_rdpcm or self.rext_persistent_rice or
+                self.cross_component)
 
     @property
     def ctb_size(self) -> int:
@@ -188,6 +200,8 @@ def _profile_tier_level(bw: BitWriter, cfg: EncoderConfig):
     bw.put(0, 2)            # general_profile_space
     bw.put(0, 1)            # general_tier_flag
     profile = 2 if cfg.bit_depth > 8 else (4 if cfg.chroma_format_idc != 1 else 1)
+    if cfg.any_rext:
+        profile = 4         # range-extension tools require the RExt profile
     bw.put(profile, 5)      # general_profile_idc (1 Main / 2 Main10 / 4 RExt)
     compat = (1 << (31 - profile)) | (1 << (31 - 1)) | (1 << (31 - 2))
     bw.put(compat, 32)      # general_profile_compatibility_flag[32]
@@ -290,7 +304,21 @@ def write_sps(cfg: EncoderConfig, st_rps: list | None = None) -> bytes:
     bw.put(1 if cfg.temporal_mvp else 0, 1)  # sps_temporal_mvp_enabled
     bw.put(1 if cfg.strong_intra_smoothing else 0, 1)
     bw.put(0, 1)            # vui_parameters_present_flag
-    bw.put(0, 1)            # sps_extension_flag
+    if cfg.any_rext:
+        bw.put(1, 1)        # sps_extension_present_flag
+        bw.put(1, 1)        # sps_range_extension_flag
+        bw.put(0, 7)        # sps_extension_7bits
+        bw.put(1 if cfg.rext_rotation else 0, 1)
+        bw.put(0, 1)        # transform_skip_context_enabled
+        bw.put(1 if cfg.rext_implicit_rdpcm else 0, 1)
+        bw.put(1 if cfg.rext_explicit_rdpcm else 0, 1)
+        bw.put(0, 1)        # extended_precision_processing
+        bw.put(0, 1)        # intra_smoothing_disabled
+        bw.put(0, 1)        # high_precision_offsets
+        bw.put(1 if cfg.rext_persistent_rice else 0, 1)
+        bw.put(0, 1)        # cabac_bypass_alignment
+    else:
+        bw.put(0, 1)        # sps_extension_flag
     bw.align_one_then_zero()
     return wrap_nal(NAL_SPS, bw.getvalue())
 
@@ -361,7 +389,18 @@ def write_pps(cfg: EncoderConfig, pps_id: int = 0, sps_id: int = 0,
     bw.put(0, 1)            # lists_modification_present_flag
     bw.ue(0)                # log2_parallel_merge_level_minus2
     bw.put(0, 1)            # slice_segment_header_extension_present_flag
-    bw.put(0, 1)            # pps_extension_flag
+    if cfg.cross_component:
+        bw.put(1, 1)        # pps_extension_present_flag
+        bw.put(1, 1)        # pps_range_extensions_flag
+        bw.put(0, 7)        # pps_extension_7bits
+        if cfg.transform_skip:
+            bw.ue(0)        # log2_max_transform_skip_block_size_minus2
+        bw.put(1, 1)        # cross_component_prediction_enabled_flag
+        bw.put(0, 1)        # chroma_qp_offset_list_enabled_flag
+        bw.ue(0)            # log2_sao_offset_scale_luma
+        bw.ue(0)            # log2_sao_offset_scale_chroma
+    else:
+        bw.put(0, 1)        # pps_extension_flag
     bw.align_one_then_zero()
     return wrap_nal(NAL_PPS, bw.getvalue(), layer_id=layer_id)
 

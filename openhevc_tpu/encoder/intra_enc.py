@@ -222,6 +222,7 @@ class IntraFrameEncoder:
         if slice_ranges is not None:
             return self._encode_slice_segments(slice_type, slice_ranges)
         self._qp_reset_slice()
+        self.stat_coeff = [0, 0, 0, 0]
         bw = BitWriter()
         self.enc = SliceDataEncoder(bw, cfg, slice_type=slice_type)
         cs = cfg.ctb_size
@@ -253,18 +254,21 @@ class IntraFrameEncoder:
                         ctb_tile_rs = 0
                         self.enc.ctx = init_states(init_type,
                                                    max(0, min(51, cfg.qp)))
+                        self.stat_coeff = [0, 0, 0, 0]
                     elif tw == 1:
                         self.enc.ctx = init_states(init_type,
                                                    max(0, min(51, cfg.qp)))
+                        self.stat_coeff = [0, 0, 0, 0]
                     else:
-                        self.enc.ctx = list(saved_ctx)
+                        self.enc.ctx = list(saved_ctx[0])
+                        self.stat_coeff = list(saved_ctx[1])
             if cfg.sao_enabled:
                 self._encode_sao(x0 >> cfg.ctb_log2, y0 >> cfg.ctb_log2)
             self._quadtree(x0, y0, cfg.ctb_log2, 0)
             ctb_tile_rs += 1
             if self.wpp and (ctb_tile_rs % tw == 2 or
                              (tw == 2 and ctb_tile_rs % tw == 0)):
-                saved_ctx = list(self.enc.ctx)
+                saved_ctx = (list(self.enc.ctx), list(self.stat_coeff))
             self.enc.terminate(1 if ts == n_ctb - 1 else 0)
         bw.align_zero()
         data = bw.getvalue()
@@ -294,6 +298,8 @@ class IntraFrameEncoder:
             if not dependent:
                 slice_no += 1
             self._qp_reset_slice(dependent=bool(dependent))
+            if not dependent:
+                self.stat_coeff = [0, 0, 0, 0]
             bw = BitWriter()
             self.enc = SliceDataEncoder(bw, cfg, slice_type=slice_type,
                                         ctx=prev_ctx if dependent else None)
@@ -543,8 +549,10 @@ class IntraFrameEncoder:
         n_cpu = n_pu if cfg.chroma_format_idc == 3 else 1
         table = (0, 26, 10, 1)
         cmodes = []
+        self.enc_chroma_idx_pu = []
         for i in range(n_cpu):
             chroma_idx = int(rng.integers(0, 5))
+            self.enc_chroma_idx_pu.append(chroma_idx)
             if chroma_idx == 4:
                 cmodes.append(modes[i])
                 self.enc.bin("intra_chroma_pred_mode", 0, 0)
@@ -558,6 +566,7 @@ class IntraFrameEncoder:
             cmodes = [TAB_MODE_IDX_422[m] for m in cmodes]
         self.cu_modes = (modes * 4)[:4]
         self.pu_modes_c = (cmodes * 4)[:4]
+        self.enc_chroma_idx_pu = (self.enc_chroma_idx_pu * 4)[:4]
         self.mode_c = cmodes[0]
         # transform tree: plan splits, process (closed loop), then emit
         intra_split = 1 if part_nxn else 0
@@ -620,6 +629,15 @@ class IntraFrameEncoder:
     def _luma_mode_at(self, x, y):
         return int(self.ipm[y >> 2, x >> 2])
 
+    def _enc_chroma_idx_at(self, x, y):
+        pus = getattr(self, "enc_chroma_idx_pu", [4, 4, 4, 4])
+        if self.cfg.chroma_format_idc == 3 and len(set(pus)) > 1:
+            half = 1 << (self.cu_log2 - 1)
+            bi = (2 if (y - self.cu_y0) >= half else 0) + \
+                 (1 if (x - self.cu_x0) >= half else 0)
+            return pus[bi]
+        return pus[0]
+
     def _chroma_mode_at(self, x, y):
         """Per-PU chroma mode for 4:4:4 NxN (quadrant of the CU);
         otherwise the CU's single chroma mode."""
@@ -637,6 +655,7 @@ class IntraFrameEncoder:
     qpd_on = False
     qp_y4 = None
     _cu_has_cbf = False
+    stat_coeff = [0, 0, 0, 0]
 
     def _pred_block(self, plane, x, y, size, mode):
         cfg = self.cfg
@@ -655,9 +674,12 @@ class IntraFrameEncoder:
     cu_tqb = False       # cu_transquant_bypass for the current CU
     pred_buf = None      # inter CU prediction planes (MC output)
 
-    def _tu_levels(self, plane, x, y, size, mode):
+    def _tu_levels(self, plane, x, y, size, mode, cross=None):
         """Closed-loop: pred, transform+quant, recon update.
-        Returns (levels, transform_skip_flag)."""
+        Returns (levels, transform_skip_flag). cross: (res_scale,
+        luma_residual) — RExt cross-component prediction: the scaled luma
+        residual is removed from the coding target and restored in the
+        reconstruction (hevc.c:1295-1362)."""
         cfg = self.cfg
         log2 = size.bit_length() - 1
         if self.cu_is_intra:
@@ -665,13 +687,34 @@ class IntraFrameEncoder:
         else:
             pred = self.pred_buf[plane][y:y + size, x:x + size]
         resid = self.target[plane][y:y + size, x:x + size] - pred
+        cross_add = 0
+        if cross is not None and cross[0]:
+            cross_add = (cross[0] * cross[1].astype(np.int64)) >> 3
+            resid = resid - cross_add
         qp = self._tu_qp(plane)
+        rd = None         # rdpcm direction the decoder will apply
+        if self.cu_is_intra and mode in (10, 26):
+            if self.cu_tqb and cfg.rext_implicit_rdpcm:
+                rd = mode == 26
+            elif (not self.cu_tqb) and cfg.rext_rotation and \
+                    cfg.transform_skip:
+                rd = mode == 26     # reference's TS gate (hevc_cabac:1887)
         if self.cu_tqb:
-            # lossless: levels ARE the residual
-            levels = np.clip(resid, -32768, 32767).astype(np.int32)
+            # lossless: levels ARE the residual (DPCM'd when rdpcm applies)
+            r_t = np.clip(resid, -32768, 32767).astype(np.int32)
+            if rd is not None:
+                d = np.diff(r_t, axis=0 if rd else 1,
+                            prepend=np.zeros((1, size) if rd
+                                             else (size, 1), np.int32))
+                levels = np.clip(d, -32768, 32767).astype(np.int32)
+                r_t = T.rdpcm(levels, rd)
+            else:
+                levels = r_t
             if np.any(levels):
                 self._cu_has_cbf = True
-            rec = np.clip(pred + levels, 0, (1 << cfg.bit_depth) - 1)
+            if plane == 0:
+                self._last_luma_res = np.asarray(r_t, np.int64)
+            rec = np.clip(pred + r_t, 0, (1 << cfg.bit_depth) - 1)
             self.recon[plane][y:y + size, x:x + size] = rec
             return levels, False
         ts = (cfg.transform_skip and size == 4 and
@@ -686,14 +729,22 @@ class IntraFrameEncoder:
             # spatial-domain coding: forward shift mirrors the inverse
             # transform_skip scaling (15 - bd - log2)
             sh = 15 - cfg.bit_depth - log2
-            coefs = resid << sh if sh > 0 else resid >> -sh
+            src = resid
+            if rd is not None and size == 4:
+                src = np.diff(resid, axis=0 if rd else 1,
+                              prepend=np.zeros((1, size) if rd
+                                               else (size, 1), np.int64))
+            coefs = src << sh if sh > 0 else src >> -sh
             levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
             levels = np.clip(levels, -32768, 32767)
             if np.any(levels):
                 self._cu_has_cbf = True
             d = T.dequant(levels, log2, qp, cfg.bit_depth, scaling=sm)
-            rec_res = T.transform_skip(d, log2, cfg.bit_depth) \
-                if np.any(levels) else 0
+            rec_res = T.transform_skip(d, log2, cfg.bit_depth)
+            if rd is not None and size == 4:
+                rec_res = T.rdpcm(rec_res, rd)
+            if not np.any(levels) and rd is None:
+                rec_res = np.zeros((size, size), np.int64)
         else:
             is_dst = (plane == 0 and size == 4 and self.cu_is_intra)
             coefs = T.forward_transform(resid, cfg.bit_depth, is_dst=is_dst)
@@ -705,7 +756,13 @@ class IntraFrameEncoder:
                 rec_res = T.inverse_transform(d, cfg.bit_depth,
                                               is_dst=is_dst)
             else:
-                rec_res = 0
+                rec_res = np.zeros((size, size), np.int64)
+        if plane == 0:
+            self._last_luma_res = np.asarray(rec_res, np.int64)
+        if cross is not None and cross[0]:
+            # reference accumulates into the int16 coeff buffer
+            rec_res = np.asarray(rec_res + cross_add).astype(np.int16) \
+                .astype(np.int64)
         rec = np.clip(pred + rec_res, 0, (1 << cfg.bit_depth) - 1)
         self.recon[plane][y:y + size, x:x + size] = rec
         return levels, ts
@@ -736,20 +793,36 @@ class IntraFrameEncoder:
         node["luma_mode"] = mode
         node["tqb"] = self.cu_tqb
         if self.cfg.chroma_format_idc == 3:
-            node["chroma_levels"] = self._chroma_tu(x0, y0, size)
+            cross = None
+            cidx = self._enc_chroma_idx_at(x0, y0)
+            if (self.cfg.cross_component and
+                    np.any(node["luma_levels"]) and
+                    ((not self.cu_is_intra) or cidx == 4)):
+                pick = (0, 1, -1, 2, -4, 8, -8)
+                cross = (int(self.rng.choice(pick)),
+                         int(self.rng.choice(pick)))
+            node["cross"] = cross
+            node["chroma_levels"] = self._chroma_tu(
+                x0, y0, size, cross=cross)
         elif log2 > 2:
             node["chroma_levels"] = self._chroma_tu(x0, y0, size >> 1)
 
-    def _chroma_tu(self, x0, y0, csize):
+    def _chroma_tu(self, x0, y0, csize, cross=None):
         """Returns ([(cb_levels, ts)], [(cr_levels, ts)]) — one entry per
         chroma TB (two stacked TBs in 4:2:2), closed-loop in decode
-        order (all cb TBs then all cr TBs, hevc.c:1302/1335)."""
+        order (all cb TBs then all cr TBs, hevc.c:1302/1335). cross:
+        (scale_cb, scale_cr) for RExt cross-component prediction."""
         h, v = self.cfg.hshift1, self.cfg.vshift1
         n_c = 2 if self.cfg.chroma_format_idc == 2 else 1
         mc = self._chroma_mode_at(x0, y0) if self.cu_is_intra else -1
-        cbs = [self._tu_levels(1, x0 >> h, (y0 >> v) + i * csize, csize, mc)
+        ylr = getattr(self, "_last_luma_res", None)
+        xc = (None if cross is None else (cross[0], ylr),
+              None if cross is None else (cross[1], ylr))
+        cbs = [self._tu_levels(1, x0 >> h, (y0 >> v) + i * csize, csize,
+                               mc, cross=xc[0])
                for i in range(n_c)]
-        crs = [self._tu_levels(2, x0 >> h, (y0 >> v) + i * csize, csize, mc)
+        crs = [self._tu_levels(2, x0 >> h, (y0 >> v) + i * csize, csize,
+                               mc, cross=xc[1])
                for i in range(n_c)]
         return (cbs, crs)
 
@@ -806,20 +879,35 @@ class IntraFrameEncoder:
             self._emit_chroma(node["chroma_levels"], clog2,
                               self._chroma_mode_at(node["x"], node["y"])
                               if self.cu_is_intra else -1,
-                              node.get("tqb", False))
+                              node.get("tqb", False),
+                              cross=node.get("cross"))
         elif blk_idx == 3:
             self._emit_chroma(self._find_parent(x_base, y_base), 2,
                               self.mode_c if self.cu_is_intra else -1,
                               node.get("tqb", False))
 
-    def _emit_chroma(self, chroma_levels, clog2, mc, tqb):
+    def _emit_chroma(self, chroma_levels, clog2, mc, tqb, cross=None):
         cbs, crs = chroma_levels
         scan = self._scan_for(clog2, 1, mc)
         for plane, tbs in ((1, cbs), (2, crs)):
+            if cross is not None:
+                self._emit_res_scale(plane - 1, cross[plane - 1])
             for (lvl, tsf) in tbs:
                 if np.any(lvl):
                     self._encode_residual(lvl, clog2, plane, scan,
                                           ts=tsf, tqb=tqb)
+
+    def _emit_res_scale(self, idx, v):
+        """log2_res_scale_abs_plus1 (TU, 4 ctx per comp) + sign
+        (hls_cross_component_pred inverse, hevc.c:1150)."""
+        enc = self.enc
+        k = abs(v).bit_length()      # v = +-2^(k-1), 0 -> no scale
+        for j in range(k):
+            enc.bin("log2_res_scale_abs", 4 * idx + j, 1)
+        if k < 4:
+            enc.bin("log2_res_scale_abs", 4 * idx + k, 0)
+        if v:
+            enc.bin("res_scale_sign_flag", idx, 1 if v < 0 else 0)
 
     def _find_parent(self, x_base, y_base):
         # located chroma levels stored during process at the 8x8 parent
@@ -863,6 +951,10 @@ class IntraFrameEncoder:
         if (not tqb and cfg.transform_skip and
                 log2_tr <= 2):  # pps log2_max_transform_skip default 4x4
             enc.bin("transform_skip_flag", 1 if c_idx else 0, 1 if ts else 0)
+        if (cfg.rext_rotation and ts and log2_tr == 2 and
+                self.cu_is_intra):
+            # decoder un-rotates 4x4 intra TS blocks (hevc_cabac.c:1877)
+            levels = levels[::-1, ::-1]
         size = 1 << log2_tr
         ncg = max(1, size >> 2)
         cg_scan = _CG_SCANS[(scan_idx, ncg)] if ncg > 1 else [(0, 0)]
@@ -983,7 +1075,24 @@ class IntraFrameEncoder:
             # signs (sign hiding off in encoder configs)
             for vv in vals:
                 enc.bypass(1 if vv < 0 else 0)
-            rice = 0
+            price = cfg.rext_persistent_rice
+            if price:
+                sb_type = 2 * (1 if c_idx == 0 else 0) + \
+                    (1 if (ts or tqb) else 0)
+                rice = self.stat_coeff[sb_type] >> 2
+            else:
+                rice = 0
+            rice_init = [False]
+
+            def bump(rem):
+                if price and not rice_init[0]:
+                    r0 = self.stat_coeff[sb_type] >> 2
+                    if rem >= (3 << r0):
+                        self.stat_coeff[sb_type] += 1
+                    elif 2 * rem < (1 << r0) and self.stat_coeff[sb_type]:
+                        self.stat_coeff[sb_type] -= 1
+                    rice_init[0] = True
+
             for m in range(n_sig):
                 a = abs(vals[m])
                 if m < 8:
@@ -995,12 +1104,14 @@ class IntraFrameEncoder:
                         rem = a - base
                         self._encode_remaining(rem, rice)
                         if a > (3 << rice):
-                            rice = min(rice + 1, 4)
+                            rice = rice + 1 if price else min(rice + 1, 4)
+                        bump(rem)
                 else:
                     rem = a - 1
                     self._encode_remaining(rem, rice)
                     if a > (3 << rice):
-                        rice = min(rice + 1, 4)
+                        rice = rice + 1 if price else min(rice + 1, 4)
+                    bump(rem)
 
     def _sig_ctx_base(self, c_idx, log2_tr, scan_idx, x_cg, y_cg, prev_sig):
         if c_idx == 0:
@@ -1079,7 +1190,10 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         tile_rows=1, chroma_format_idc=1,
                         scaling_list=None, num_slices=1,
                         dependent_slices=False,
-                        cu_qp_delta_depth=None) -> bytes:
+                        cu_qp_delta_depth=None, rext_rotation=False,
+                        rext_implicit_rdpcm=False,
+                        rext_persistent_rice=False,
+                        cross_component=False) -> bytes:
     # NOTE: the reference decoder never clears its is_pcm no-filter map
     # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
     # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
@@ -1107,7 +1221,11 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         wpp=wpp, tile_cols=tile_cols, tile_rows=tile_rows,
                         scaling_list=scaling_list,
                         dependent_slices=dependent_slices,
-                        cu_qp_delta_depth=cu_qp_delta_depth)
+                        cu_qp_delta_depth=cu_qp_delta_depth,
+                        rext_rotation=rext_rotation,
+                        rext_implicit_rdpcm=rext_implicit_rdpcm,
+                        rext_persistent_rice=rext_persistent_rice,
+                        cross_component=cross_component)
     rng = np.random.default_rng(seed)
     out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)
     enc = IntraFrameEncoder(cfg, rng)

@@ -24,6 +24,9 @@ def residual_planes(fs: FrameSymbols):
            np.zeros((ch, cw), np.int32)]
     bd = sps.bit_depth
     sl = fs.active_scaling()
+    luma_res = {}       # (x, y, log2) -> residual (cross-component pred)
+    cross_on = bool(getattr(fs.pps, "cross_component_prediction_enabled",
+                            0))
     for cb in fs.coeff_blocks:
         s = 1 << cb.log2_size
         # scaling matrix applies except for transform-skip TBs larger
@@ -43,6 +46,14 @@ def residual_planes(fs: FrameSymbols):
         else:
             d = T.dequant(cb.levels, cb.log2_size, cb.qp, bd, scaling=m)
             r = T.inverse_transform(d, bd, is_dst=cb.is_dst)
+        if cross_on:
+            if cb.plane == 0:
+                luma_res[(cb.x, cb.y, cb.log2_size)] = r
+            elif cb.cross_scale:
+                ylr = luma_res.get((cb.x, cb.y, cb.log2_size))
+                if ylr is not None:
+                    # int16 accumulate like the reference's coeffs buffer
+                    r = (r + ((cb.cross_scale * ylr) >> 3)).astype(np.int16)
         res[cb.plane][cb.y:cb.y + s, cb.x:cb.x + s] = r
     return res
 

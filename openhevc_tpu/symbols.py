@@ -30,6 +30,7 @@ class CoeffBlock:
     rdpcm_mode: int       # -1 none, 0 horizontal, 1 vertical
     levels: np.ndarray    # int32 [s, s] raster order
     matrix_id: int = 0    # 3*(pred!=intra)+cIdx (hevc_cabac.c:1487-1489)
+    cross_scale: int = 0  # RExt cross-component res_scale_val (hevc.c:1150)
 
 
 @dataclass

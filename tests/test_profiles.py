@@ -330,3 +330,68 @@ def test_rext_422_jax_engine():
         for p, (got, want) in enumerate(zip(mine[i].cropped(),
                                             ref_planes(f))):
             assert np.array_equal(got, want), (i, p)
+
+
+@pytest.mark.parametrize("rot,rdpcm,rice,ts,tqb,qp", [
+    (False, False, True, True, False, 10),   # persistent Rice, low QP
+    (True, False, False, True, False, 30),   # TS rotation (4x4 intra)
+    (True, True, False, True, False, 28),    # rotation + TS implicit RDPCM
+    (False, True, False, False, True, 26),   # lossless implicit RDPCM
+    (True, True, True, True, True, 12),      # everything at once
+])
+def test_rext_tools(rot, rdpcm, rice, ts, tqb, qp):
+    """RExt SPS tools: transform-skip rotation (hevc_cabac.c:1877),
+    implicit RDPCM with the reference's exact gates (:1868-1892), and
+    persistent Rice adaptation (:1716-1786); vs the reference decoder."""
+    import numpy as np
+    from conftest import make_frames, ref_decode, ref_planes
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    from openhevc_tpu.decoder import Decoder
+    rng = np.random.default_rng(141)
+    W, H = 64, 64
+    frames = make_frames(W, H, 2, rng, smooth=False)
+    data, recons = encode_intra_stream(
+        frames, W, H, qp=qp, ctb_log2=4, seed=141, transform_skip=ts,
+        transquant_bypass=tqb, rext_rotation=rot,
+        rext_implicit_rdpcm=rdpcm, rext_persistent_rice=rice)
+    ref = ref_decode(data)
+    d = Decoder("np")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 2
+    for i, f in enumerate(ref):
+        for p, (got, want, rec) in enumerate(zip(
+                ref_planes(f), mine[i].cropped(), recons[i])):
+            assert np.array_equal(np.asarray(got, np.int64), rec), \
+                f"reference != encoder recon f{i} p{p}"
+            assert np.array_equal(np.asarray(want, np.int64), rec), \
+                f"ours != encoder recon f{i} p{p}"
+
+
+def test_cross_component_prediction():
+    """RExt cross-component prediction (4:4:4): per-TU res_scale syntax,
+    chroma residual += (scale * luma residual) >> 3, including the
+    zero-cbf synthesis path (hevc.c:1295-1362); vs the reference."""
+    import numpy as np
+    from conftest import make_frames, ref_decode, ref_planes
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    from openhevc_tpu.decoder import Decoder
+    rng = np.random.default_rng(151)
+    W, H = 64, 64
+    frames = [(rng.integers(0, 256, (H, W), dtype=np.uint8),
+               rng.integers(0, 256, (H, W), dtype=np.uint8),
+               rng.integers(0, 256, (H, W), dtype=np.uint8))
+              for _ in range(2)]
+    data, recons = encode_intra_stream(frames, W, H, qp=30, ctb_log2=4,
+                                       seed=151, chroma_format_idc=3,
+                                       cross_component=True)
+    ref = ref_decode(data)
+    d = Decoder("np")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 2
+    for i, f in enumerate(ref):
+        for p, (got, want, rec) in enumerate(zip(
+                ref_planes(f), mine[i].cropped(), recons[i])):
+            assert np.array_equal(np.asarray(got, np.int64), rec), \
+                f"reference != encoder recon f{i} p{p}"
+            assert np.array_equal(np.asarray(want, np.int64), rec), \
+                f"ours != encoder recon f{i} p{p}"
