@@ -23,7 +23,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="openhevc_tpu",
         description="TPU-native HEVC decoder (openHEVC CLI parity)")
-    ap.add_argument("-i", "--input", required=True, help="Annex-B .265/.bin")
+    ap.add_argument("-i", "--input", required=True,
+                    help="Annex-B .265/.bin or .mp4/.mov (HEVC track)")
     ap.add_argument("-o", "--output", help="write decoded planar YUV")
     ap.add_argument("-n", "--no-display", action="store_true",
                     help="no display (accepted for parity; no SDL here)")
@@ -48,6 +49,12 @@ def main(argv=None):
     dec.set_active_decoders(args.layer)
     dec.set_view_layers(args.layer)
     dec.start()
+    # MP4/MOV input: extract the HEVC track (mov.c role)
+    from openhevc_tpu.container import is_mp4, demux_mp4
+    if is_mp4(data):
+        hvcc, samples, _nls = demux_mp4(data)
+        dec.copy_extradata(hvcc)
+        data = b"".join(samples)
 
     out_f = open(args.output, "wb") if args.output else None
     n_frames = 0

@@ -1,0 +1,1 @@
+from .mp4 import demux_mp4, mux_mp4, is_mp4  # noqa: F401

@@ -123,3 +123,57 @@ def test_au_parser():
         aus2 += p.feed(data[i:i + 7])
     aus2 += p.flush()
     assert aus2 == aus
+
+
+def test_mp4_roundtrip(tmp_path):
+    """MP4 mux/demux (container/mp4.py, the mov.c role): wrap an encoded
+    stream into ISO-BMFF, demux it back, decode via hvcC extradata +
+    length-prefixed samples, and drive the CLI on the .mp4 file."""
+    import numpy as np
+    import subprocess, sys
+    from conftest import make_frames
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    from openhevc_tpu.encoder.hevc_enc import (EncoderConfig, write_vps,
+                                               write_sps, write_pps)
+    from openhevc_tpu.container import mux_mp4, demux_mp4, is_mp4
+    from openhevc_tpu.container.mp4 import (make_hvcc,
+                                            annexb_to_length_prefixed)
+    from openhevc_tpu.bitstream.au_parser import AuParser
+    from openhevc_tpu.decoder import Decoder, split_nals
+    rng = np.random.default_rng(161)
+    W, H = 64, 64
+    frames = make_frames(W, H, 3, rng)
+    data, recons = encode_intra_stream(frames, W, H, qp=30, ctb_log2=4,
+                                       seed=161)
+    # split into AUs; parameter sets go into hvcC
+    p = AuParser()
+    aus = p.feed(data) + p.flush()
+    ps = {t: n for n in split_nals(aus[0]) if
+          (t := (n[0] >> 1) & 0x3F) in (32, 33, 34)}
+    hvcc = make_hvcc(ps[32], ps[33], ps[34])
+    samples = [annexb_to_length_prefixed(au) for au in aus]
+    mp4 = mux_mp4(samples, hvcc, W, H)
+    assert is_mp4(mp4)
+    hvcc2, samples2, nls = demux_mp4(mp4)
+    assert hvcc2 == hvcc and samples2 == samples and nls == 4
+    d = Decoder("np")
+    d.set_extradata(hvcc2)
+    pics = []
+    for s in samples2:
+        pics += d.decode(s)
+    pics += d.flush()
+    assert len(pics) == 3
+    for i, pic in enumerate(pics):
+        for p_, (got, want) in enumerate(zip(pic.cropped(), recons[i])):
+            assert np.array_equal(got, want), (i, p_)
+    # CLI end-to-end on the mp4
+    f = tmp_path / "t.mp4"
+    f.write_bytes(mp4)
+    out = tmp_path / "o.yuv"
+    r = subprocess.run([sys.executable, "-m", "openhevc_tpu", "-i", str(f),
+                        "-o", str(out), "-e", "np", "-c"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    want = b"".join(np.asarray(pl, np.uint8).tobytes()
+                    for rec in recons for pl in rec)
+    assert out.read_bytes() == want
