@@ -93,6 +93,13 @@ class Decoder:
         self.max_ra = float("inf")   # RASL gate (s->max_ra, hevc.c:3375)
         self.is_nalff = False        # length-prefixed NALs (hvcC input)
         self.nal_length_size = 4
+        # 1-deep decode pipeline (the frame-thread analogue,
+        # pthread_frame.c:325): the completed picture's reconstruction
+        # (device dispatch) runs on the main thread while the NEXT
+        # slice's CABAC parse runs in a worker (the native core releases
+        # the GIL). Pending = (fs, pic, refs_snapshot, il_planes).
+        self._pending = None
+        self._parse_executor = None
 
     # -- extradata (hvcC / Annex-B) ----------------------------------------
     def set_extradata(self, data: bytes):
@@ -295,10 +302,19 @@ class Decoder:
                  getattr(pps, "cross_component_prediction_enabled", 0))
         if use_native:
             from .bitstream.native import parse_slice_native
-            fs = parse_slice_native(rbsp, sps, pps, sh, nal_type, poc,
-                                    ref_list=acc["ref_list"])
+            if self._parse_executor is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._parse_executor = ThreadPoolExecutor(max_workers=1)
+            fut = self._parse_executor.submit(
+                parse_slice_native, rbsp, sps, pps, sh, nal_type, poc,
+                ref_list=acc["ref_list"])
+            # overlap: reconstruct+emit the previous picture while the
+            # worker parses this one
+            self._flush_pending()
+            fs = fut.result()
             acc["n_parsed"] = n_ctb
         else:
+            self._flush_pending()
             if not sh.dependent:
                 acc["slice_no"] += 1
             start_ts = sh.segment_address  # == rs in tile-scan-free case
@@ -320,14 +336,36 @@ class Decoder:
         if acc["n_parsed"] < n_ctb:
             return                      # picture continues in next NAL
         self._acc = None
-        planes = self._reconstruct(fs)
-        pic = DecodedPicture(poc=poc, planes=planes, sps=sps,
+        self._finish_picture(fs, poc, sps)
+
+    def _finish_picture(self, fs, poc, sps):
+        """Parse of this picture is complete: register it in the DPB
+        (planes still pending) and stash the reconstruction work. The
+        refs snapshot pins the reference pictures this picture needs, so
+        later IDR resets / evictions cannot invalidate the deferred
+        reconstruct."""
+        refs = {p: pic.planes for p, pic in self.ref_pics.items()
+                if pic.planes is not None}
+        il = getattr(self, "_il_planes", None)
+        if il:
+            refs.update(il)     # inter-layer ref (same poc as current)
+            self._il_planes = None
+        pic = DecodedPicture(poc=poc, planes=None, sps=sps,
                              motion=self._motion_of(fs))
         self.ref_pics[poc] = pic
         # simple sliding-window eviction (DPB capacity)
         while len(self.ref_pics) > 17:
             del self.ref_pics[min(self.ref_pics)]
-        self._bump(pic, sps)
+        self._pending = (fs, pic, refs)
+
+    def _flush_pending(self):
+        p = self._pending
+        if p is None:
+            return
+        self._pending = None
+        fs, pic, refs = p
+        pic.planes = self._reconstruct(fs, refs)
+        self._bump(pic, pic.sps)
 
     def _missing_ref(self, poc, sps):
         """Concealment frame: mid-gray planes + zero motion
@@ -367,7 +405,9 @@ class Decoder:
         (ff_hevc_set_new_iter_layer_ref behavior; marked long-term with
         the EL's own POC, hevc_refs.c:748)."""
         bl_pic = self.shvc_bl.ref_pics.get(poc)
-        if bl_pic is None:
+        if bl_pic is not None and bl_pic.planes is None:
+            self.shvc_bl._flush_pending()   # BL picture still pending
+        if bl_pic is None or bl_pic.planes is None:
             return None
         from .ops.upsample_np import upsample_il_frame
         planes = upsample_il_frame(bl_pic.planes, el_sps.width,
@@ -429,13 +469,7 @@ class Decoder:
             l1 = []
         return [l0, l1]
 
-    def _reconstruct(self, fs):
-        refs = {p: pic.planes for p, pic in
-                getattr(self, "ref_pics", {}).items()}
-        il = getattr(self, "_il_planes", None)
-        if il:
-            refs.update(il)         # inter-layer ref (same poc as current)
-            self._il_planes = None
+    def _reconstruct(self, fs, refs):
         if self.engine == "np":
             from .models.recon_np import reconstruct
             return reconstruct(fs, ref_planes=refs)
@@ -496,6 +530,7 @@ class Decoder:
         return out
 
     def flush(self):
+        self._flush_pending()
         out = self.output + self.dpb
         self.output, self.dpb = [], []
         return out

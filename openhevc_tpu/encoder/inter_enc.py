@@ -557,6 +557,7 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
         recons.append([p.copy() for p in enc.recon])
         if self_dec is not None:
             self_dec.decode(nal)
+            self_dec._flush_pending()   # force the pipelined recon now
             filtered.append([np.asarray(p, np.int64)
                              for p in self_dec.ref_pics[i].planes])
         else:

@@ -597,20 +597,19 @@ class FetchPool:
 
     @staticmethod
     def _fetch(ps):
-        by_len: dict = {}
+        # Issue async D2H copies for the whole burst first: the runtime
+        # overlaps the per-fetch completion windows, so a burst of k
+        # frames pays ~one window + wire, with no stacking compile.
         for p in ps:
-            by_len.setdefault(p._flat.shape[0], []).append(p)
-        for group in by_len.values():
             try:
-                if len(group) == 1:
-                    group[0]._set_host(np.asarray(group[0]._flat))
-                else:
-                    host = np.asarray(jnp.stack([p._flat for p in group]))
-                    for i, p in enumerate(group):
-                        p._set_host(host[i])
+                p._flat.copy_to_host_async()
+            except BaseException:
+                pass                       # surfaced by np.asarray below
+        for p in ps:
+            try:
+                p._set_host(np.asarray(p._flat))
             except BaseException as e:     # propagate into consumers
-                for p in group:
-                    p._fail(e)
+                p._fail(e)
 
 
 class LazyPlanes:
