@@ -703,6 +703,25 @@ def _pack_arena(buckets):
     return arena8, arena16, esc, tuple(caps)
 
 
+def _acc_add(a, b):
+    """Sum two [>=H, >=W] per-size residual maps of differing pad dims."""
+    h, w = max(a.shape[0], b.shape[0]), max(a.shape[1], b.shape[1])
+    if a.shape != (h, w):
+        a = jnp.pad(a, ((0, h - a.shape[0]), (0, w - a.shape[1])))
+    if b.shape != (h, w):
+        b = jnp.pad(b, ((0, h - b.shape[0]), (0, w - b.shape[1])))
+    return a + b
+
+
+def _acc_add2(a, b):
+    h, w = max(a.shape[1], b.shape[1]), max(a.shape[2], b.shape[2])
+    if a.shape[1:] != (h, w):
+        a = jnp.pad(a, ((0, 0), (0, h - a.shape[1]), (0, w - a.shape[2])))
+    if b.shape[1:] != (h, w):
+        b = jnp.pad(b, ((0, 0), (0, h - b.shape[1]), (0, w - b.shape[2])))
+    return a + b
+
+
 @partial(jax.jit, static_argnames=("caps", "hl", "wl", "hc", "wc", "H", "W",
                                    "Hc", "Wc", "bd", "npad", "prefill",
                                    "filters", "cs", "bdc"))
@@ -715,8 +734,12 @@ def _frame_fused(arena8, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
     ~80 MB/s up / ~40 MB/s down, so inputs ship as int8 levels (+escape
     scatter) and int16 sideband."""
     from ..ops.intra_fused import _build, OY, OX
-    res_l = jnp.zeros((hl, wl), jnp.int32)
-    res_c = jnp.zeros((2, hc, wc), jnp.int32)
+    # slot-granular scatter: TUs of size s are s-aligned in their plane,
+    # so each lands in exactly one cell of a [Hg*Wg, s, s] grid — XLA
+    # lowers the slot scatter with whole-(s,s)-window updates instead of
+    # per-element index arithmetic (was ~6 ms/frame, now <1).
+    acc_l = None         # [>=H, >=W] luma residual, accumulated per size
+    acc_c = None         # [2, >=Hc, >=Wc]
     a8 = arena8.astype(jnp.int32)
     a = arena16.astype(jnp.int32)
     esc = escs.reshape(-1, 2)
@@ -747,19 +770,30 @@ def _frame_fused(arena8, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
             off += cap * s * s
         r = residual_bucket(lv, qp, fl[:, 0], fl[:, 1], fl[:, 2],
                             fl[:, 3], fl[:, 4], s=s, bit_depth=bd, sm=sm)
-        ar = jnp.arange(s)
-        yl = jnp.where(plane == 0, y + OY, FAR)[:, None, None] + \
-            ar[None, :, None]
-        xl = jnp.where(plane == 0, x + OX, FAR)[:, None, None] + \
-            ar[None, None, :]
-        res_l = res_l.at[yl, xl].add(r, mode="drop")
-        yc = jnp.where(plane > 0, y + OY, FAR)[:, None, None] + \
-            ar[None, :, None]
-        xc = jnp.where(plane > 0, x + OX, FAR)[:, None, None] + \
-            ar[None, None, :]
-        pb = jnp.maximum(plane - 1, 0)[:, None, None] * \
-            jnp.ones((cap, s, s), jnp.int32)
-        res_c = res_c.at[pb, yc, xc].add(r, mode="drop")
+        hg, wg = -(-H // s), -(-W // s)
+        slot_l = jnp.where(plane == 0, (y // s) * wg + x // s,
+                           1 << 30)   # out of range => dropped (NOT -1:
+                                      # negative in-range indices wrap)
+        gl = jnp.zeros((hg * wg, s, s), jnp.int32) \
+            .at[slot_l].add(r, mode="drop") \
+            .reshape(hg, wg, s, s).transpose(0, 2, 1, 3) \
+            .reshape(hg * s, wg * s)
+        acc_l = gl if acc_l is None else _acc_add(acc_l, gl)
+        hgc, wgc = -(-Hc // s), -(-Wc // s)
+        slot_c = jnp.where((plane > 0) & (plane < 3),
+                           (plane - 1) * hgc * wgc +
+                           (y // s) * wgc + x // s, 1 << 30)
+        gc = jnp.zeros((2 * hgc * wgc, s, s), jnp.int32) \
+            .at[slot_c].add(r, mode="drop") \
+            .reshape(2, hgc, wgc, s, s).transpose(0, 1, 3, 2, 4) \
+            .reshape(2, hgc * s, wgc * s)
+        acc_c = gc if acc_c is None else _acc_add2(acc_c, gc)
+    res_l = jnp.zeros((hl, wl), jnp.int32)
+    res_c = jnp.zeros((2, hc, wc), jnp.int32)
+    if acc_l is not None:
+        res_l = res_l.at[OY:OY + H, OX:OX + W].set(acc_l[:H, :W])
+        res_c = res_c.at[:, OY:OY + Hc, OX:OX + Wc].set(
+            acc_c[:, :Hc, :Wc])
     if prefill:
         luma, chroma = pre_l, pre_c
     else:

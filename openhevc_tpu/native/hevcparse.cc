@@ -22,23 +22,61 @@ namespace {
 // CABAC (spec-form engine; parity with bitstream/cabac.py)
 // ---------------------------------------------------------------------------
 struct Cabac {
+    // 64-bit bit-cache front end: `cache` holds the next `ncache` stream
+    // bits in its MSBs (positions [bitpos, bitpos+ncache)); renorm pulls
+    // whole shift counts with one lzcnt instead of bit-at-a-time reads.
     const uint8_t* data;
     int64_t nbits;
-    int64_t bitpos;
+    int64_t bitpos;          // logical bits consumed (drives substream
+                             // boundaries via consumed_bytes())
     uint32_t range, offset;
+    uint64_t cache;
+    int ncache;
+
+    inline void refill() {
+        // append 4 bytes' worth of bits after the cached window
+        int64_t next = bitpos + ncache;          // first uncached bit
+        int64_t byte = next >> 3;
+        int64_t nbytes = (nbits + 7) >> 3;
+        uint64_t v;
+        if (byte + 4 <= nbytes) {
+            v = ((uint64_t)data[byte] << 24) |
+                ((uint64_t)data[byte + 1] << 16) |
+                ((uint64_t)data[byte + 2] << 8) |
+                (uint64_t)data[byte + 3];
+        } else {
+            v = 0;
+            for (int k = 0; k < 4; k++)
+                v = (v << 8) | (byte + k < nbytes ? data[byte + k] : 0);
+        }
+        v <<= 32 + (next & 7);                   // drop consumed head bits
+        cache |= v >> ncache;
+        ncache += 32 - (int)(next & 7);
+    }
+    inline uint32_t take(int n) {                // n in 1..24
+        if (ncache < n) refill();
+        uint32_t v = (uint32_t)(cache >> (64 - n));
+        cache <<= n;
+        ncache -= n;
+        bitpos += n;
+        // bits past the stream end read as 0, as in the bit-serial engine
+        if (bitpos > nbits) {
+            int64_t over = bitpos - nbits;
+            if (over >= n) v = 0;
+            else v &= ~0u << over;   // zero the tail bits that ran past end
+        }
+        return v;
+    }
+    inline int bit() { return (int)take(1); }
 
     void reinit(int64_t start_bit) {
         bitpos = start_bit;
+        cache = 0;
+        ncache = 0;
         range = 510;
-        offset = 0;
-        for (int i = 0; i < 9; i++) offset = (offset << 1) | bit();
+        offset = take(9);
     }
-    inline int bit() {
-        int64_t p = bitpos++;
-        if (p >= nbits) return 0;
-        return (data[p >> 3] >> (7 - (p & 7))) & 1;
-    }
-    inline int decode_bin(uint8_t* ctx, int idx) {
+    inline int decode_bin(uint8_t* __restrict ctx, int idx) {
         uint8_t s = ctx[idx];
         int p_state = s >> 1, val_mps = s & 1;
         uint32_t lps = LPS_RANGE[p_state * 4 + ((range >> 6) & 3)];
@@ -54,11 +92,15 @@ struct Cabac {
             bin_val = val_mps;
             ctx[idx] = (uint8_t)((TRANS_MPS[p_state] << 1) | val_mps);
         }
-        while (range < 256) { range <<= 1; offset = (offset << 1) | bit(); }
+        if (range < 256) {
+            int sh = __builtin_clz(range) - 23;  // renorm shift, 1..7
+            range <<= sh;
+            offset = (offset << sh) | take(sh);
+        }
         return bin_val;
     }
     inline int bypass() {
-        offset = (offset << 1) | bit();
+        offset = (offset << 1) | take(1);
         if (offset >= range) { offset -= range; return 1; }
         return 0;
     }
@@ -70,7 +112,7 @@ struct Cabac {
     inline int terminate() {
         range -= 2;
         if (offset >= range) return 1;
-        while (range < 256) { range <<= 1; offset = (offset << 1) | bit(); }
+        if (range < 256) { range <<= 1; offset = (offset << 1) | take(1); }
         return 0;
     }
     inline int64_t consumed_bytes() const { return (bitpos + 7) >> 3; }

@@ -76,28 +76,40 @@ def residual_bucket(levels, qp, is_dst, tskip, bypass, rdpcm_vert, has_rdpcm,
                   jnp.clip(prod, -(1 << 20), 1 << 20)
                   << jnp.maximum(-e, 0))
     d = _clip16(d)
-    # --- full inverse transform path (t = L @ d, r = t @ R; both stages
-    # as flat [N*s, s] x [s, s] MXU matmuls on the transposed layout:
-    # t.T = d.T @ L.T, so one per-block transpose feeds each stage) ---
+    # --- full inverse transform path ---------------------------------------
+    # Both stages are expressed as right-multiplications by the 128x128
+    # block-diagonal kron(I_G, M) with G = 128//s blocks per group, so the
+    # MXU contraction depth is always 128 (a flat [n*s, s] x [s, s] matmul
+    # uses s/128 of the systolic array; this formulation uses all of it).
+    # DCT:  t = M^T d  -> r = t M     <=>  both stages right-mult by M on
+    # the per-stage transposed layout;  DST4: both stages by M^T.
     n = levels.shape[0]
     shift2 = 20 - bit_depth
+    G = 128 // s
+    npad_ = -(-n // G) * G
+    dp = jnp.pad(d, ((0, npad_ - n), (0, 0), (0, 0)))
+    nG = npad_ // G
 
-    def _two_stage(dT_flat, m1_f32, m2_f32):
-        tT = _immul(dT_flat, m1_f32)                     # rows (n,k) x i
-        tT = _clip16((tT + 64) >> 7)
-        t = tT.reshape(n, s, s).transpose(0, 2, 1).reshape(n * s, s)
-        r = _immul(t, m2_f32)                            # rows (n,i) x k
-        return _clip16((r + (1 << (shift2 - 1))) >> shift2)
+    def _kron(m):
+        return np.kron(np.eye(G, dtype=np.float32),
+                       np.asarray(m, np.float32))
 
-    dT = d.transpose(0, 2, 1).reshape(n * s, s)
-    dct_f = jnp.asarray(DCT[s], jnp.float32)             # = L.T for DCT
-    r_full = _two_stage(dT, dct_f, dct_f)
+    def _two_stage(bd_f32):
+        # rows (g, c) x cols (b, k): XT[(g,c),(b,k)] = d[gG+b, k, c]
+        xt = dp.reshape(nG, G, s, s).transpose(0, 3, 1, 2) \
+               .reshape(nG * s, G * s)
+        t1 = _clip16((_immul(xt, bd_f32) + 64) >> 7)     # rows (g,c), (b,i)
+        # rearrange to rows (g, i) x cols (b, c) for the second contraction
+        x2 = t1.reshape(nG, s, G, s).transpose(0, 3, 2, 1) \
+               .reshape(nG * s, G * s)
+        r2 = _clip16((_immul(x2, bd_f32) + (1 << (shift2 - 1))) >> shift2)
+        return r2.reshape(nG, s, G, s).transpose(0, 2, 1, 3) \
+                 .reshape(npad_, s, s)[:n]
+
+    r_full = _two_stage(jnp.asarray(_kron(DCT[s])))
     if s == 4:
-        dstT_f = jnp.asarray(DST4.T, jnp.float32)        # = L.T for DST
-        r_dst = _two_stage(dT, dstT_f, dstT_f)
-        sel = jnp.broadcast_to(is_dst[:, None], (n, s)).reshape(n * s)
-        r_full = jnp.where(sel[:, None], r_dst, r_full)
-    r_full = r_full.reshape(n, s, s)
+        r_dst = _two_stage(jnp.asarray(_kron(DST4.T)))
+        r_full = jnp.where(is_dst[:, None, None], r_dst, r_full)
     # --- transform-skip path (hevcdsp_template.c:139 behavior) ---
     ts_shift = 15 - bit_depth - log2s
     if ts_shift > 0:
