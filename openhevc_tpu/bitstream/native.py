@@ -81,11 +81,55 @@ def ensure_built():
     _lib.hevc_parse_slice.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(_SliceParams), ctypes.POINTER(_Outputs)]
+    _lib.hevc_pack_frame.restype = ctypes.c_int
+    _lib.hevc_pack_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,   # cb_meta/levels
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,   # ij meta/avail
+        ctypes.c_int32,                                     # strong smooth
+        ctypes.c_void_p, ctypes.c_int32,                    # arena8
+        ctypes.c_void_p, ctypes.c_int32,                    # arena16
+        ctypes.c_void_p, ctypes.c_int32,                    # esc
+        ctypes.c_void_p, ctypes.c_int32,                    # meta
+        ctypes.c_void_p, ctypes.c_void_p]                   # caps/used
     return _lib
 
 
 def _ptr(arr):
     return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
+    """Call hevc_pack_frame: per-size residual arenas + [16, npad] intra
+    meta in the exact _frame_fused upload layout (no scaling lists)."""
+    a8 = np.empty(o.lvl_used + 255 * (16 + 64 + 256 + 1024) + 64, np.int8)
+    a16 = np.empty(9 * o.n_cb + 9 * 4 * 272 + 16, np.int16)
+    npad = max(1024, -(-o.n_ij // 1024) * 1024)
+    meta = np.empty(16 * npad, np.int16)
+    caps = np.zeros(16, np.int32)
+    used = np.zeros(4, np.int32)
+    esc_cap = 8192
+    while True:
+        esc = np.empty(esc_cap, np.int32)
+        rc = lib.hevc_pack_frame(
+            _ptr(cb_meta), o.n_cb, _ptr(cb_levels),
+            _ptr(ij_meta), _ptr(ij_avail), o.n_ij,
+            1 if sps.strong_intra_smoothing else 0,
+            _ptr(a8), a8.size, _ptr(a16), a16.size,
+            _ptr(esc), esc_cap, _ptr(meta), meta.size,
+            _ptr(caps), _ptr(used))
+        if rc == 0:
+            break
+        if esc_cap > (o.lvl_used + 1) * 4:
+            raise ValueError("native frame pack failed")
+        esc_cap *= 8
+    return dict(
+        arena8=a8[:used[0]] if used[0] else np.zeros(1, np.int8),
+        arena16=a16[:used[1]] if used[1] else np.zeros(1, np.int16),
+        esc=esc[:used[2]] if used[2] else np.zeros(2, np.int32),
+        caps=tuple(tuple(int(v) for v in caps[i * 4:(i + 1) * 4])
+                   for i in range(4)),
+        meta=meta.reshape(16, npad),
+        n=int(o.n_ij))
 
 
 def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
@@ -159,13 +203,16 @@ def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
     pcm_cap = max(256, ng // 4)
     pcm_arena = max(1 << 16, 2 * n_pix)
     pb_cap = max(256, ng)
-    cb_meta = np.zeros(cb_cap * 8, np.int32)
-    cb_levels = np.zeros(lvl_cap, np.int16)
-    ij_meta = np.zeros(ij_cap * 8, np.int32)
-    ij_avail = np.zeros(ij_cap * 132, np.uint8)
-    pcm_meta = np.zeros(pcm_cap * 3, np.int32)
-    pcm_samples = np.zeros(pcm_arena, np.uint16)
-    pb = np.zeros(pb_cap * 12, np.int32)
+    # np.empty: the used prefix of every arena is fully written by the
+    # native core (records write all fields; levels/avail are memset per
+    # block) — avoids ~8 MB/frame of calloc page-fault cost
+    cb_meta = np.empty(cb_cap * 8, np.int32)
+    cb_levels = np.empty(lvl_cap, np.int16)
+    ij_meta = np.empty(ij_cap * 8, np.int32)
+    ij_avail = np.empty(ij_cap * 132, np.uint8)
+    pcm_meta = np.empty(pcm_cap * 3, np.int32)
+    pcm_samples = np.empty(pcm_arena, np.uint16)
+    pb = np.empty(pb_cap * 12, np.int32)
 
     o = _Outputs()
     for name, a in (("ipm", g["ipm"]), ("pred_mode", g["pred_mode"]),
@@ -234,6 +281,14 @@ def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
         ij_meta=ij_meta[:o.n_ij * 8].reshape(-1, 8),
         ij_avail=ij_avail[:o.n_ij * 132].reshape(-1, 132),
         n_levels=int(ij_meta[6:o.n_ij * 8:8].max()) if o.n_ij else 0)
+    # device-upload layouts packed natively (hevc_pack_frame) — the exact
+    # arena8/arena16/esc/meta byte layout _frame_fused consumes; Python
+    # packers (_res_buckets/_pack_arena/pack_meta) remain the mirror and
+    # handle the scaling-list case
+    from .ps import active_scaling_list
+    if active_scaling_list(sps, pps) is None:
+        fs.native_pack = _pack_native(lib, o, cb_meta, cb_levels, ij_meta,
+                                      ij_avail, sps)
     # pcm
     off = 0
     hs, vs = sps.hshift1, sps.vshift1

@@ -339,7 +339,12 @@ class JaxEngine:
         hc, wc = padded_dims(Hc, Wc)
 
         # ---- residual arenas: two small uploads for the whole frame -------
-        arena8, arena16, escs, caps = _pack_arena(_res_buckets(fs))
+        np_ = fs.native_pack
+        if np_ is not None:
+            arena8, arena16, escs, caps = (np_["arena8"], np_["arena16"],
+                                           np_["esc"], np_["caps"])
+        else:
+            arena8, arena16, escs, caps = _pack_arena(_res_buckets(fs))
 
         # ---- base planes (PCM prefill; inter prediction if present) -------
         prefill = True
@@ -368,17 +373,21 @@ class JaxEngine:
             luma = chroma = None
 
         # ---- single dispatch: residual + fused intra + crop ---------------
-        if fs.native_raw is not None:
-            meta = pack_meta_native(fs.native_raw,
-                                    bool(sps.strong_intra_smoothing))
+        if np_ is not None:
+            meta, n = np_["meta"], np_["n"]
+            npad = meta.shape[1]
         else:
-            meta = pack_meta_objects(fs.intra_jobs,
-                                     bool(sps.strong_intra_smoothing))
-        n = meta.shape[1]
-        npad = _meta_bucket(n)
-        if npad != n:
-            meta = np.concatenate(
-                [meta, np.zeros((16, npad - n), meta.dtype)], axis=1)
+            if fs.native_raw is not None:
+                meta = pack_meta_native(fs.native_raw,
+                                        bool(sps.strong_intra_smoothing))
+            else:
+                meta = pack_meta_objects(fs.intra_jobs,
+                                         bool(sps.strong_intra_smoothing))
+            n = meta.shape[1]
+            npad = _meta_bucket(n)
+            if npad != n:
+                meta = np.concatenate(
+                    [meta, np.zeros((16, npad - n), meta.dtype)], axis=1)
         # in-loop filters on device when the whole-frame formulation is
         # exact for this stream (ops/filters_jax.device_filters_ok)
         from ..ops.filters_jax import device_filters_ok, prep_filters
@@ -576,24 +585,38 @@ class FetchPool:
         self._queue: list[LazyPlanes] = []
         self._thread = None
         self._threading = threading
+        self._stopped = False
 
     def add(self, lp):
         with self._cv:
             if self._thread is None:
+                import atexit
                 self._thread = self._threading.Thread(
                     target=self._loop, daemon=True)
                 self._thread.start()
+                atexit.register(self._shutdown)
             self._queue.append(lp)
             self._cv.notify()
 
     def _loop(self):
-        while True:
+        while not self._stopped:
             with self._cv:
-                while not self._queue:
+                while not self._queue and not self._stopped:
                     self._cv.wait()
                 batch = self._queue
                 self._queue = []
             self._fetch(batch)
+
+    def _shutdown(self):
+        # drain before interpreter teardown: a daemon thread killed while
+        # inside the runtime's D2H path aborts the process ("terminate
+        # called ... exception not rethrown")
+        with self._cv:
+            self._stopped = True
+            self._cv.notify_all()
+        t = self._thread
+        if t is not None and t.is_alive():
+            t.join(timeout=30)
 
     @staticmethod
     def _fetch(ps):

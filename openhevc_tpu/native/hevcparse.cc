@@ -21,12 +21,64 @@ namespace {
 // ---------------------------------------------------------------------------
 // CABAC (spec-form engine; parity with bitstream/cabac.py)
 // ---------------------------------------------------------------------------
+
+enum { RBSP_PAD = 32 };   // zero padding after the stream (bit-cache refill)
+
+// combined-state transition tables over the packed (p_state<<1 | mps) byte,
+// derived from TRANS_MPS/TRANS_LPS (tables.inc) — fold the p_state==0 MPS
+// flip into the table so decode_bin has no state-update branches
+struct NextTables {
+    uint8_t mps[128], lps[128];
+    NextTables() {
+        for (int s = 0; s < 128; s++) {
+            int p = s >> 1, m = s & 1;
+            mps[s] = (uint8_t)((TRANS_MPS[p] << 1) | m);
+            lps[s] = (uint8_t)(p == 0 ? ((TRANS_LPS[0] << 1) | (1 - m))
+                                      : ((TRANS_LPS[p] << 1) | m));
+        }
+    }
+};
+static const NextTables NEXT_TAB;
+#define NEXT_MPS NEXT_TAB.mps
+#define NEXT_LPS NEXT_TAB.lps
+
+// precomputed inverse scans (position of (x,y) in scan order) — replaces
+// the per-residual-call inverse-map construction and CG linear search
+struct InvScans {
+    uint8_t off4[3][16];      // [scan][y*4+x] -> pos within 4x4 sub-block
+    uint8_t cg[3][4][64];     // [scan][log2(ncg)][y*8+x] -> sub-block pos
+    InvScans() {
+        const uint8_t* offs[3] = {SCAN4_DIAG, SCAN4_HORIZ, SCAN4_VERT};
+        for (int s = 0; s < 3; s++)
+            for (int i = 0; i < 16; i++)
+                off4[s][offs[s][i * 2 + 1] * 4 + offs[s][i * 2]] =
+                    (uint8_t)i;
+        const uint8_t* cgs[3][4] = {
+            {nullptr, SCANCG2_DIAG, SCANCG4_DIAG, SCANCG8_DIAG},
+            {nullptr, SCANCG2_HORIZ, SCANCG4_HORIZ, SCANCG8_HORIZ},
+            {nullptr, SCANCG2_VERT, SCANCG4_VERT, SCANCG8_VERT}};
+        memset(cg, 0, sizeof(cg));
+        for (int s = 0; s < 3; s++)
+            for (int l = 1; l < 4; l++) {
+                int n = 1 << l;
+                for (int i = 0; i < n * n; i++)
+                    cg[s][l][cgs[s][l][i * 2 + 1] * 8 + cgs[s][l][i * 2]] =
+                        (uint8_t)i;
+            }
+    }
+};
+static const InvScans INV_SC;
+
 struct Cabac {
     // 64-bit bit-cache front end: `cache` holds the next `ncache` stream
     // bits in its MSBs (positions [bitpos, bitpos+ncache)); renorm pulls
     // whole shift counts with one lzcnt instead of bit-at-a-time reads.
-    const uint8_t* data;
+    const uint8_t* data;     // ZERO-PADDED past the stream end (16 bytes,
+                             // hevc_parse_slice copies into a padded
+                             // buffer) so past-end bits read as 0 with no
+                             // per-take masking
     int64_t nbits;
+    int64_t pad_bytes;       // padded buffer length
     int64_t bitpos;          // logical bits consumed (drives substream
                              // boundaries via consumed_bytes())
     uint32_t range, offset;
@@ -37,20 +89,12 @@ struct Cabac {
         // append 4 bytes' worth of bits after the cached window
         int64_t next = bitpos + ncache;          // first uncached bit
         int64_t byte = next >> 3;
-        int64_t nbytes = (nbits + 7) >> 3;
-        uint64_t v;
-        if (byte + 4 <= nbytes) {
-            v = ((uint64_t)data[byte] << 24) |
-                ((uint64_t)data[byte + 1] << 16) |
-                ((uint64_t)data[byte + 2] << 8) |
-                (uint64_t)data[byte + 3];
-        } else {
-            v = 0;
-            for (int k = 0; k < 4; k++)
-                v = (v << 8) | (byte + k < nbytes ? data[byte + k] : 0);
+        uint32_t raw = 0;
+        if (byte + 4 <= pad_bytes) {             // predicted-true guard
+            memcpy(&raw, data + byte, 4);
+            raw = __builtin_bswap32(raw);
         }
-        v <<= 32 + (next & 7);                   // drop consumed head bits
-        cache |= v >> ncache;
+        cache |= ((uint64_t)raw << (32 + (next & 7))) >> ncache;
         ncache += 32 - (int)(next & 7);
     }
     inline uint32_t take(int n) {                // n in 1..24
@@ -59,12 +103,6 @@ struct Cabac {
         cache <<= n;
         ncache -= n;
         bitpos += n;
-        // bits past the stream end read as 0, as in the bit-serial engine
-        if (bitpos > nbits) {
-            int64_t over = bitpos - nbits;
-            if (over >= n) v = 0;
-            else v &= ~0u << over;   // zero the tail bits that ran past end
-        }
         return v;
     }
     inline int bit() { return (int)take(1); }
@@ -77,21 +115,18 @@ struct Cabac {
         offset = take(9);
     }
     inline int decode_bin(uint8_t* __restrict ctx, int idx) {
-        uint8_t s = ctx[idx];
-        int p_state = s >> 1, val_mps = s & 1;
-        uint32_t lps = LPS_RANGE[p_state * 4 + ((range >> 6) & 3)];
-        range -= lps;
-        int bin_val;
-        if (offset >= range) {
-            bin_val = 1 - val_mps;
-            offset -= range;
-            range = lps;
-            if (p_state == 0) val_mps = 1 - val_mps;
-            ctx[idx] = (uint8_t)((TRANS_LPS[p_state] << 1) | val_mps);
-        } else {
-            bin_val = val_mps;
-            ctx[idx] = (uint8_t)((TRANS_MPS[p_state] << 1) | val_mps);
-        }
+        // branchless regular bin: combined-state transition tables
+        // (NEXT_MPS/NEXT_LPS over the packed (p_state<<1|mps) byte) and
+        // cmov-style selects; the only branch left is the renorm, whose
+        // take() refill the compiler keeps off the hot path
+        uint32_t s = ctx[idx];
+        uint32_t lps = LPS_RANGE[(s >> 1) * 4 + ((range >> 6) & 3)];
+        uint32_t r2 = range - lps;
+        uint32_t is_lps = (uint32_t)(offset >= r2);
+        int bin_val = (int)((s ^ is_lps) & 1);
+        offset -= r2 & (0u - is_lps);
+        range = is_lps ? lps : r2;
+        ctx[idx] = (uint8_t)(is_lps ? NEXT_LPS[s] : NEXT_MPS[s]);
         if (range < 256) {
             int sh = __builtin_clz(range) - 23;  // renorm shift, 1..7
             range <<= sh;
@@ -104,10 +139,20 @@ struct Cabac {
         if (offset >= range) { offset -= range; return 1; }
         return 0;
     }
+    inline uint32_t bypass_chunk(int n) {     // n in 1..16
+        // k bypass bits == one step of long division: extend the offset
+        // (the arithmetic-coder remainder, always < range) by k stream
+        // bits; the k-bit quotient by `range` IS the decoded bit string
+        uint64_t acc = ((uint64_t)offset << n) | take(n);
+        uint32_t q = (uint32_t)(acc / range);
+        offset = (uint32_t)(acc - (uint64_t)q * range);
+        return q;
+    }
     inline uint32_t bypass_bits(int n) {
+        if (n <= 0) return 0;
         uint32_t v = 0;
-        for (int i = 0; i < n; i++) v = (v << 1) | bypass();
-        return v;
+        while (n > 16) { v = (v << 16) | bypass_chunk(16); n -= 16; }
+        return (v << n) | bypass_chunk(n);
     }
     inline int terminate() {
         range -= 2;
@@ -273,6 +318,7 @@ struct Parser {
         }
         cab.data = rbsp;
         cab.nbits = size * 8;
+        cab.pad_bytes = size + RBSP_PAD;
         cab.reinit((int64_t)P.data_start_byte * 8);
         cu_qp = P.slice_qp;
         // grid defaults
@@ -1175,22 +1221,34 @@ struct Parser {
                 return 0;
             return 1;
         };
-        for (int i = 0; i < 2 * size; i++)
-            av[i] = ok((x - 1) << hs, (y + 2 * size - 1 - i) << vs);
-        av[2 * size] = ok((x - 1) << hs, (y - 1) << vs);
-        for (int j = 0; j < 2 * size; j++)
-            av[2 * size + 1 + j] = ok((x + j) << hs, (y - 1) << vs);
+        // availability is uniform per 4-sample run: transitions along an
+        // edge happen at min-(chroma-)TB boundaries, which are 4-sample
+        // aligned in every chroma format — evaluate once per group and
+        // replicate (4x fewer neighbour probes)
+        for (int i = 0; i < 2 * size; i += 4) {
+            uint8_t v = (uint8_t)ok((x - 1) << hs,
+                                    (y + 2 * size - 1 - i) << vs);
+            av[i] = av[i + 1] = av[i + 2] = av[i + 3] = v;
+        }
+        av[2 * size] = (uint8_t)ok((x - 1) << hs, (y - 1) << vs);
+        for (int j = 0; j < 2 * size; j += 4) {
+            uint8_t v = (uint8_t)ok((x + j) << hs, (y - 1) << vs);
+            uint8_t* t = av + 2 * size + 1 + j;
+            t[0] = t[1] = t[2] = t[3] = v;
+        }
         // dependency level (wavefront batching; mirrors models/pipeline.py)
+        // — one probe per plane CELL (4 plane samples, TB origins are
+        // 4-aligned so each av group is exactly one level_map cell)
         int32_t* lm = level_map[plane].data();
         int deps = 0;
         auto dep = [&](int sx, int sy) {
             int v = lm[(sy >> 2) * w4 + (sx >> 2)];
             if (v > deps) deps = v;
         };
-        for (int i = 0; i < 2 * size; i++)
+        for (int i = 0; i < 2 * size; i += 4)
             if (av[i]) dep(x - 1, y + 2 * size - 1 - i);
         if (av[2 * size]) dep(x - 1, y - 1);
-        for (int j = 0; j < 2 * size; j++)
+        for (int j = 0; j < 2 * size; j += 4)
             if (av[2 * size + 1 + j]) dep(x + j, y - 1);
         int lvl = deps + 1;
         int n4j = imax(1, size >> 2);
@@ -1210,6 +1268,7 @@ struct Parser {
             O->lvl_used + size * size > O->lvl_cap) { err = true; return; }
         int16_t* levels = O->cb_levels + O->lvl_used;
         memset(levels, 0, size * size * sizeof(int16_t));
+        int blk_maxa = 0;    // max |level|, recorded for the int8 fast pack
         int transform_skip = 0;
         if (!cu_tqb && P.transform_skip_enabled && log2_tr <= P.log2_max_ts)
             transform_skip = bin(CTX_TRANSFORM_SKIP_FLAG, c_idx ? 1 : 0);
@@ -1249,17 +1308,12 @@ struct Parser {
                                      scan_idx == SCAN_VERT ? SCANCG4_VERT : SCANCG4_DIAG;
         else cg_scan = scan_idx == SCAN_HORIZ ? SCANCG8_HORIZ :
                        scan_idx == SCAN_VERT ? SCANCG8_VERT : SCANCG8_DIAG;
-        // inverse scan lookups
-        int off_inv[16];
-        for (int i = 0; i < 16; i++)
-            off_inv[off_scan[i * 2 + 1] * 4 + off_scan[i * 2]] = i;
-        int cg_inv = 0;
+        // inverse scan lookups (precomputed, InvScans)
+        const uint8_t* off_inv = INV_SC.off4[scan_idx];
         int x_cg_last = last_x >> 2, y_cg_last = last_y >> 2;
-        if (ncg > 1) {
-            for (int i = 0; i < ncg * ncg; i++)
-                if (cg_scan[i * 2] == x_cg_last && cg_scan[i * 2 + 1] == y_cg_last)
-                    { cg_inv = i; break; }
-        }
+        int cg_inv = ncg > 1
+            ? INV_SC.cg[scan_idx][log2_tr - 2][y_cg_last * 8 + x_cg_last]
+            : 0;
         int num_coeff = off_inv[(last_y & 3) * 4 + (last_x & 3)] +
                         (cg_inv << 4) + 1;
         int num_last_subset = (num_coeff - 1) >> 4;
@@ -1382,6 +1436,8 @@ struct Parser {
                 }
                 if (sign_bits >> 15) level = -level;
                 sign_bits = (sign_bits << 1) & 0xFFFF;
+                if (level > blk_maxa) blk_maxa = level;
+                else if (-level > blk_maxa) blk_maxa = -level;
                 levels[yc * size + xc] = (int16_t)level;
             }
         }
@@ -1413,7 +1469,8 @@ struct Parser {
                     (cu_pred_mode != MODE_INTRA ? 32 : 0);
         int32_t* meta = O->cb_meta + O->n_cb * 8;
         meta[0] = c_idx; meta[1] = x0; meta[2] = y0; meta[3] = log2_tr;
-        meta[4] = qp; meta[5] = flags; meta[6] = O->lvl_used; meta[7] = 0;
+        meta[4] = qp; meta[5] = flags; meta[6] = O->lvl_used;
+        meta[7] = blk_maxa;    // escape-free blocks take the fast pack path
         O->lvl_used += size * size;
         O->n_cb++;
     }
@@ -1448,10 +1505,17 @@ extern "C" {
 
 int hevc_parse_slice(const uint8_t* rbsp, int64_t size,
                      const SliceParams* params, Outputs* out) {
+    // copy into a zero-padded buffer: the bit-cache refill then needs no
+    // stream-end masking (past-end bits read as 0, as the spec's
+    // bit-serial engine would)
+    static thread_local std::vector<uint8_t> padded;
+    padded.resize(size + RBSP_PAD);
+    memcpy(padded.data(), rbsp, size);
+    memset(padded.data() + size, 0, RBSP_PAD);
     Parser p;
     p.P = *params;
     p.O = out;
-    p.rbsp = rbsp;
+    p.rbsp = padded.data();
     p.size = size;
     out->n_cb = out->n_ij = out->n_pcm = out->n_pb = 0;
     out->lvl_used = out->pcm_used = 0;
@@ -1463,5 +1527,186 @@ int hevc_parse_slice(const uint8_t* rbsp, int64_t size,
 }
 
 int hevc_parse_abi_version() { return 1; }
+
+// ---------------------------------------------------------------------------
+// Frame packing: convert the parse outputs (cb_meta/cb_levels decode-order
+// lists + intra-job list) into the exact device-upload layouts consumed by
+// models/pipeline.py::_frame_fused — the per-size residual arenas (int8
+// levels + int16 sideband + int32 escape pairs) and the transposed
+// [16, npad] int16 intra meta of ops/intra_fused.py::pack_meta. Mirrors the
+// Python packers field-for-field (they stay as the correctness cross-check);
+// moving this inner loop native removes ~15 ms/frame of numpy work from the
+// 2-vCPU host budget.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+const int PACK_SIZES[4] = {4, 8, 16, 32};
+// Table 8-4/8-5 intra angles (ops/intra_np.py ANGLES / INV_ANGLE)
+const int16_t PACK_ANG[35] = {
+    0, 0, 32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17, -21, -26,
+    -32, -26, -21, -17, -13, -9, -5, -2, 0, 2, 5, 9, 13, 17, 21, 26, 32};
+const int16_t PACK_INV[35] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -4096, -1638, -910, -630, -482, -390,
+    -315, -256, -315, -390, -482, -630, -910, -1638, -4096, 0, 0, 0, 0, 0,
+    0, 0, 0, 0};
+const int PACK_FAR = -(1 << 14);
+const int PACK_OY = 8, PACK_OX = 128;
+
+}  // namespace
+
+// Returns 0 on success, -1 if any output buffer is too small (caller
+// reallocates and retries). caps_out: 4 x (s, cap, has_sm, n_esc);
+// used_out: {arena8_used, arena16_used, esc_used, npad}.
+int hevc_pack_frame(
+        const int32_t* cb_meta, int32_t n_cb, const int16_t* cb_levels,
+        const int32_t* ij_meta, const uint8_t* ij_avail, int32_t n_ij,
+        int32_t strong_smoothing,
+        int8_t* arena8, int32_t arena8_cap,
+        int16_t* arena16, int32_t arena16_cap,
+        int32_t* esc, int32_t esc_cap,
+        int16_t* meta, int32_t meta_cap,
+        int32_t* caps_out, int32_t* used_out) {
+    // ---- residual buckets ---------------------------------------------
+    int32_t o8 = 0, o16 = 0, oe = 0;
+    for (int si = 0; si < 4; si++) {
+        const int s = PACK_SIZES[si];
+        const int log2s = 2 + si, ss = s * s;
+        // bucket-local selection (decode order preserved)
+        int n = 0;
+        for (int i = 0; i < n_cb; i++) n += (cb_meta[i * 8 + 3] == log2s);
+        if (n == 0) {
+            caps_out[si * 4 + 0] = s;
+            caps_out[si * 4 + 1] = 0;
+            caps_out[si * 4 + 2] = 0;
+            caps_out[si * 4 + 3] = 0;
+            continue;
+        }
+        const int cap = ((n + 255) / 256) * 256;   // min 256, 256-aligned
+        if (o8 + cap * ss > arena8_cap || o16 + 9 * cap > arena16_cap)
+            return -1;
+        int8_t* lv8 = arena8 + o8;
+        int16_t* qp = arena16 + o16;
+        int16_t* fl = qp + cap;          // [cap][5]
+        int16_t* pl = fl + 5 * cap;
+        int16_t* bx = pl + cap;
+        int16_t* by = bx + cap;
+        int esc_start = oe;
+        int j = 0;
+        for (int i = 0; i < n_cb; i++) {
+            const int32_t* m = cb_meta + i * 8;
+            if (m[3] != log2s) continue;
+            const int16_t* src = cb_levels + m[6];
+            int8_t* dst = lv8 + j * ss;
+            if (m[7] <= 127) {
+                // escape-free (max |level| from parse): plain narrowing
+                // copy, auto-vectorized
+                for (int k = 0; k < ss; k++) dst[k] = (int8_t)src[k];
+            } else {
+                const int base = j * ss;
+                for (int k = 0; k < ss; k++) {
+                    int v = src[k];
+                    int c = v < -128 ? -128 : (v > 127 ? 127 : v);
+                    dst[k] = (int8_t)c;
+                    if (v != c) {
+                        if (oe + 2 > esc_cap) return -1;
+                        esc[oe++] = base + k;
+                        esc[oe++] = v - c;
+                    }
+                }
+            }
+            qp[j] = (int16_t)m[4];
+            const int f = m[5];
+            fl[j * 5 + 0] = (f & 1) != 0;
+            fl[j * 5 + 1] = (f & 2) != 0;
+            fl[j * 5 + 2] = (f & 4) != 0;
+            fl[j * 5 + 3] = (f & 16) != 0;
+            fl[j * 5 + 4] = (f & 8) != 0;
+            pl[j] = (int16_t)m[0];
+            bx[j] = (int16_t)m[1];
+            by[j] = (int16_t)m[2];
+            j++;
+        }
+        // padding rows: zero levels/qp/flags/plane, FAR coords
+        memset(lv8 + n * ss, 0, (size_t)(cap - n) * ss);
+        for (int k = n; k < cap; k++) {
+            qp[k] = 0; pl[k] = 0;
+            fl[k * 5 + 0] = fl[k * 5 + 1] = fl[k * 5 + 2] = 0;
+            fl[k * 5 + 3] = fl[k * 5 + 4] = 0;
+            bx[k] = (int16_t)PACK_FAR;
+            by[k] = (int16_t)PACK_FAR;
+        }
+        // escape list padding to the 64-pair bucket (pairs of (-1, -1),
+        // dropped by the device scatter), min 8 pairs — matches
+        // _pack_arena's n_esc = max(8, ceil/64*64)
+        int n_pairs = (oe - esc_start) / 2;
+        int n_esc = 0;
+        if (n_pairs) {
+            n_esc = (n_pairs + 63) / 64 * 64;
+            if (n_esc < 8) n_esc = 8;
+            if (esc_start + 2 * n_esc > esc_cap) return -1;
+            for (int k = n_pairs; k < n_esc; k++) {
+                esc[esc_start + 2 * k] = -1;
+                esc[esc_start + 2 * k + 1] = -1;
+            }
+            oe = esc_start + 2 * n_esc;
+        }
+        caps_out[si * 4 + 0] = s;
+        caps_out[si * 4 + 1] = cap;
+        caps_out[si * 4 + 2] = 0;          // scaling lists: Python path
+        caps_out[si * 4 + 3] = n_esc;
+        o8 += cap * ss;
+        o16 += 9 * cap;
+    }
+    // ---- intra meta [16, npad] (ops/intra_fused.py pack_meta) ----------
+    const int npad = n_ij <= 1024 ? 1024 : ((n_ij + 1023) / 1024) * 1024;
+    if (16 * npad > meta_cap) return -1;
+    memset(meta, 0, (size_t)16 * npad * sizeof(int16_t));
+    for (int i = 0; i < n_ij; i++) {
+        const int32_t* m = ij_meta + i * 8;
+        const uint8_t* av = ij_avail + i * 132;
+        const int plane = m[0], x = m[1], y = m[2], s = m[3], mode = m[4];
+        const int filt = m[5];
+        int log2s = s == 4 ? 2 : s == 8 ? 3 : s == 16 ? 4 : 5;
+        meta[0 * npad + i] = (int16_t)(y + PACK_OY);
+        meta[1 * npad + i] = (int16_t)(x + PACK_OX);
+        meta[2 * npad + i] = (int16_t)(log2s - 2);
+        meta[3 * npad + i] = (int16_t)mode;
+        meta[4 * npad + i] = (int16_t)plane;
+        int d26 = mode > 26 ? mode - 26 : 26 - mode;
+        int d10 = mode > 10 ? mode - 10 : 10 - mode;
+        int md = d26 < d10 ? d26 : d10;
+        int thr = s == 8 ? 7 : s == 16 ? 1 : s == 32 ? 0 : 99;
+        meta[5 * npad + i] =
+            (filt != 0 && s > 4 && mode != 1 && md > thr) ? 1 : 0;
+        meta[8 * npad + i] = PACK_ANG[mode];
+        meta[9 * npad + i] = PACK_INV[mode];
+        meta[10 * npad + i] =
+            (s == 32 && strong_smoothing && plane == 0) ? 1 : 0;
+        meta[12 * npad + i] = (s < 32 && plane == 0) ? 1 : 0;
+        // availability group bits: [left s/2 | corner | top s/2], one bit
+        // per 4-sample run (min-PU granularity)
+        uint64_t gb = 0;
+        int g = 0, any = 0;
+        for (int k = 0; k < s / 2; k++, g++)
+            gb |= (uint64_t)(av[4 * k] != 0) << g;
+        gb |= (uint64_t)(av[2 * s] != 0) << g; g++;
+        for (int k = 0; k < s / 2; k++, g++)
+            gb |= (uint64_t)(av[2 * s + 1 + 4 * k] != 0) << g;
+        for (int k = 0; k <= 4 * s; k++) any |= av[k];
+        meta[6 * npad + i] = (int16_t)(uint16_t)(gb & 0xFFFF);
+        if (g > 16) {
+            uint64_t w1 = gb >> 16;
+            meta[7 * npad + i] = (int16_t)(uint16_t)(w1 & 0xFFFF);
+            meta[13 * npad + i] = (int16_t)((w1 >> 16) & 1);
+        }
+        meta[11 * npad + i] = any ? 1 : 0;
+    }
+    used_out[0] = o8;
+    used_out[1] = o16;
+    used_out[2] = oe;
+    used_out[3] = npad;
+    return 0;
+}
 
 }

@@ -98,6 +98,9 @@ class FrameSymbols:
     # cb_meta/cb_levels/ij_meta/ij_avail/n_levels — enables vectorized
     # device packing without materializing per-TU Python objects
     native_raw: dict | None = None
+    # device-upload layouts packed by the native core (hevc_pack_frame):
+    # arena8/arena16/esc/caps/meta/n in _frame_fused's exact format
+    native_pack: dict | None = None
 
     def active_scaling(self):
         """Resolved scaling list for dequant, or None when disabled
