@@ -99,22 +99,24 @@ def _ptr(arr):
 
 
 def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
-    """Call hevc_pack_frame: per-size residual arenas + [16, npad] intra
-    meta in the exact _frame_fused upload layout (no scaling lists)."""
-    a8 = np.empty(o.lvl_used + 255 * (16 + 64 + 256 + 1024) + 64, np.int8)
-    a16 = np.empty(9 * o.n_cb + 9 * 4 * 272 + 16, np.int16)
+    """Call hevc_pack_frame: per-size residual arenas (4-bit nibble
+    levels, 3-int16-per-block sideband) + [8, npad] intra meta in the
+    exact _frame_fused upload layout (no scaling lists)."""
+    a4 = np.empty((o.lvl_used + 255 * (16 + 64 + 256 + 1024)) // 2 + 64,
+                  np.uint8)
+    a16 = np.empty(3 * o.n_cb + 3 * 4 * 272 + 16, np.int16)
     npad = max(1024, -(-o.n_ij // 1024) * 1024)
-    meta = np.empty(16 * npad, np.int16)
+    meta = np.empty(8 * npad, np.int16)
     caps = np.zeros(16, np.int32)
     used = np.zeros(4, np.int32)
-    esc_cap = 8192
+    esc_cap = 65536
     while True:
         esc = np.empty(esc_cap, np.int32)
         rc = lib.hevc_pack_frame(
             _ptr(cb_meta), o.n_cb, _ptr(cb_levels),
             _ptr(ij_meta), _ptr(ij_avail), o.n_ij,
             1 if sps.strong_intra_smoothing else 0,
-            _ptr(a8), a8.size, _ptr(a16), a16.size,
+            _ptr(a4), a4.size, _ptr(a16), a16.size,
             _ptr(esc), esc_cap, _ptr(meta), meta.size,
             _ptr(caps), _ptr(used))
         if rc == 0:
@@ -123,12 +125,12 @@ def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
             raise ValueError("native frame pack failed")
         esc_cap *= 8
     return dict(
-        arena8=a8[:used[0]] if used[0] else np.zeros(1, np.int8),
+        arena4=a4[:used[0]] if used[0] else np.zeros(1, np.uint8),
         arena16=a16[:used[1]] if used[1] else np.zeros(1, np.int16),
         esc=esc[:used[2]] if used[2] else np.zeros(2, np.int32),
         caps=tuple(tuple(int(v) for v in caps[i * 4:(i + 1) * 4])
                    for i in range(4)),
-        meta=meta.reshape(16, npad),
+        meta=meta.reshape(8, npad),
         n=int(o.n_ij))
 
 

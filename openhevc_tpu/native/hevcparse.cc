@@ -1531,25 +1531,18 @@ int hevc_parse_abi_version() { return 1; }
 // ---------------------------------------------------------------------------
 // Frame packing: convert the parse outputs (cb_meta/cb_levels decode-order
 // lists + intra-job list) into the exact device-upload layouts consumed by
-// models/pipeline.py::_frame_fused — the per-size residual arenas (int8
-// levels + int16 sideband + int32 escape pairs) and the transposed
-// [16, npad] int16 intra meta of ops/intra_fused.py::pack_meta. Mirrors the
-// Python packers field-for-field (they stay as the correctness cross-check);
-// moving this inner loop native removes ~15 ms/frame of numpy work from the
-// 2-vCPU host budget.
+// models/pipeline.py::_frame_fused — the per-size residual arenas (4-bit
+// biased-nibble levels + 3-int16-per-block sideband + int32 escape pairs)
+// and the transposed [8, npad] int16 intra meta of
+// ops/intra_fused.py::pack_meta (derived rows are rebuilt on device).
+// Mirrors the Python packers field-for-field (they stay as the correctness
+// cross-check); the shared ~55 MB/s host<->device wire is the decode
+// bottleneck, hence the byte-pinching formats.
 // ---------------------------------------------------------------------------
 
 namespace {
 
 const int PACK_SIZES[4] = {4, 8, 16, 32};
-// Table 8-4/8-5 intra angles (ops/intra_np.py ANGLES / INV_ANGLE)
-const int16_t PACK_ANG[35] = {
-    0, 0, 32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17, -21, -26,
-    -32, -26, -21, -17, -13, -9, -5, -2, 0, 2, 5, 9, 13, 17, 21, 26, 32};
-const int16_t PACK_INV[35] = {
-    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -4096, -1638, -910, -630, -482, -390,
-    -315, -256, -315, -390, -482, -630, -910, -1638, -4096, 0, 0, 0, 0, 0,
-    0, 0, 0, 0};
 const int PACK_FAR = -(1 << 14);
 const int PACK_OY = 8, PACK_OX = 128;
 
@@ -1562,13 +1555,14 @@ int hevc_pack_frame(
         const int32_t* cb_meta, int32_t n_cb, const int16_t* cb_levels,
         const int32_t* ij_meta, const uint8_t* ij_avail, int32_t n_ij,
         int32_t strong_smoothing,
-        int8_t* arena8, int32_t arena8_cap,
+        uint8_t* arena4, int32_t arena4_cap,
         int16_t* arena16, int32_t arena16_cap,
         int32_t* esc, int32_t esc_cap,
         int16_t* meta, int32_t meta_cap,
         int32_t* caps_out, int32_t* used_out) {
+    (void)strong_smoothing;   // derived on device now
     // ---- residual buckets ---------------------------------------------
-    int32_t o8 = 0, o16 = 0, oe = 0;
+    int32_t o4 = 0, o16 = 0, oe = 0;   // o4 counts LEVELS (2 per byte)
     for (int si = 0; si < 4; si++) {
         const int s = PACK_SIZES[si];
         const int log2s = 2 + si, ss = s * s;
@@ -1583,56 +1577,62 @@ int hevc_pack_frame(
             continue;
         }
         const int cap = ((n + 255) / 256) * 256;   // min 256, 256-aligned
-        if (o8 + cap * ss > arena8_cap || o16 + 9 * cap > arena16_cap)
+        if ((o4 + cap * ss) / 2 > arena4_cap || o16 + 3 * cap > arena16_cap)
             return -1;
-        int8_t* lv8 = arena8 + o8;
-        int16_t* qp = arena16 + o16;
-        int16_t* fl = qp + cap;          // [cap][5]
-        int16_t* pl = fl + 5 * cap;
-        int16_t* bx = pl + cap;
+        uint8_t* lv4 = arena4 + o4 / 2;
+        int16_t* bx = arena16 + o16;
         int16_t* by = bx + cap;
+        int16_t* qf = by + cap;
         int esc_start = oe;
         int j = 0;
         for (int i = 0; i < n_cb; i++) {
             const int32_t* m = cb_meta + i * 8;
             if (m[3] != log2s) continue;
             const int16_t* src = cb_levels + m[6];
-            int8_t* dst = lv8 + j * ss;
-            if (m[7] <= 127) {
-                // escape-free (max |level| from parse): plain narrowing
-                // copy, auto-vectorized
-                for (int k = 0; k < ss; k++) dst[k] = (int8_t)src[k];
+            uint8_t* dst = lv4 + j * (ss / 2);
+            if (m[7] <= 7) {
+                // escape-free (max |level| from parse): pure nibble pack
+                for (int k = 0; k < ss; k += 2)
+                    dst[k >> 1] = (uint8_t)((src[k] + 8) |
+                                            ((src[k + 1] + 8) << 4));
             } else {
                 const int base = j * ss;
-                for (int k = 0; k < ss; k++) {
-                    int v = src[k];
-                    int c = v < -128 ? -128 : (v > 127 ? 127 : v);
-                    dst[k] = (int8_t)c;
-                    if (v != c) {
+                for (int k = 0; k < ss; k += 2) {
+                    int v0 = src[k], v1 = src[k + 1];
+                    int c0 = v0 < -8 ? -8 : (v0 > 7 ? 7 : v0);
+                    int c1 = v1 < -8 ? -8 : (v1 > 7 ? 7 : v1);
+                    dst[k >> 1] = (uint8_t)((c0 + 8) | ((c1 + 8) << 4));
+                    if (v0 != c0) {
                         if (oe + 2 > esc_cap) return -1;
                         esc[oe++] = base + k;
-                        esc[oe++] = v - c;
+                        esc[oe++] = v0 - c0;
+                    }
+                    if (v1 != c1) {
+                        if (oe + 2 > esc_cap) return -1;
+                        esc[oe++] = base + k + 1;
+                        esc[oe++] = v1 - c1;
                     }
                 }
             }
-            qp[j] = (int16_t)m[4];
-            const int f = m[5];
-            fl[j * 5 + 0] = (f & 1) != 0;
-            fl[j * 5 + 1] = (f & 2) != 0;
-            fl[j * 5 + 2] = (f & 4) != 0;
-            fl[j * 5 + 3] = (f & 16) != 0;
-            fl[j * 5 + 4] = (f & 8) != 0;
-            pl[j] = (int16_t)m[0];
             bx[j] = (int16_t)m[1];
             by[j] = (int16_t)m[2];
+            const int f = m[5];
+            // qp<<7 | has_rdpcm<<6 | rdpcm_vert<<5 | tqb<<4 | ts<<3 |
+            // dst<<2 | plane
+            qf[j] = (int16_t)((m[4] << 7) |
+                              (((f >> 3) & 1) << 6) |   // has_rdpcm (bit 8)
+                              (((f >> 4) & 1) << 5) |   // rdpcm_vert (16)
+                              (((f >> 2) & 1) << 4) |   // tqb (4)
+                              (((f >> 1) & 1) << 3) |   // ts (2)
+                              ((f & 1) << 2) |          // dst (1)
+                              m[0]);                    // plane
             j++;
         }
-        // padding rows: zero levels/qp/flags/plane, FAR coords
-        memset(lv8 + n * ss, 0, (size_t)(cap - n) * ss);
+        // padding rows: zero levels (biased nibble 0x88), qp/flags/plane
+        // zero, FAR coords
+        memset(lv4 + n * (ss / 2), 0x88, (size_t)(cap - n) * (ss / 2));
         for (int k = n; k < cap; k++) {
-            qp[k] = 0; pl[k] = 0;
-            fl[k * 5 + 0] = fl[k * 5 + 1] = fl[k * 5 + 2] = 0;
-            fl[k * 5 + 3] = fl[k * 5 + 4] = 0;
+            qf[k] = 0;
             bx[k] = (int16_t)PACK_FAR;
             by[k] = (int16_t)PACK_FAR;
         }
@@ -1655,54 +1655,40 @@ int hevc_pack_frame(
         caps_out[si * 4 + 1] = cap;
         caps_out[si * 4 + 2] = 0;          // scaling lists: Python path
         caps_out[si * 4 + 3] = n_esc;
-        o8 += cap * ss;
-        o16 += 9 * cap;
+        o4 += cap * ss;
+        o16 += 3 * cap;
     }
-    // ---- intra meta [16, npad] (ops/intra_fused.py pack_meta) ----------
+    // ---- intra meta [8, npad] (ops/intra_fused.py pack_meta) -----------
     const int npad = n_ij <= 1024 ? 1024 : ((n_ij + 1023) / 1024) * 1024;
-    if (16 * npad > meta_cap) return -1;
-    memset(meta, 0, (size_t)16 * npad * sizeof(int16_t));
+    if (8 * npad > meta_cap) return -1;
+    memset(meta, 0, (size_t)8 * npad * sizeof(int16_t));
     for (int i = 0; i < n_ij; i++) {
         const int32_t* m = ij_meta + i * 8;
         const uint8_t* av = ij_avail + i * 132;
         const int plane = m[0], x = m[1], y = m[2], s = m[3], mode = m[4];
-        const int filt = m[5];
         int log2s = s == 4 ? 2 : s == 8 ? 3 : s == 16 ? 4 : 5;
         meta[0 * npad + i] = (int16_t)(y + PACK_OY);
         meta[1 * npad + i] = (int16_t)(x + PACK_OX);
         meta[2 * npad + i] = (int16_t)(log2s - 2);
         meta[3 * npad + i] = (int16_t)mode;
         meta[4 * npad + i] = (int16_t)plane;
-        int d26 = mode > 26 ? mode - 26 : 26 - mode;
-        int d10 = mode > 10 ? mode - 10 : 10 - mode;
-        int md = d26 < d10 ? d26 : d10;
-        int thr = s == 8 ? 7 : s == 16 ? 1 : s == 32 ? 0 : 99;
-        meta[5 * npad + i] =
-            (filt != 0 && s > 4 && mode != 1 && md > thr) ? 1 : 0;
-        meta[8 * npad + i] = PACK_ANG[mode];
-        meta[9 * npad + i] = PACK_INV[mode];
-        meta[10 * npad + i] =
-            (s == 32 && strong_smoothing && plane == 0) ? 1 : 0;
-        meta[12 * npad + i] = (s < 32 && plane == 0) ? 1 : 0;
         // availability group bits: [left s/2 | corner | top s/2], one bit
         // per 4-sample run (min-PU granularity)
         uint64_t gb = 0;
-        int g = 0, any = 0;
+        int g = 0;
         for (int k = 0; k < s / 2; k++, g++)
             gb |= (uint64_t)(av[4 * k] != 0) << g;
         gb |= (uint64_t)(av[2 * s] != 0) << g; g++;
         for (int k = 0; k < s / 2; k++, g++)
             gb |= (uint64_t)(av[2 * s + 1 + 4 * k] != 0) << g;
-        for (int k = 0; k <= 4 * s; k++) any |= av[k];
-        meta[6 * npad + i] = (int16_t)(uint16_t)(gb & 0xFFFF);
+        meta[5 * npad + i] = (int16_t)(uint16_t)(gb & 0xFFFF);
         if (g > 16) {
             uint64_t w1 = gb >> 16;
-            meta[7 * npad + i] = (int16_t)(uint16_t)(w1 & 0xFFFF);
-            meta[13 * npad + i] = (int16_t)((w1 >> 16) & 1);
+            meta[6 * npad + i] = (int16_t)(uint16_t)(w1 & 0xFFFF);
+            meta[7 * npad + i] = (int16_t)((w1 >> 16) & 1);
         }
-        meta[11 * npad + i] = any ? 1 : 0;
     }
-    used_out[0] = o8;
+    used_out[0] = o4 / 2;     // arena4 bytes used
     used_out[1] = o16;
     used_out[2] = oe;
     used_out[3] = npad;

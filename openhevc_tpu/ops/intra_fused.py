@@ -62,31 +62,27 @@ def padded_dims(h: int, w: int) -> tuple[int, int]:
 
 # =========================================================================
 # Host-side packing: decode-order job meta, shipped TRANSPOSED as
-# [16, Npad] int32 (sublane dim 16 = fields, lane dim = jobs) so the
-# kernel fetches a job with one aligned [16,128] load + a lane roll.
-# Fields:
+# [8, Npad] int16 (the wire is the bottleneck; the derived rows —
+# do_filter, angle, inv_angle, strong_allowed, any_avail, edge_filters —
+# are pure functions of mode/size/plane rebuilt on device in
+# models/pipeline.py::_frame_fused, which hands the kernel its full
+# [16, Npad] layout). Kernel fields:
 #   0 y(buf) 1 x(buf) 2 size_log2-2 3 mode 4 plane 5 do_filter
-#   6 avail word0 (groups 0..15) 7 avail word1 (groups 16..32)
+#   6 avail word0 (groups 0..15) 7 avail word1 (16..31) 13 avail bit 32
 #   8 angle 9 inv_angle 10 strong_allowed 11 any_avail 12 edge_filters
+# Uploaded rows: 0 y 1 x 2 size_log2-2 3 mode 4 plane 5 av_w0 6 av_w1
+#   7 av_hi (bit 32)
 # =========================================================================
 
-def pack_meta(planes, xs, ys, szs, modes, filts, avail_rows,
-              strong_smoothing: bool) -> np.ndarray:
+def pack_meta(planes, xs, ys, szs, modes, avail_rows) -> np.ndarray:
     """avail_rows: uint8/bool [N, >=4*max_s+1] in intra_np spec layout."""
     n = len(planes)
-    meta = np.zeros((n, 16), np.int64)
+    meta = np.zeros((n, 8), np.int64)
     meta[:, 0] = ys + OY
     meta[:, 1] = xs + OX
     meta[:, 2] = np.log2(szs).astype(np.int32) - 2
     meta[:, 3] = modes
     meta[:, 4] = planes
-    md = np.minimum(np.abs(modes - 26), np.abs(modes - 10))
-    thr = np.select([szs == 8, szs == 16, szs == 32], [7, 1, 0], default=99)
-    meta[:, 5] = ((filts != 0) & (szs > 4) & (modes != 1) & (md > thr))
-    meta[:, 8] = _ANG[modes]
-    meta[:, 9] = _INV[modes]
-    meta[:, 10] = (szs == 32) & bool(strong_smoothing) & (planes == 0)
-    meta[:, 12] = (szs < 32) & (planes == 0)
     for s in (4, 8, 16, 32):
         sel = np.nonzero(szs == s)[0]
         if not len(sel):
@@ -102,41 +98,39 @@ def pack_meta(planes, xs, ys, szs, modes, filts, avail_rows,
         gb = np.concatenate([left_g, corner_g, top_g], axis=1)  # [n, s+1]
         g = gb.shape[1]
         sh = np.arange(min(g, 16), dtype=np.int64)
-        meta[sel, 6] = (gb[:, :16].astype(np.int64) << sh[:gb[:, :16].shape[1]]).sum(1)
+        meta[sel, 5] = (gb[:, :16].astype(np.int64) << sh[:gb[:, :16].shape[1]]).sum(1)
         if g > 16:
             sh2 = np.arange(g - 16, dtype=np.int64)
             w1 = (gb[:, 16:].astype(np.int64) << sh2).sum(1)
-            meta[sel, 7] = w1 & 0xFFFF
-            meta[sel, 13] = (w1 >> 16) & 1
-        meta[sel, 11] = av.any(1)
-    # shipped int16 (halves the per-frame upload on a ~50 MB/s link);
-    # the 17-bit avail word rides as two fields (7 lo, 13 hi), everything
-    # else fits: coords < 2^14, angles/modes tiny. Reassembled in _job.
+            meta[sel, 6] = w1 & 0xFFFF
+            meta[sel, 7] = (w1 >> 16) & 1
+    # shipped int16; the 17-bit avail word rides as three fields
+    # (5 lo, 6 mid, 7 hi bit), everything else fits: coords < 2^14,
+    # modes tiny. Reassembled in _frame_fused/_job.
     return np.ascontiguousarray(meta.T.astype(np.int16))
 
 
-def pack_meta_native(raw: dict, strong_smoothing: bool) -> np.ndarray:
+def pack_meta_native(raw: dict) -> np.ndarray:
     im = raw["ij_meta"]
     if not len(im):
-        return np.zeros((16, 0), np.int16)
+        return np.zeros((8, 0), np.int16)
     return pack_meta(im[:, 0], im[:, 1], im[:, 2], im[:, 3], im[:, 4],
-                     im[:, 5], raw["ij_avail"], strong_smoothing)
+                     raw["ij_avail"])
 
 
-def pack_meta_objects(jobs, strong_smoothing: bool) -> np.ndarray:
+def pack_meta_objects(jobs) -> np.ndarray:
     if not jobs:
-        return np.zeros((16, 0), np.int16)
+        return np.zeros((8, 0), np.int16)
     n = len(jobs)
     planes = np.array([j.plane for j in jobs], np.int32)
     xs = np.array([j.x for j in jobs], np.int32)
     ys = np.array([j.y for j in jobs], np.int32)
     szs = np.array([j.size for j in jobs], np.int32)
     modes = np.array([j.mode for j in jobs], np.int32)
-    filts = np.array([j.filter_refs for j in jobs], np.int32)
     av = np.zeros((n, 132), np.uint8)
     for i, j in enumerate(jobs):
         av[i, :len(j.avail)] = j.avail
-    return pack_meta(planes, xs, ys, szs, modes, filts, av, strong_smoothing)
+    return pack_meta(planes, xs, ys, szs, modes, av)
 
 
 # =========================================================================

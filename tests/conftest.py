@@ -2,8 +2,12 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh: multi-chip sharding logic is
 # validated without TPU hardware (the driver separately dry-runs
-# __graft_entry__.dryrun_multichip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# __graft_entry__.dryrun_multichip). Force cpu — the environment ships
+# JAX_PLATFORMS=axon (the tunneled TPU), and a setdefault would leave the
+# whole suite hostage to that link's noise; the fused-kernel TPU tests
+# opt back in explicitly (test_fused_tpu.py, OPENHEVC_TPU_TESTS=1).
+if os.environ.get("OPENHEVC_TPU_TESTS") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

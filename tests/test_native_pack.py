@@ -39,18 +39,17 @@ def _assert_pack_matches(fs):
 
     npk = fs.native_pack
     assert npk is not None
-    a8, a16, esc, caps = pl._pack_arena(pl._res_buckets(fs))
+    a4, a16, esc, caps = pl._pack_arena(pl._res_buckets(fs))
     assert caps == npk["caps"]
-    assert np.array_equal(a8, npk["arena8"])
+    assert np.array_equal(a4, npk["arena4"])
     assert np.array_equal(a16, npk["arena16"])
     assert np.array_equal(esc, npk["esc"])
-    meta = pack_meta_native(fs.native_raw,
-                            bool(fs.sps.strong_intra_smoothing))
+    meta = pack_meta_native(fs.native_raw)
     n = meta.shape[1]
     npad = _bucket(n)
     if npad != n:
         meta = np.concatenate(
-            [meta, np.zeros((16, npad - n), meta.dtype)], axis=1)
+            [meta, np.zeros((8, npad - n), meta.dtype)], axis=1)
     assert np.array_equal(meta, npk["meta"])
 
 
