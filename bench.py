@@ -33,8 +33,12 @@ def make_stream():
         u = ((xx[::2, ::2] + 128) % 256).astype(np.uint8)
         v = ((yy[::2, ::2] * 2) % 256).astype(np.uint8)
         frames.append((y, u, v))
+    # WPP substreams: real-world encodes of this class carry them for
+    # parallel decode; the reference decoder is measured on the SAME
+    # stream (its single-thread parse reads WPP streams natively), while
+    # openhevc_tpu's native core parses the rows on a thread pool
     data, recons = encode_intra_stream(frames, W, H, qp=32, ctb_log2=6,
-                                       seed=0)
+                                       seed=0, wpp=True)
     with open(STREAM, "wb") as f:
         f.write(data)
     np.save(STREAM + ".golden.npy", np.stack([r[0] for r in recons]))

@@ -155,6 +155,29 @@ def unescape_rbsp(data: bytes) -> bytes:
     return a[keep].tobytes()
 
 
+def substream_starts_rbsp(esc_payload: bytes, data_start_rbsp: int,
+                          entry_point_offsets) -> list[int]:
+    """Map slice-header entry points to rbsp-domain byte starts.
+
+    entry_point_offset_minus1+1 values are byte distances in the CODED
+    (escaped) NAL payload (the reference adjusts them for removed
+    emulation bytes at hevc.c:3028-3058); the parse core addresses the
+    un-escaped rbsp, so convert via the kept-byte prefix counts."""
+    import numpy as np
+    a = np.frombuffer(esc_payload, np.uint8)
+    z = a == 0
+    keep = np.ones(len(a), bool)
+    keep[2:] = ~((a[2:] == 3) & z[1:-1] & z[:-2])
+    kept_before = np.cumsum(keep)       # kept bytes in [0..i]
+    # escaped index of the slice-data start (first i with count p+1)
+    cum = int(np.searchsorted(kept_before, data_start_rbsp + 1, "left"))
+    starts = [data_start_rbsp]
+    for off in entry_point_offsets:
+        cum += int(off)
+        starts.append(int(kept_before[cum - 1]))
+    return starts
+
+
 def nal_header(nal_type: int, layer_id: int = 0, temporal_id: int = 0) -> bytes:
     """Two-byte HEVC NAL unit header (hls_nal_unit, hevc.c:3107)."""
     b0 = (nal_type & 0x3F) << 1 | (layer_id >> 5)

@@ -42,7 +42,10 @@ class _SliceParams(ctypes.Structure):
     ] + [(n, ctypes.c_int32) for n in (
         "cur_poc", "sao_enabled", "slice_sao_luma", "slice_sao_chroma",
         "data_start_byte", "qp_bd_offset", "tiles_enabled",
-        "num_tile_cols", "num_tile_rows", "entropy_coding_sync")]
+        "num_tile_cols", "num_tile_rows", "entropy_coding_sync",
+        "num_substreams")] + [
+        ("ss_start", ctypes.c_int32 * 128),
+    ]
 
 
 class _Outputs(ctypes.Structure):
@@ -135,7 +138,7 @@ def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
 
 
 def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
-                       ref_list=None) -> FrameSymbols:
+                       ref_list=None, ss_starts=None) -> FrameSymbols:
     lib = ensure_built()
     ref_list = ref_list or [[], []]
     w4 = (sps.ctbs_w << sps.log2_ctb) >> 2
@@ -188,16 +191,23 @@ def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
     p.num_tile_cols = pps.num_tile_cols
     p.num_tile_rows = pps.num_tile_rows
     p.entropy_coding_sync = pps.entropy_coding_sync
+    if ss_starts and len(ss_starts) <= 128:
+        p.num_substreams = len(ss_starts)
+        for i, s in enumerate(ss_starts):
+            p.ss_start[i] = s
+    else:
+        p.num_substreams = 0
 
-    # output arenas (numpy-owned)
-    g = {n: np.zeros(ng, np.uint8) for n in
+    # output arenas (numpy-owned; the native core initializes every grid
+    # at parse entry, so np.empty throughout)
+    g = {n: np.empty(ng, np.uint8) for n in
          ("ipm", "pred_mode", "is_pcm", "tqb", "cbf_luma4",
           "bounds_v", "bounds_h", "mv_pf")}
-    qp_y4 = np.zeros(ng, np.int8)
-    mv = np.zeros(ng * 4, np.int32)
-    mv_poc = np.zeros(ng * 2, np.int32)
-    mv_refidx = np.zeros(ng * 2, np.int8)
-    sao = np.zeros(sps.ctbs_h * sps.ctbs_w * 18, np.int16)
+    qp_y4 = np.empty(ng, np.int8)
+    mv = np.empty(ng * 4, np.int32)
+    mv_poc = np.empty(ng * 2, np.int32)
+    mv_refidx = np.empty(ng * 2, np.int8)
+    sao = np.empty(sps.ctbs_h * sps.ctbs_w * 18, np.int16)
     n_pix = sps.width * sps.height
     cb_cap = max(1024, ng)
     lvl_cap = max(1 << 16, 2 * n_pix)

@@ -163,7 +163,8 @@ class Decoder:
         elif nal_type in (NAL_SEI_PREFIX, NAL_SEI_SUFFIX):
             self._handle_sei(rbsp)
         elif nal_type <= 31 and layer_id == self.layer:
-            self._decode_slice(nal_type, temporal_id, rbsp)
+            self._decode_slice(nal_type, temporal_id, rbsp,
+                               esc_payload=nal[2:])
 
     def _handle_sei(self, rbsp):
         """Structured SEI retention (ff_hevc_decode_nal_sei): picture
@@ -212,7 +213,7 @@ class Decoder:
             self.prev_poc_tid0 = poc
         return poc
 
-    def _decode_slice(self, nal_type, temporal_id, rbsp):
+    def _decode_slice(self, nal_type, temporal_id, rbsp, esc_payload=None):
         ndr = 0
         if self.layer > 0 and 0 in self.vps:
             nd = self.vps[0].num_direct_ref_layers
@@ -305,9 +306,17 @@ class Decoder:
             if self._parse_executor is None:
                 from concurrent.futures import ThreadPoolExecutor
                 self._parse_executor = ThreadPoolExecutor(max_workers=1)
+            # substream entry points (escaped-domain offsets -> rbsp-byte
+            # starts) unlock the native core's threaded WPP/tile parse
+            ss_starts = None
+            if sh.entry_point_offsets and esc_payload is not None:
+                from .bitstream.bits import substream_starts_rbsp
+                ss_starts = substream_starts_rbsp(
+                    esc_payload, sh.data_start_byte,
+                    sh.entry_point_offsets)
             fut = self._parse_executor.submit(
                 parse_slice_native, rbsp, sps, pps, sh, nal_type, poc,
-                ref_list=acc["ref_list"])
+                ref_list=acc["ref_list"], ss_starts=ss_starts)
             # overlap: reconstruct+emit the previous picture while the
             # worker parses this one
             self._flush_pending()

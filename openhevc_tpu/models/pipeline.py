@@ -587,7 +587,17 @@ class FetchPool:
         self._queue: list[LazyPlanes] = []
         self._thread = None
         self._threading = threading
+        import time as _time
+        self._time = _time
         self._stopped = False
+        self._urgent = False
+
+    # Every fetch burst pays a flat ~45 ms completion window on the
+    # tunneled runtime (plus wire), so group frames: wait for MIN_BATCH
+    # frames or BATCH_WAIT_S after the first, unless a consumer is
+    # already blocking on one of the queued frames (urgent()).
+    MIN_BATCH = 4
+    BATCH_WAIT_S = 0.06
 
     def add(self, lp):
         with self._cv:
@@ -600,13 +610,30 @@ class FetchPool:
             self._queue.append(lp)
             self._cv.notify()
 
+    def urgent(self, lp):
+        """A consumer blocks on lp: fetch the pending batch now."""
+        with self._cv:
+            if lp in self._queue:
+                self._urgent = True
+                self._cv.notify()
+
+    _urgent = False
+
     def _loop(self):
         while not self._stopped:
             with self._cv:
                 while not self._queue and not self._stopped:
                     self._cv.wait()
+                deadline = self._time.monotonic() + self.BATCH_WAIT_S
+                while (len(self._queue) < self.MIN_BATCH
+                       and not self._urgent and not self._stopped):
+                    left = deadline - self._time.monotonic()
+                    if left <= 0:
+                        break
+                    self._cv.wait(left)
                 batch = self._queue
                 self._queue = []
+                self._urgent = False
             self._fetch(batch)
 
     def _shutdown(self):
@@ -668,6 +695,7 @@ class LazyPlanes:
     def get(self):
         if self._mat is None:
             if self._pool is not None:
+                self._pool.urgent(self)
                 self._done.wait()
             else:
                 self._set_host(np.asarray(self._flat))

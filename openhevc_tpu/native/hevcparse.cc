@@ -12,6 +12,10 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <array>
+#include <atomic>
+#include <memory>
+#include <thread>
 #include <vector>
 
 #include "tables.inc"
@@ -187,6 +191,10 @@ struct SliceParams {
     int32_t qp_bd_offset;
     int32_t tiles_enabled, num_tile_cols, num_tile_rows;
     int32_t entropy_coding_sync;
+    // parallel substream entry (0 = serial byte-aligned continuation):
+    // absolute rbsp byte offset of each WPP-row / tile substream
+    int32_t num_substreams;
+    int32_t ss_start[128];
 };
 
 struct Outputs {
@@ -233,42 +241,44 @@ static inline int wrap16(int v) {
     return v >= 0x8000 ? v - 0x10000 : v;
 }
 
-struct Parser {
-    SliceParams P;
+// Per-slice state shared by every substream parser: the read-only scan
+// maps, the spatial-context grids (disjoint per-CTB writes; cross-row
+// reads are ordered by the WPP wavefront progress counters), and the
+// synchronization state for threaded WPP/tile parsing.
+struct Shared {
+    const SliceParams* P;
     Outputs* O;
     const uint8_t* rbsp;
     int64_t size;
-    Cabac cab;
-    uint8_t ctx[NUM_CONTEXTS];
-
     int w4, h4, ctbs_w, ctbs_h;
     std::vector<int32_t> zscan;
     std::vector<int8_t> ct_depth;
     std::vector<uint8_t> skip_grid;
-    std::vector<int32_t> level_map[3];   // intra wavefront levels per plane
-    std::vector<int32_t> ts_order;       // ts index -> ctb raster addr
-    std::vector<int32_t> tile_id;        // per ctb
-    std::vector<int32_t> col_bd;         // tile column boundaries (CTBs)
+    std::vector<int32_t> level_map[3];
+    std::vector<int32_t> ts_order;
+    std::vector<int32_t> tile_id;
+    std::vector<int32_t> col_bd;
     bool tiles = false, wpp = false;
+    int init_type = 0;
+    // threaded-WPP wavefront: CTBs completed per CTB row (release) and
+    // the CABAC context snapshot taken after each row's 2nd CTB
+    std::unique_ptr<std::atomic<int>[]> row_progress;
+    std::vector<std::array<uint8_t, NUM_CONTEXTS>> row_snapshot;
+    std::unique_ptr<std::atomic<int>[]> snapshot_ready;
+    std::atomic<bool> any_err{false};
 
-    // per-CU state
-    int cu_tqb = 0, cu_qp = 0, cu_pred_mode = MODE_INTRA;
-    int cu_part_mode = PART_2Nx2N, cu_depth = 0;
-    int pu_modes[4] = {1, 1, 1, 1};
-    int intra_mode_c = 1;
-    bool err = false;
-
-    // ---------------- init ----------------
-    void init() {
-        int W = P.width, H = P.height;
-        ctbs_w = (W + (1 << P.log2_ctb) - 1) >> P.log2_ctb;
-        ctbs_h = (H + (1 << P.log2_ctb) - 1) >> P.log2_ctb;
-        w4 = (ctbs_w << P.log2_ctb) >> 2;
-        h4 = (ctbs_h << P.log2_ctb) >> 2;
-        tiles = P.tiles_enabled != 0;
-        wpp = P.entropy_coding_sync != 0;
-        int ncols = tiles ? P.num_tile_cols : 1;
-        int nrows = tiles ? P.num_tile_rows : 1;
+    void init(const SliceParams* p, Outputs* o, const uint8_t* data,
+              int64_t sz) {
+        P = p; O = o; rbsp = data; size = sz;
+        int W = P->width, H = P->height;
+        ctbs_w = (W + (1 << P->log2_ctb) - 1) >> P->log2_ctb;
+        ctbs_h = (H + (1 << P->log2_ctb) - 1) >> P->log2_ctb;
+        w4 = (ctbs_w << P->log2_ctb) >> 2;
+        h4 = (ctbs_h << P->log2_ctb) >> 2;
+        tiles = P->tiles_enabled != 0;
+        wpp = P->entropy_coding_sync != 0;
+        int ncols = tiles ? P->num_tile_cols : 1;
+        int nrows = tiles ? P->num_tile_rows : 1;
         col_bd.resize(ncols + 1);
         std::vector<int32_t> row_bd(nrows + 1);
         for (int c = 0; c <= ncols; c++) col_bd[c] = c * ctbs_w / ncols;
@@ -289,12 +299,12 @@ struct Parser {
         for (size_t t = 0; t < ts_order.size(); t++)
             rs_to_ts[ts_order[t]] = (int32_t)t;
         zscan.resize(h4 * w4);
-        int n4 = 1 << (P.log2_ctb - 2);
+        int n4 = 1 << (P->log2_ctb - 2);
         for (int y = 0; y < h4; y++)
             for (int x = 0; x < w4; x++) {
                 int ctb = rs_to_ts[(y / n4) * ctbs_w + (x / n4)];
                 int lx = x % n4, ly = y % n4, m = 0;
-                for (int b = 0; b < P.log2_ctb - 2; b++) {
+                for (int b = 0; b < P->log2_ctb - 2; b++) {
                     m |= ((lx >> b) & 1) << (2 * b);
                     m |= ((ly >> b) & 1) << (2 * b + 1);
                 }
@@ -303,28 +313,84 @@ struct Parser {
         ct_depth.assign(h4 * w4, 0);
         skip_grid.assign(h4 * w4, 0);
         for (int c = 0; c < 3; c++) level_map[c].assign(h4 * w4, 0);
-        // context init (9.3.2.2): I->0, P->1, B->2, swap on cabac_init_flag
-        int it = P.slice_type == 2 ? 0 : (P.slice_type == 1 ? 1 : 2);
-        if (P.cabac_init_present && P.cabac_init_flag && P.slice_type != 2)
-            it = 3 - it;
-        int qp = iclip(P.slice_qp, 0, 51);
-        for (int i = 0; i < NUM_CONTEXTS; i++) {
-            int iv = INIT_VALUES[it * NUM_CONTEXTS + i];
-            int slope = (iv >> 4) * 5 - 45;
-            int off = ((iv & 15) << 3) - 16;
-            int pre = iclip(((slope * qp) >> 4) + off, 1, 126);
-            ctx[i] = pre <= 63 ? (uint8_t)((63 - pre) << 1)
-                               : (uint8_t)(((pre - 64) << 1) | 1);
-        }
+        // context init type (9.3.2.2): I->0, P->1, B->2, swap on
+        // cabac_init_flag
+        init_type = P->slice_type == 2 ? 0 : (P->slice_type == 1 ? 1 : 2);
+        if (P->cabac_init_present && P->cabac_init_flag &&
+            P->slice_type != 2)
+            init_type = 3 - init_type;
+        // grid defaults (ALL grids initialized here so the Python caller
+        // can hand over uninitialized buffers, and so a serial re-parse
+        // after a failed threaded attempt starts from a clean slate)
+        memset(O->ipm, 255, h4 * w4);
+        memset(O->pred_mode, MODE_INTRA, h4 * w4);
+        for (int i = 0; i < h4 * w4; i++)
+            O->qp_y4[i] = (int8_t)P->slice_qp;
+        memset(O->is_pcm, 0, h4 * w4);
+        memset(O->tqb, 0, h4 * w4);
+        memset(O->cbf_luma4, 0, h4 * w4);
+        memset(O->bounds_v, 0, h4 * w4);
+        memset(O->bounds_h, 0, h4 * w4);
+        memset(O->mv_pf, 0, h4 * w4);
+        memset(O->mv, 0, (size_t)h4 * w4 * 4 * sizeof(int32_t));
+        memset(O->mv_poc, 0, (size_t)h4 * w4 * 2 * sizeof(int32_t));
+        memset(O->mv_refidx, 0, (size_t)h4 * w4 * 2);
+        memset(O->sao, 0, (size_t)ctbs_h * ctbs_w * 18 * sizeof(int16_t));
+    }
+};
+
+struct Parser {
+    SliceParams P;
+    Outputs* O;
+    const uint8_t* rbsp;
+    int64_t size;
+    Cabac cab;
+    uint8_t ctx[NUM_CONTEXTS];
+
+    int w4, h4, ctbs_w, ctbs_h;
+    // shared per-slice maps/grids (Shared below); pointer aliases so the
+    // parse body reads identically in serial and threaded modes
+    const int32_t* zscan;
+    int8_t* ct_depth;
+    uint8_t* skip_grid;
+    int32_t* level_map[3];               // intra wavefront levels per plane
+    const int32_t* ts_order;             // ts index -> ctb raster addr
+    const int32_t* tile_id;              // per ctb
+    const int32_t* col_bd;               // tile column boundaries (CTBs)
+    int n_col_bd = 0;
+    bool tiles = false, wpp = false;
+    struct Shared* S = nullptr;
+
+    // per-CU state
+    int cu_tqb = 0, cu_qp = 0, cu_pred_mode = MODE_INTRA;
+    int cu_part_mode = PART_2Nx2N, cu_depth = 0;
+    int pu_modes[4] = {1, 1, 1, 1};
+    int intra_mode_c = 1;
+    bool err = false;
+
+    // ---------------- binding / per-substream init ----------------
+    void bind(Shared& sh, Outputs* out) {
+        S = &sh;
+        P = *sh.P;
+        O = out;
+        rbsp = sh.rbsp;
+        size = sh.size;
+        w4 = sh.w4; h4 = sh.h4;
+        ctbs_w = sh.ctbs_w; ctbs_h = sh.ctbs_h;
+        zscan = sh.zscan.data();
+        ct_depth = sh.ct_depth.data();
+        skip_grid = sh.skip_grid.data();
+        for (int c = 0; c < 3; c++) level_map[c] = sh.level_map[c].data();
+        ts_order = sh.ts_order.data();
+        tile_id = sh.tile_id.data();
+        col_bd = sh.col_bd.data();
+        n_col_bd = (int)sh.col_bd.size();
+        tiles = sh.tiles;
+        wpp = sh.wpp;
         cab.data = rbsp;
         cab.nbits = size * 8;
         cab.pad_bytes = size + RBSP_PAD;
-        cab.reinit((int64_t)P.data_start_byte * 8);
         cu_qp = P.slice_qp;
-        // grid defaults
-        memset(O->ipm, 255, h4 * w4);
-        memset(O->pred_mode, MODE_INTRA, h4 * w4);
-        for (int i = 0; i < h4 * w4; i++) O->qp_y4[i] = (int8_t)P.slice_qp;
     }
 
     inline int bin(int base, int inc = 0) { return cab.decode_bin(ctx, base + inc); }
@@ -339,7 +405,7 @@ struct Parser {
     }
     inline int tile_width_of(int rs) const {
         int rx = rs % ctbs_w;
-        for (size_t c = 0; c + 1 < col_bd.size(); c++)
+        for (int c = 0; c + 1 < n_col_bd; c++)
             if (rx >= col_bd[c] && rx < col_bd[c + 1])
                 return col_bd[c + 1] - col_bd[c];
         return ctbs_w;
@@ -396,6 +462,96 @@ struct Parser {
             else if (end) err = true;
         }
         return err ? -1 : 0;
+    }
+
+    // ---------------- threaded substream entries ----------------
+    // One WPP CTB row; ss_bit = the row's entry-point bit position.
+    // Wavefront protocol (2-CTB lag, pthread_slice.c analogue): before
+    // CTB x, row r waits for row r-1 to have finished min(x+2, W) CTBs;
+    // after its 2nd CTB each row publishes the CABAC context snapshot the
+    // next row starts from (9.3.1 sync).
+    int decode_wpp_row(int row, int64_t ss_bit) {
+        int cs = 1 << P.log2_ctb;
+        cab.reinit(ss_bit);
+        if (row == 0 || ctbs_w == 1) {
+            init_ctx_states(S->init_type);
+        } else {
+            while (!S->snapshot_ready[row - 1]
+                        .load(std::memory_order_acquire)) {
+                if (S->any_err.load(std::memory_order_relaxed))
+                    return fail_row(row);
+                std::this_thread::yield();
+            }
+            memcpy(ctx, S->row_snapshot[row - 1].data(), NUM_CONTEXTS);
+        }
+        cu_qp = P.slice_qp;
+        for (int x = 0; x < ctbs_w && !err; x++) {
+            if (row > 0) {
+                int need = imin(x + 2, ctbs_w);
+                while (S->row_progress[row - 1]
+                           .load(std::memory_order_acquire) < need) {
+                    if (S->any_err.load(std::memory_order_relaxed))
+                        return fail_row(row);
+                    std::this_thread::yield();
+                }
+            }
+            int x0 = x * cs, y0 = row * cs;
+            if (P.sao_enabled && (P.slice_sao_luma || P.slice_sao_chroma))
+                sao_params(x0, y0);
+            coding_quadtree(x0, y0, P.log2_ctb, 0);
+            if (x == 1) {
+                memcpy(S->row_snapshot[row].data(), ctx, NUM_CONTEXTS);
+                S->snapshot_ready[row].store(1, std::memory_order_release);
+            }
+            int end = cab.terminate();
+            if (row == ctbs_h - 1 && x == ctbs_w - 1) {
+                if (end != 1) err = true;
+            } else if (end) {
+                err = true;
+            }
+            if (!err)
+                S->row_progress[row].store(x + 1,
+                                           std::memory_order_release);
+        }
+        if (!err && row != ctbs_h - 1 && cab.terminate() != 1)
+            err = true;                       // end_of_subset_one_bit
+        if (err) return fail_row(row);
+        return 0;
+    }
+
+    int fail_row(int row) {
+        err = true;
+        S->any_err.store(true, std::memory_order_relaxed);
+        // unblock waiters permanently (they re-check any_err)
+        S->row_progress[row].store(ctbs_w, std::memory_order_release);
+        S->snapshot_ready[row].store(1, std::memory_order_release);
+        return -1;
+    }
+
+    // One tile (fully independent: CABAC reset, prediction and context
+    // reads tile-gated).
+    int decode_tile(int ts_begin, int ts_end, int64_t ss_bit) {
+        int cs = 1 << P.log2_ctb;
+        int n_ctb = ctbs_w * ctbs_h;
+        cab.reinit(ss_bit);
+        init_ctx_states(S->init_type);
+        cu_qp = P.slice_qp;
+        for (int ts = ts_begin; ts < ts_end && !err; ts++) {
+            int rs = ts_order[ts];
+            int x0 = (rs % ctbs_w) * cs;
+            int y0 = (rs / ctbs_w) * cs;
+            if (P.sao_enabled && (P.slice_sao_luma || P.slice_sao_chroma))
+                sao_params(x0, y0);
+            coding_quadtree(x0, y0, P.log2_ctb, 0);
+            int end = cab.terminate();
+            if (ts == n_ctb - 1) { if (end != 1) err = true; }
+            else if (end) err = true;
+        }
+        if (err) {
+            S->any_err.store(true, std::memory_order_relaxed);
+            return -1;
+        }
+        return 0;
     }
 
     void init_ctx_states(int it) {
@@ -785,6 +941,23 @@ struct Parser {
         *cand_up_left = (!x0b && !y0b) ? (x0 > 0 && y0 > 0) : (left && up);
         *cand_up_right = ((x0b + w) == ctb) ? ((y0 > 0) && !y0b) : up;
         *cand_bottom_left = (y0 + h) >= P.height ? false : left;
+        if (tiles) {
+            // merge/AMVP neighbours must lie in the same tile (6.4.1)
+            int x4c = x0 >> 2, y4c = y0 >> 2;
+            if (*cand_left && !same_tile4(x4c, y4c, (x0 - 1) >> 2, y4c))
+                *cand_left = false;
+            if (*cand_up && !same_tile4(x4c, y4c, x4c, (y0 - 1) >> 2))
+                *cand_up = false;
+            if (*cand_up_left &&
+                !same_tile4(x4c, y4c, (x0 - 1) >> 2, (y0 - 1) >> 2))
+                *cand_up_left = false;
+            if (*cand_up_right && (x0 + w) >> 2 < w4 &&
+                !same_tile4(x4c, y4c, (x0 + w) >> 2, (y0 - 1) >> 2))
+                *cand_up_right = false;
+            if (*cand_bottom_left &&
+                !same_tile4(x4c, y4c, (x0 - 1) >> 2, (y0 + h) >> 2))
+                *cand_bottom_left = false;
+        }
     }
 
     inline bool zscan_avail(int xc, int yc, int xn, int yn) {
@@ -1239,7 +1412,7 @@ struct Parser {
         // dependency level (wavefront batching; mirrors models/pipeline.py)
         // — one probe per plane CELL (4 plane samples, TB origins are
         // 4-aligned so each av group is exactly one level_map cell)
-        int32_t* lm = level_map[plane].data();
+        int32_t* lm = level_map[plane];
         int deps = 0;
         auto dep = [&](int sx, int sy) {
             int v = lm[(sy >> 2) * w4 + (sx >> 2)];
@@ -1503,6 +1676,107 @@ struct Parser {
 
 extern "C" {
 
+namespace {
+
+// Worker-local append arenas for threaded substream parsing: grids stay
+// shared (disjoint per-CTB writes), list outputs go to per-worker buffers
+// and are merged back in substream order afterwards.
+struct LocalOut {
+    // uninitialized raw arrays (the parse writes every used prefix);
+    // zero-filling ~9 MB/worker/frame would eat the threading win
+    std::unique_ptr<int32_t[]> cb_meta, ij_meta, pcm_meta, pb;
+    std::unique_ptr<int16_t[]> cb_levels;
+    std::unique_ptr<uint8_t[]> ij_avail;
+    std::unique_ptr<uint16_t[]> pcm_samples;
+    Outputs o;
+    struct Seg {
+        int ss, cb0, cb1, ij0, ij1, pcm0, pcm1, pb0, pb1, lvl0, lvl1,
+            ps0, ps1;
+    };
+    std::vector<Seg> segs;
+
+    void init_from(const Outputs* base) {
+        o = *base;                      // grids + caps copied
+        cb_meta.reset(new int32_t[(size_t)base->cb_cap * 8]);
+        cb_levels.reset(new int16_t[base->lvl_cap]);
+        ij_meta.reset(new int32_t[(size_t)base->ij_cap * 8]);
+        ij_avail.reset(new uint8_t[(size_t)base->ij_cap * 132]);
+        pcm_meta.reset(new int32_t[(size_t)base->pcm_cap * 3]);
+        pcm_samples.reset(new uint16_t[base->pcm_arena_cap]);
+        pb.reset(new int32_t[(size_t)base->pb_cap * 12]);
+        o.cb_meta = cb_meta.get();
+        o.cb_levels = cb_levels.get();
+        o.ij_meta = ij_meta.get();
+        o.ij_avail = ij_avail.get();
+        o.pcm_meta = pcm_meta.get();
+        o.pcm_samples = pcm_samples.get();
+        o.pb = pb.get();
+        o.n_cb = o.n_ij = o.n_pcm = o.n_pb = 0;
+        o.lvl_used = o.pcm_used = 0;
+        o.error = 0;
+    }
+    void mark_start(int ss) {
+        Seg s;
+        s.ss = ss;
+        s.cb0 = o.n_cb; s.ij0 = o.n_ij; s.pcm0 = o.n_pcm; s.pb0 = o.n_pb;
+        s.lvl0 = o.lvl_used; s.ps0 = o.pcm_used;
+        segs.push_back(s);
+    }
+    void mark_end() {
+        Seg& s = segs.back();
+        s.cb1 = o.n_cb; s.ij1 = o.n_ij; s.pcm1 = o.n_pcm; s.pb1 = o.n_pb;
+        s.lvl1 = o.lvl_used; s.ps1 = o.pcm_used;
+    }
+};
+
+bool merge_locals(std::vector<LocalOut>& locals, int nss, Outputs* out) {
+    for (int ss = 0; ss < nss; ss++) {
+        const LocalOut* lo = nullptr;
+        const LocalOut::Seg* sg = nullptr;
+        for (const auto& l : locals)
+            for (const auto& s : l.segs)
+                if (s.ss == ss) { lo = &l; sg = &s; }
+        if (!sg) return false;
+        int ncb = sg->cb1 - sg->cb0, nij = sg->ij1 - sg->ij0;
+        int npcm = sg->pcm1 - sg->pcm0, npb = sg->pb1 - sg->pb0;
+        int nlvl = sg->lvl1 - sg->lvl0, nps = sg->ps1 - sg->ps0;
+        if (out->n_cb + ncb > out->cb_cap ||
+            out->lvl_used + nlvl > out->lvl_cap ||
+            out->n_ij + nij > out->ij_cap ||
+            out->n_pcm + npcm > out->pcm_cap ||
+            out->pcm_used + nps > out->pcm_arena_cap ||
+            out->n_pb + npb > out->pb_cap)
+            return false;
+        int32_t* dst_cb = out->cb_meta + (size_t)out->n_cb * 8;
+        memcpy(dst_cb, lo->cb_meta.get() + (size_t)sg->cb0 * 8,
+               (size_t)ncb * 8 * sizeof(int32_t));
+        int lvl_rebase = out->lvl_used - sg->lvl0;
+        for (int i = 0; i < ncb; i++) dst_cb[i * 8 + 6] += lvl_rebase;
+        memcpy(out->cb_levels + out->lvl_used,
+               lo->cb_levels.get() + sg->lvl0, nlvl * sizeof(int16_t));
+        memcpy(out->ij_meta + (size_t)out->n_ij * 8,
+               lo->ij_meta.get() + (size_t)sg->ij0 * 8,
+               (size_t)nij * 8 * sizeof(int32_t));
+        memcpy(out->ij_avail + (size_t)out->n_ij * 132,
+               lo->ij_avail.get() + (size_t)sg->ij0 * 132,
+               (size_t)nij * 132);
+        memcpy(out->pcm_meta + (size_t)out->n_pcm * 3,
+               lo->pcm_meta.get() + (size_t)sg->pcm0 * 3,
+               (size_t)npcm * 3 * sizeof(int32_t));
+        memcpy(out->pcm_samples + out->pcm_used,
+               lo->pcm_samples.get() + sg->ps0, nps * sizeof(uint16_t));
+        memcpy(out->pb + (size_t)out->n_pb * 12,
+               lo->pb.get() + (size_t)sg->pb0 * 12,
+               (size_t)npb * 12 * sizeof(int32_t));
+        out->n_cb += ncb; out->lvl_used += nlvl;
+        out->n_ij += nij; out->n_pcm += npcm; out->pcm_used += nps;
+        out->n_pb += npb;
+    }
+    return true;
+}
+
+}  // namespace
+
 int hevc_parse_slice(const uint8_t* rbsp, int64_t size,
                      const SliceParams* params, Outputs* out) {
     // copy into a zero-padded buffer: the bit-cache refill then needs no
@@ -1512,21 +1786,89 @@ int hevc_parse_slice(const uint8_t* rbsp, int64_t size,
     padded.resize(size + RBSP_PAD);
     memcpy(padded.data(), rbsp, size);
     memset(padded.data() + size, 0, RBSP_PAD);
-    Parser p;
-    p.P = *params;
-    p.O = out;
-    p.rbsp = padded.data();
-    p.size = size;
     out->n_cb = out->n_ij = out->n_pcm = out->n_pb = 0;
     out->lvl_used = out->pcm_used = 0;
     out->error = 0;
-    p.init();
+
+    Shared S;
+    S.init(params, out, padded.data(), size);
+
+    // ---- threaded substream parse (WPP rows / tiles) --------------------
+    int nss = params->num_substreams;
+    unsigned hw = std::thread::hardware_concurrency();
+    int T = (int)(hw ? (hw > 4 ? 4 : hw) : 1);
+    bool wpp_mode = S.wpp && !S.tiles && nss == S.ctbs_h;
+    int ntiles = S.tiles ? params->num_tile_cols * params->num_tile_rows
+                         : 1;
+    bool tile_mode = S.tiles && !S.wpp && nss == ntiles;
+    if (nss >= 2 && nss <= 128 && T >= 2 && (wpp_mode || tile_mode)) {
+        if (T > nss) T = nss;
+        if (wpp_mode) {
+            S.row_progress.reset(new std::atomic<int>[nss]);
+            S.snapshot_ready.reset(new std::atomic<int>[nss]);
+            for (int r = 0; r < nss; r++) {
+                S.row_progress[r].store(0);
+                S.snapshot_ready[r].store(0);
+            }
+            S.row_snapshot.resize(nss);
+        }
+        // tile ts ranges (tiles are contiguous in tile-scan order)
+        std::vector<int> tile_begin(ntiles + 1, 0);
+        if (tile_mode) {
+            for (int ts = 0; ts < (int)S.ts_order.size(); ts++)
+                tile_begin[S.tile_id[S.ts_order[ts]] + 1] = ts + 1;
+        }
+        std::vector<LocalOut> locals(T);
+        auto worker = [&](int tid) {
+            locals[tid].init_from(out);
+            for (int ss = tid; ss < nss; ss += T) {
+                if (S.any_err.load(std::memory_order_relaxed)) break;
+                locals[tid].mark_start(ss);
+                Parser p;
+                p.bind(S, &locals[tid].o);
+                int64_t bit = (int64_t)params->ss_start[ss] * 8;
+                int rc = wpp_mode
+                    ? p.decode_wpp_row(ss, bit)
+                    : p.decode_tile(tile_begin[ss], tile_begin[ss + 1],
+                                    bit);
+                locals[tid].mark_end();
+                if (rc) break;
+            }
+        };
+        std::vector<std::thread> threads;
+        for (int t = 1; t < T; t++) threads.emplace_back(worker, t);
+        worker(0);
+        for (auto& th : threads) th.join();
+        if (!S.any_err.load() && merge_locals(locals, nss, out))
+            return 0;
+        // threaded parse failed: reset and fall through to the serial
+        // path for exact serial error behavior
+        out->n_cb = out->n_ij = out->n_pcm = out->n_pb = 0;
+        out->lvl_used = out->pcm_used = 0;
+        out->error = 0;
+        S.any_err.store(false);
+        Shared S2;
+        S2.init(params, out, padded.data(), size);
+        Parser p;
+        p.bind(S2, out);
+        p.cab.reinit((int64_t)params->data_start_byte * 8);
+        p.init_ctx_states(S2.init_type);
+        int rc = p.decode();
+        if (rc) out->error = 1;
+        return rc;
+    }
+
+    // ---- serial parse ----------------------------------------------------
+    Parser p;
+    p.bind(S, out);
+    p.cab.reinit((int64_t)params->data_start_byte * 8);
+    p.init_ctx_states(S.init_type);
     int rc = p.decode();
     if (rc) out->error = 1;
     return rc;
 }
 
-int hevc_parse_abi_version() { return 1; }
+int hevc_parse_abi_version() { return 2; }
 
 // ---------------------------------------------------------------------------
 // Frame packing: convert the parse outputs (cb_meta/cb_levels decode-order

@@ -8,6 +8,12 @@ import os
 # opt back in explicitly (test_fused_tpu.py, OPENHEVC_TPU_TESTS=1).
 if os.environ.get("OPENHEVC_TPU_TESTS") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent XLA compile cache: the suite's wall time is dominated by
+# re-compiling the same fused-frame programs in every pytest process
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/openhevc_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
