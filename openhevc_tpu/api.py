@@ -104,7 +104,10 @@ class OpenHevc:
         self.no_cropping = bool(v)
 
     def set_debug_mode(self, v: int):
-        pass
+        """libOpenHevcSetDebugMode parity (openHevcWrapper.c:400):
+        v >= 1 switches the framework logger to DEBUG."""
+        from .utils import log as _log
+        _log.set_level(_log.DEBUG if v >= 1 else _log.WARNING)
 
     def copy_extradata(self, extra_data: bytes):
         """libOpenHevcCopyExtraData (openHevcWrapper.c:157): stores codec

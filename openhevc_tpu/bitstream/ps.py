@@ -293,6 +293,9 @@ class VPS:
     max_one_active_ref_layer: int = 1
     phase_align: int = 0
     default_dep_type: int = 0
+    # vps_timing_info (advisory; 0 = absent)
+    num_units_in_tick: int = 0
+    time_scale: int = 0
 
 
 def parse_vps(rbsp: bytes) -> VPS:
@@ -315,8 +318,16 @@ def parse_vps(rbsp: bytes) -> VPS:
     for i in range(1, num_layer_sets):
         for j in range(max_layer_id + 1):
             n_in_set[i] += r.read1()
-    if r.read1():           # vps_timing_info_present (not written by us)
-        raise NotImplementedError("vps timing info")
+    if r.read1():           # vps_timing_info_present
+        v.num_units_in_tick = r.read(32)
+        v.time_scale = r.read(32)
+        if r.read1():       # vps_poc_proportional_to_timing
+            r.ue()          # vps_num_ticks_poc_diff_one_minus1
+        num_hrd = r.ue()
+        for i in range(num_hrd):
+            r.ue()          # hrd_layer_set_idx[i]
+            cprms = 1 if i == 0 else r.read1()
+            _parse_hrd(r, cprms, v.max_sub_layers - 1)
     if r.read1() and v.max_layers > 1:   # vps_extension_flag
         r.align()
         _parse_vps_extension(r, v, num_layer_sets, n_in_set)
@@ -469,6 +480,10 @@ class SPS:
     high_precision_offsets: int = 0
     persistent_rice_adaptation: int = 0
     cabac_bypass_alignment: int = 0
+    # VUI timing (advisory; 0 = absent)
+    num_units_in_tick: int = 0
+    time_scale: int = 0
+    max_sub_layers: int = 1
 
     # ---- derived ----
     @property
@@ -513,6 +528,7 @@ def parse_sps(rbsp: bytes, layer_id: int = 0, vps: VPS | None = None) -> SPS:
         s.ptl = parse_ptl(r, max_sub_layers_minus1)
     else:
         max_sub_layers_minus1 = (vps.max_sub_layers - 1) if vps else 0
+    s.max_sub_layers = max_sub_layers_minus1 + 1
     s.sps_id = r.ue()
     if layer_id > 0:
         update_rep = r.read1()
@@ -634,14 +650,60 @@ def _skip_vui(r: BitReader, s: SPS):
     if r.read1():  # default_display_window
         r.ue(), r.ue(), r.ue(), r.ue()
     if r.read1():  # vui_timing_info_present
-        r.read(64)
-        if r.read1():
-            r.ue()
-        if r.read1():  # hrd_parameters — not supported yet
-            raise NotImplementedError("HRD in VUI")
+        s.num_units_in_tick = r.read(32)
+        s.time_scale = r.read(32)
+        if r.read1():  # poc_proportional_to_timing
+            r.ue()     # num_ticks_poc_diff_one_minus1
+        if r.read1():  # vui_hrd_parameters_present
+            _parse_hrd(r, 1, s.max_sub_layers - 1)
     if r.read1():  # bitstream_restriction
         r.read(3)
         r.ue(), r.ue(), r.ue(), r.ue(), r.ue()
+
+
+def _parse_hrd(r: BitReader, common_inf: int, max_sub_layers_minus1: int):
+    """7.3.2.11 hrd_parameters — skip-correct parse so streams carrying
+    HRD info decode (mirrors decode_hrd, hevc_ps.c:269-343; values are
+    advisory for a decoder and dropped)."""
+    nal_hrd = vcl_hrd = sub_pic = 0
+    if common_inf:
+        nal_hrd = r.read1()
+        vcl_hrd = r.read1()
+        if nal_hrd or vcl_hrd:
+            sub_pic = r.read1()
+            if sub_pic:
+                r.read(8)   # tick_divisor_minus2
+                r.read(5)   # du_cpb_removal_delay_increment_length_minus1
+                r.read1()   # sub_pic_cpb_params_in_pic_timing_sei
+                r.read(5)   # dpb_output_delay_du_length_minus1
+            r.read(4)       # bit_rate_scale
+            r.read(4)       # cpb_size_scale
+            if sub_pic:
+                r.read(4)   # cpb_size_du_scale
+            r.read(5)       # initial_cpb_removal_delay_length_minus1
+            r.read(5)       # au_cpb_removal_delay_length_minus1
+            r.read(5)       # dpb_output_delay_length_minus1
+    for _ in range(max_sub_layers_minus1 + 1):
+        low_delay = 0
+        nb_cpb = 1
+        fixed_rate = r.read1()          # fixed_pic_rate_general
+        if not fixed_rate:
+            fixed_rate = r.read1()      # fixed_pic_rate_within_cvs
+        if fixed_rate:
+            r.ue()                      # elemental_duration_in_tc_minus1
+        else:
+            low_delay = r.read1()
+        if not low_delay:
+            nb_cpb = r.ue() + 1
+        for hrd_on in (nal_hrd, vcl_hrd):
+            if hrd_on:
+                for _ in range(nb_cpb):
+                    r.ue()              # bit_rate_value_minus1
+                    r.ue()              # cpb_size_value_minus1
+                    if sub_pic:
+                        r.ue()          # cpb_size_du_value_minus1
+                        r.ue()          # bit_rate_du_value_minus1
+                    r.read1()           # cbr_flag
 
 
 @dataclass

@@ -100,6 +100,8 @@ class Decoder:
         # the GIL). Pending = (fs, pic, refs_snapshot, il_planes).
         self._pending = None
         self._parse_executor = None
+        from .utils.log import StageTimers
+        self.timers = StageTimers()   # per-frame parse/pack/… tracing
 
     # -- extradata (hvcC / Annex-B) ----------------------------------------
     def set_extradata(self, data: bytes):
@@ -320,7 +322,8 @@ class Decoder:
             # overlap: reconstruct+emit the previous picture while the
             # worker parses this one
             self._flush_pending()
-            fs = fut.result()
+            with self.timers.stage("parse"):
+                fs = fut.result()
             acc["n_parsed"] = n_ctb
         else:
             self._flush_pending()
@@ -338,7 +341,8 @@ class Decoder:
                 dep_ctx=(acc["parser"].final_ctx
                          if sh.dependent and acc["parser"] else None),
                 slice_no=max(acc["slice_no"], 0))
-            fs = p.decode()
+            with self.timers.stage("parse"):
+                fs = p.decode()
             acc["shared"] = p.shared
             acc["parser"] = p
             acc["n_parsed"] += p.end_ts - p.start_ts
@@ -373,7 +377,9 @@ class Decoder:
             return
         self._pending = None
         fs, pic, refs = p
-        pic.planes = self._reconstruct(fs, refs)
+        with self.timers.stage("kernel"):
+            pic.planes = self._reconstruct(fs, refs)
+        self.timers.frame_done()
         self._bump(pic, pic.sps)
 
     def _missing_ref(self, poc, sps):

@@ -77,6 +77,7 @@ class EncoderConfig:
     rext_explicit_rdpcm: bool = False
     rext_persistent_rice: bool = False
     cross_component: bool = False         # PPS RExt (4:4:4 only)
+    vui_timing: bool = False              # write VUI timing + HRD params
 
     @property
     def any_rext(self) -> bool:
@@ -303,7 +304,11 @@ def write_sps(cfg: EncoderConfig, st_rps: list | None = None) -> bytes:
         bw.put(0, 1)        # long_term_ref_pics_present_flag
     bw.put(1 if cfg.temporal_mvp else 0, 1)  # sps_temporal_mvp_enabled
     bw.put(1 if cfg.strong_intra_smoothing else 0, 1)
-    bw.put(0, 1)            # vui_parameters_present_flag
+    if cfg.vui_timing:
+        bw.put(1, 1)        # vui_parameters_present_flag
+        _write_vui_timing_hrd(bw)
+    else:
+        bw.put(0, 1)        # vui_parameters_present_flag
     if cfg.any_rext:
         bw.put(1, 1)        # sps_extension_present_flag
         bw.put(1, 1)        # sps_range_extension_flag
@@ -321,6 +326,41 @@ def write_sps(cfg: EncoderConfig, st_rps: list | None = None) -> bytes:
         bw.put(0, 1)        # sps_extension_flag
     bw.align_one_then_zero()
     return wrap_nal(NAL_SPS, bw.getvalue())
+
+
+def _write_vui_timing_hrd(bw: BitWriter):
+    """VUI carrying timing info + NAL HRD parameters (7.3.2.11) so the
+    decoder's skip-correct HRD parse (bitstream/ps.py _parse_hrd, mirroring
+    hevc_ps.c:269-343) is exercised end-to-end."""
+    bw.put(0, 1)            # aspect_ratio_info_present
+    bw.put(0, 1)            # overscan_info_present
+    bw.put(0, 1)            # video_signal_type_present
+    bw.put(0, 1)            # chroma_loc_info_present
+    bw.put(0, 3)            # neutral_chroma + field_seq + frame_field_info
+    bw.put(0, 1)            # default_display_window
+    bw.put(1, 1)            # vui_timing_info_present
+    bw.put(1000, 32)        # vui_num_units_in_tick
+    bw.put(60000, 32)       # vui_time_scale (60 fps)
+    bw.put(0, 1)            # poc_proportional_to_timing
+    bw.put(1, 1)            # vui_hrd_parameters_present
+    # hrd_parameters(commonInfPresent=1, maxNumSubLayersMinus1=0)
+    bw.put(1, 1)            # nal_hrd_parameters_present
+    bw.put(0, 1)            # vcl_hrd_parameters_present
+    bw.put(0, 1)            # sub_pic_hrd_params_present
+    bw.put(0, 4)            # bit_rate_scale
+    bw.put(0, 4)            # cpb_size_scale
+    bw.put(23, 5)           # initial_cpb_removal_delay_length_minus1
+    bw.put(23, 5)           # au_cpb_removal_delay_length_minus1
+    bw.put(23, 5)           # dpb_output_delay_length_minus1
+    # sub-layer 0: fixed rate, 1 CPB
+    bw.put(1, 1)            # fixed_pic_rate_general
+    bw.ue(0)                # elemental_duration_in_tc_minus1
+    bw.ue(0)                # cpb_cnt_minus1 = 0 -> 1 CPB
+    # sub_layer_hrd_parameters (NAL), 1 CPB
+    bw.ue(30000)            # bit_rate_value_minus1
+    bw.ue(300000)           # cpb_size_value_minus1
+    bw.put(0, 1)            # cbr_flag
+    bw.put(0, 1)            # bitstream_restriction
 
 
 def _write_st_rps(bw: BitWriter, idx: int, rps):

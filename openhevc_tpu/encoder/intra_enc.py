@@ -1193,7 +1193,7 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         cu_qp_delta_depth=None, rext_rotation=False,
                         rext_implicit_rdpcm=False,
                         rext_persistent_rice=False,
-                        cross_component=False) -> bytes:
+                        cross_component=False, vui_timing=False) -> bytes:
     # NOTE: the reference decoder never clears its is_pcm no-filter map
     # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
     # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
@@ -1225,7 +1225,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         rext_rotation=rext_rotation,
                         rext_implicit_rdpcm=rext_implicit_rdpcm,
                         rext_persistent_rice=rext_persistent_rice,
-                        cross_component=cross_component)
+                        cross_component=cross_component,
+                        vui_timing=vui_timing)
     rng = np.random.default_rng(seed)
     out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)
     enc = IntraFrameEncoder(cfg, rng)

@@ -286,16 +286,29 @@ class JaxEngine:
         self._cache = {}
         self._fetch_pool = FetchPool()
 
-    def _fused_ok(self, fs) -> bool:
+    def _fused_plan(self, fs):
+        """None when the fused path is unavailable; ("whole", dims) when
+        the whole frame fits VMEM; ("banded", dims, band_h, nbands)
+        otherwise (the band_plan slide through VMEM scratch)."""
         import jax as _jax
         if _jax.default_backend() != "tpu":
-            return False
-        from ..ops.intra_fused import padded_dims
+            return None
+        from ..ops.intra_fused import padded_dims, band_plan
         sps = fs.sps
-        hl, wl = padded_dims(sps.height, sps.width)
-        hc, wc = padded_dims(sps.height >> sps.vshift1,
-                             sps.width >> sps.hshift1)
-        return (hl * wl + 2 * hc * wc) * 4 * 2 <= self.FUSED_VMEM_BUDGET
+        H, W = sps.height, sps.width
+        Hc, Wc = H >> sps.vshift1, W >> sps.hshift1
+        hl, wl = padded_dims(H, W)
+        hc, wc = padded_dims(Hc, Wc)
+        if (hl * wl + 2 * hc * wc) * 4 * 2 <= self.FUSED_VMEM_BUDGET:
+            return ("whole", (hl, wl, hc, wc))
+        plan = band_plan(H, W, Hc, Wc, sps.ctb_size, sps.vshift1)
+        if plan is None:
+            return None
+        band_h, nb, hl, wl, hc, wc = plan
+        return ("banded", (hl, wl, hc, wc), band_h, nb)
+
+    def _fused_ok(self, fs) -> bool:
+        return self._fused_plan(fs) is not None
 
     def reconstruct(self, fs: FrameSymbols, ref_planes=None):
         H, W = fs.sps.height, fs.sps.width
@@ -327,16 +340,18 @@ class JaxEngine:
         """Whole-frame path around the fused Pallas intra kernel: residual
         scatter into padded per-plane buffers, optional inter/PCM prefill,
         one kernel invocation for every intra TU in decode order."""
-        from ..ops.intra_fused import (padded_dims, pack_meta_native,
+        from ..ops.intra_fused import (pack_meta_native,
                                        pack_meta_objects, OY, OX,
+                                       sort_meta_by_band,
                                        _bucket as _meta_bucket)
         sps = fs.sps
         H, W = sps.height, sps.width
         hs, vs = sps.hshift1, sps.vshift1
         Hc, Wc = H >> vs, W >> hs
         bd = sps.bit_depth
-        hl, wl = padded_dims(H, W)
-        hc, wc = padded_dims(Hc, Wc)
+        plan = self._fused_plan(fs)
+        hl, wl, hc, wc = plan[1]
+        banded = None if plan[0] == "whole" else (plan[2], plan[3])
 
         # ---- residual arenas: two small uploads for the whole frame -------
         np_ = fs.native_pack
@@ -386,6 +401,10 @@ class JaxEngine:
             if npad != n:
                 meta = np.concatenate(
                     [meta, np.zeros((8, npad - n), meta.dtype)], axis=1)
+        bounds = None
+        if banded is not None:
+            meta, bounds = sort_meta_by_band(meta, n, banded[0], vs,
+                                             banded[1])
         # in-loop filters on device when the whole-frame formulation is
         # exact for this stream (ops/filters_jax.device_filters_ok)
         from ..ops.filters_jax import device_filters_ok, prep_filters
@@ -404,7 +423,9 @@ class JaxEngine:
                                "tc_cv1", "tc_ch1", "tc_cv2", "tc_ch2")) +                     (jnp.asarray(pff.get("sao", z4)),)
         flat = _frame_fused(arena4, arena16, escs, meta,
                             np.full((1, 1), n, np.int32),
-                            luma, chroma, fargs, caps=caps, hl=hl, wl=wl,
+                            luma, chroma, fargs,
+                            None if bounds is None else jnp.asarray(bounds),
+                            caps=caps, hl=hl, wl=wl,
                             hc=hc, wc=wc, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd,
                             npad=npad, prefill=prefill, filters=fmask,
                             cs=1 << sps.log2_ctb,
@@ -412,7 +433,8 @@ class JaxEngine:
                             sdis=bool(getattr(sps, "intra_smoothing_disabled",
                                               0)),
                             c444=sps.chroma_format_idc == 3,
-                            strong=bool(sps.strong_intra_smoothing))
+                            strong=bool(sps.strong_intra_smoothing),
+                            banded=banded)
         lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool)
         self._fetch_pool.add(lp)
         lp.device_filtered = fmask != 0
@@ -814,18 +836,19 @@ def _derive_meta16(meta8, sdis, c444, strong):
 @partial(jax.jit, static_argnames=("caps", "hl", "wl", "hc", "wc", "H", "W",
                                    "Hc", "Wc", "bd", "npad", "prefill",
                                    "filters", "cs", "bdc", "sdis", "c444",
-                                   "strong"))
+                                   "strong", "banded"))
 def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
+                 bounds=None,
                  *, caps, hl, wl, hc, wc, H, W, Hc, Wc, bd, npad, prefill,
                  filters=0, cs=64, bdc=8, sdis=False, c444=False,
-                 strong=False):
+                 strong=False, banded=None):
     """ONE dispatch for the whole post-parse frame: dequant+IDCT per size
     bucket, residual scatter, fused Pallas intra wavefront, crop+downcast.
     Minimal dispatches AND minimal bytes: the tunneled runtime gives a
     ~55 MB/s SHARED up+down wire, so levels ship as 4-bit nibbles
     (+escape scatter), the sideband as 3 int16/block, and the intra meta
     as 8 rows with the derived rows rebuilt here on device."""
-    from ..ops.intra_fused import _build, OY, OX
+    from ..ops.intra_fused import _build, _build_banded, OY, OX
     # slot-granular scatter: TUs of size s are s-aligned in their plane,
     # so each lands in exactly one cell of a [Hg*Wg, s, s] grid — XLA
     # lowers the slot scatter with whole-(s,s)-window updates instead of
@@ -890,9 +913,16 @@ def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
     else:
         luma = jnp.zeros((hl, wl), jnp.int32)
         chroma = jnp.zeros((2, hc, wc), jnp.int32)
-    luma, chroma = _build(hl, wl, hc, wc, npad, bd)(
-        _derive_meta16(meta, sdis, c444, strong), nn, luma, chroma,
-        res_l, res_c)
+    meta16 = _derive_meta16(meta, sdis, c444, strong)
+    if banded is None:
+        luma, chroma = _build(hl, wl, hc, wc, npad, bd)(
+            meta16, nn, luma, chroma, res_l, res_c)
+    else:
+        band_h, nbands = banded
+        vsc = 0 if Hc == H else 1
+        luma, chroma = _build_banded(hl, wl, hc, wc, npad, bd, band_h,
+                                     vsc, nbands)(
+            meta16, bounds, luma, chroma, res_l, res_c)
     if not filters:
         return _crop_pack(luma, chroma, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
     # whole-frame deblock + SAO on device (ops/filters_jax.py);

@@ -61,6 +61,68 @@ def padded_dims(h: int, w: int) -> tuple[int, int]:
 
 
 # =========================================================================
+# Banded variant: frame buffers live in HBM; the kernel slides a
+# CTB-row band (plus an 8-row halo above and a window-overrun pad below)
+# through VMEM scratch via async DMA.  This removes the whole-frame VMEM
+# gate so 1080p / 4K frames run through the single fused dispatch.
+# Jobs are host-sorted by band (stable: decode order within a band is
+# preserved; intra dependencies never cross a band downward because top
+# reference samples come only from row y-1).
+# =========================================================================
+
+SCR_PAD = 64                 # rows below the band for window overrun
+VMEM_SCRATCH_BUDGET = 9 * 2 ** 20
+
+
+def band_plan(H, W, Hc, Wc, cs, vs):
+    """Choose the band height (a multiple of the CTB size) so the VMEM
+    scratch (recon+residual luma & chroma bands) fits the budget.
+    Returns (band_h, nbands, hl, wl, hc, wc) or None if even a 1-CTB-row
+    band exceeds the budget."""
+    wl = OX + ((W + 127) & ~127) + RIGHT
+    wc = OX + ((Wc + 127) & ~127) + RIGHT
+
+    def scratch_bytes(bh):
+        srl = 8 + bh + SCR_PAD
+        src = 8 + (bh >> vs) + SCR_PAD
+        return 4 * 2 * (srl * wl + 2 * src * wc)
+
+    m = 1
+    while m * cs < H and \
+            scratch_bytes((m + 1) * cs) <= VMEM_SCRATCH_BUDGET:
+        m += 1
+    band_h = m * cs
+    if scratch_bytes(band_h) > VMEM_SCRATCH_BUDGET:
+        return None
+    nb = -(-H // band_h)
+    hl = (OY + nb * band_h + SCR_PAD + 7) & ~7
+    hc = (OY + nb * (band_h >> vs) + SCR_PAD + 7) & ~7
+    return band_h, nb, hl, wl, hc, wc
+
+
+def sort_meta_by_band(meta8: np.ndarray, n: int, band_h: int, vs: int,
+                      nb: int):
+    """Stable-sort job columns by band index; returns (meta8 sorted,
+    bounds[nb+1] int32 job-range starts per band). meta8 row 0 is the
+    buffer y (frame y + OY); row 4 the plane.  Stable order keeps decode
+    order within a band, which preserves every intra dependency: top
+    reference samples come only from row y-1 (at most one band up), and
+    with tiles a band's cross-tile job interleaving is dependency-free
+    (prediction never crosses tile boundaries)."""
+    if n == 0:
+        return meta8, np.zeros(nb + 1, np.int32)
+    y = meta8[0, :n].astype(np.int32) - OY
+    plane = meta8[4, :n]
+    bh_c = band_h >> vs
+    band = np.where(plane == 0, y // band_h, y // bh_c)
+    order = np.argsort(band, kind="stable")
+    sorted_meta = meta8.copy()
+    sorted_meta[:, :n] = meta8[:, :n][:, order]
+    bounds = np.searchsorted(band[order], np.arange(nb + 1)).astype(np.int32)
+    return sorted_meta, bounds
+
+
+# =========================================================================
 # Host-side packing: decode-order job meta, shipped TRANSPOSED as
 # [8, Npad] int16 (the wire is the bottleneck; the derived rows —
 # do_filter, angle, inv_angle, strong_allowed, any_avail, edge_filters —
@@ -436,6 +498,152 @@ def _build(hl, wl, hc, wc, npad, bd):
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_banded(hl, wl, hc, wc, npad, bd, band_h, vs, nbands):
+    """Banded fused intra kernel: recon/residual planes live in HBM
+    (ANY); a fori over bands DMAs [halo 8 | band | overrun pad] rows into
+    VMEM scratch, runs that band's jobs (meta DMA'd in 128-job chunks),
+    and DMAs the band rows back.  Bands are sequential — band k+1's halo
+    row is band k's freshly written output — so no double buffering is
+    needed (the DMA is microseconds against a band's job loop)."""
+    srl = 8 + band_h + SCR_PAD               # luma scratch rows
+    bh_c = band_h >> vs
+    src_rows = 8 + bh_c + SCR_PAD            # chroma scratch rows
+
+    def kernel(meta_hbm, bounds, luma_in, chroma_in, resl_hbm, resc_hbm,
+               luma_out, chroma_out,
+               sl, sc, srl_s, src_s, smeta, sems):
+        del luma_in, chroma_in               # aliased onto the outputs
+
+        def band(k, _):
+            start = bounds[k]
+            end = bounds[k + 1]
+
+            @pl.when(end > start)
+            def _process():
+                base_l = k * band_h          # = (OY + k*band_h) - 8
+                base_c = k * bh_c
+                dmas = [
+                    pltpu.make_async_copy(
+                        luma_out.at[pl.ds(base_l, srl), :], sl,
+                        sems.at[0]),
+                    pltpu.make_async_copy(
+                        chroma_out.at[0, pl.ds(base_c, src_rows), :],
+                        sc.at[0], sems.at[1]),
+                    pltpu.make_async_copy(
+                        chroma_out.at[1, pl.ds(base_c, src_rows), :],
+                        sc.at[1], sems.at[2]),
+                    pltpu.make_async_copy(
+                        resl_hbm.at[pl.ds(base_l, srl), :], srl_s,
+                        sems.at[3]),
+                    pltpu.make_async_copy(
+                        resc_hbm.at[0, pl.ds(base_c, src_rows), :],
+                        src_s.at[0], sems.at[4]),
+                    pltpu.make_async_copy(
+                        resc_hbm.at[1, pl.ds(base_c, src_rows), :],
+                        src_s.at[1], sems.at[5]),
+                ]
+                for d in dmas:
+                    d.start()
+                for d in dmas:
+                    d.wait()
+
+                def jloop(j, cur_chunk):
+                    chunk = j >> 7
+
+                    @pl.when(chunk != cur_chunk)
+                    def _load():
+                        cp = pltpu.make_async_copy(
+                            meta_hbm.at[:, pl.ds(chunk * 128, 128)],
+                            smeta, sems.at[6])
+                        cp.start()
+                        cp.wait()
+
+                    mc = pltpu.roll(smeta[:, :], (128 - (j & 127)) % 128, 1)
+                    m = mc[:, 0:1]
+                    sidx = m[2, 0]
+                    plane = m[4, 0]
+                    # band-relative y: scratch row 0 = buffer row
+                    # OY + k*band - 8, so y' = y_buf - k*band
+                    yoff = jnp.where(plane == 0, k * band_h, k * bh_c)
+                    ri = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+                    m = jnp.where(ri == 0, m - yoff, m)
+
+                    def per_size(s):
+                        def go():
+                            def on_luma():
+                                _job(s, bd, sl, srl_s, m)
+                                return 0
+
+                            def on_cb():
+                                _job(s, bd, sc.at[0], src_s.at[0], m)
+                                return 0
+
+                            def on_cr():
+                                _job(s, bd, sc.at[1], src_s.at[1], m)
+                                return 0
+
+                            jax.lax.cond(
+                                plane == 0, on_luma,
+                                lambda: jax.lax.cond(plane == 1, on_cb,
+                                                     on_cr))
+                            return 0
+                        return go
+
+                    jax.lax.switch(sidx, [per_size(4), per_size(8),
+                                          per_size(16), per_size(32)])
+                    return chunk
+
+                jax.lax.fori_loop(start, end, jloop, jnp.int32(-1))
+
+                outs = [
+                    pltpu.make_async_copy(
+                        sl.at[pl.ds(8, band_h), :],
+                        luma_out.at[pl.ds(OY + k * band_h, band_h), :],
+                        sems.at[0]),
+                    pltpu.make_async_copy(
+                        sc.at[0, pl.ds(8, bh_c), :],
+                        chroma_out.at[0, pl.ds(OY + k * bh_c, bh_c), :],
+                        sems.at[1]),
+                    pltpu.make_async_copy(
+                        sc.at[1, pl.ds(8, bh_c), :],
+                        chroma_out.at[1, pl.ds(OY + k * bh_c, bh_c), :],
+                        sems.at[2]),
+                ]
+                for d in outs:
+                    d.start()
+                for d in outs:
+                    d.wait()
+
+            return 0
+
+        jax.lax.fori_loop(0, nbands, band, 0)
+
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((hl, wl), jnp.int32),
+                   jax.ShapeDtypeStruct((2, hc, wc), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),     # meta [16,npad]
+                  pl.BlockSpec(memory_space=pltpu.SMEM),    # bounds [nb+1]
+                  pl.BlockSpec(memory_space=pltpu.ANY),     # luma in
+                  pl.BlockSpec(memory_space=pltpu.ANY),     # chroma in
+                  pl.BlockSpec(memory_space=pltpu.ANY),     # res luma
+                  pl.BlockSpec(memory_space=pltpu.ANY)],    # res chroma
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        input_output_aliases={2: 0, 3: 1},
+        scratch_shapes=[
+            pltpu.VMEM((srl, wl), jnp.int32),
+            pltpu.VMEM((2, src_rows, wc), jnp.int32),
+            pltpu.VMEM((srl, wl), jnp.int32),
+            pltpu.VMEM((2, src_rows, wc), jnp.int32),
+            pltpu.VMEM((16, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
     )
     return jax.jit(fn)
 

@@ -55,3 +55,55 @@ def test_fused_intra_bitexact_noise(rng):
 def test_fused_intra_bitexact_bench_size(rng):
     frames = make_frames(832, 480, 1, rng)
     _roundtrip(frames, 832, 480, qp=32)
+
+
+def _roundtrip_banded(frames, W, H, qp, bit_depth=8, ctb_log2=6):
+    """Force the banded fused path regardless of frame size by shrinking
+    the whole-frame VMEM budget."""
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    from openhevc_tpu.decoder import Decoder
+    from openhevc_tpu.models.pipeline import JaxEngine
+    data, _ = encode_intra_stream(frames, W, H, qp=qp, ctb_log2=ctb_log2,
+                                  seed=0, bit_depth=bit_depth)
+    old = JaxEngine.FUSED_VMEM_BUDGET
+    JaxEngine.FUSED_VMEM_BUDGET = 1   # whole-frame never fits -> banded
+    try:
+        dj = Decoder("jax")
+        assert dj._jax_engine is None
+        pj = dj.decode(data) + dj.flush()
+        eng = dj._jax_engine
+        assert eng is not None
+    finally:
+        JaxEngine.FUSED_VMEM_BUDGET = old
+    dn = Decoder("np")
+    pn = dn.decode(data) + dn.flush()
+    assert len(pj) == len(pn) == len(frames)
+    for a, b in zip(pj, pn):
+        for c in range(3):
+            assert np.array_equal(a.planes[c], b.planes[c]), \
+                f"poc {a.poc} plane {c}"
+
+
+def test_banded_intra_bitexact_small(rng):
+    frames = make_frames(192, 192, 1, rng)
+    _roundtrip_banded(frames, 192, 192, qp=30)
+
+
+def test_banded_intra_bitexact_noise_multiband(rng):
+    frames = make_frames(256, 256, 1, rng, smooth=False)
+    _roundtrip_banded(frames, 256, 256, qp=24, ctb_log2=4)
+
+
+def test_banded_intra_1080p(rng):
+    frames = make_frames(1920, 1080, 1, rng)
+    # 1080p exceeds the real whole-frame budget: exercises the banded
+    # path without any budget override
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    from openhevc_tpu.decoder import Decoder
+    data, recons = encode_intra_stream(frames, 1920, 1080, qp=32,
+                                       ctb_log2=6, seed=0)
+    dj = Decoder("jax")
+    pj = dj.decode(data) + dj.flush()
+    assert len(pj) == 1
+    for c in range(3):
+        assert np.array_equal(pj[0].planes[c], recons[0][c]), f"plane {c}"

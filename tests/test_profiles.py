@@ -395,3 +395,30 @@ def test_cross_component_prediction():
                 f"reference != encoder recon f{i} p{p}"
             assert np.array_equal(np.asarray(want, np.int64), rec), \
                 f"ours != encoder recon f{i} p{p}"
+
+
+def test_vui_timing_hrd():
+    # SPS carries VUI timing info + NAL HRD parameters; decode must be
+    # bit-exact (parse is skip-correct; reference: hevc_ps.c:269-343)
+    rng = np.random.default_rng(77)
+    frames = moving_frames(64, 64, 2, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                  seed=77, vui_timing=True)
+    from openhevc_tpu.bitstream import ps as PS
+    from openhevc_tpu.bitstream.bits import unescape_rbsp
+    # locate the SPS NAL and confirm the timing fields parse
+    i = 0
+    sps = None
+    while i < len(data):
+        j = data.find(b"\x00\x00\x01", i + 3)
+        nal = data[i:j if j >= 0 else len(data)]
+        nal = nal[nal.index(b"\x00\x00\x01") + 3:]
+        if (nal[0] >> 1) & 0x3F == 33:
+            sps = PS.parse_sps(unescape_rbsp(nal[2:]))
+            break
+        if j < 0:
+            break
+        i = j
+    assert sps is not None and sps.time_scale == 60000
+    assert sps.num_units_in_tick == 1000
+    check(data, 2, 64, 64)
