@@ -45,7 +45,13 @@ class _SliceParams(ctypes.Structure):
         "num_tile_cols", "num_tile_rows", "entropy_coding_sync",
         "num_substreams")] + [
         ("ss_start", ctypes.c_int32 * 128),
-    ]
+    ] + [(n, ctypes.c_int32) for n in (
+        "temporal_mvp", "colloc_from_l0", "col_poc", "n_col_lt")] + [
+        ("col_lt_poc", ctypes.c_int32 * 32),
+        ("col_lt_flag", ctypes.c_int32 * 32),
+    ] + [(n, ctypes.c_int32) for n in (
+        "cu_qp_delta_enabled", "diff_cu_qp_delta_depth",
+        "start_ts", "slice_no", "dependent")]
 
 
 class _Outputs(ctypes.Structure):
@@ -83,7 +89,14 @@ def ensure_built():
     _lib.hevc_parse_slice.restype = ctypes.c_int
     _lib.hevc_parse_slice.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
-        ctypes.POINTER(_SliceParams), ctypes.POINTER(_Outputs)]
+        ctypes.POINTER(_SliceParams), ctypes.POINTER(_Outputs),
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]  # TMVP col grids
+    _lib.hevc_parse_picture.restype = ctypes.c_int
+    _lib.hevc_parse_picture.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(_SliceParams),
+        ctypes.POINTER(_Outputs),
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _lib.hevc_pack_frame.restype = ctypes.c_int
     _lib.hevc_pack_frame.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,   # cb_meta/levels
@@ -138,14 +151,26 @@ def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
 
 
 def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
-                       ref_list=None, ss_starts=None) -> FrameSymbols:
-    lib = ensure_built()
-    ref_list = ref_list or [[], []]
-    w4 = (sps.ctbs_w << sps.log2_ctb) >> 2
-    h4 = (sps.ctbs_h << sps.log2_ctb) >> 2
-    ng = h4 * w4
+                       ref_list=None, ss_starts=None,
+                       col_motion=None) -> FrameSymbols:
+    """Single-slice picture parse (threaded WPP/tile substreams when
+    ss_starts given). col_motion: (col_poc, pred_flag4, mv4, refpoc4,
+    lt_map) of the collocated picture when sh.temporal_mvp."""
+    return _parse_native([(rbsp, sh, 0, 0)], sps, pps, nal_type, poc,
+                         ref_list, ss_starts, col_motion)
 
-    p = _SliceParams()
+
+def parse_picture_native(segments, sps, pps, nal_type: int, poc: int,
+                         ref_list=None, col_motion=None) -> FrameSymbols:
+    """Multi-slice picture parse: segments = [(rbsp, sh, start_ts,
+    slice_no), ...] in decode order (dependent segments carry sh.dependent
+    set; CABAC/QP state chains inside hevc_parse_picture)."""
+    return _parse_native(segments, sps, pps, nal_type, poc, ref_list,
+                         None, col_motion)
+
+
+def _fill_params(p, sps, pps, sh, poc, ref_list, ss_starts,
+                 start_ts, slice_no):
     p.width, p.height = sps.width, sps.height
     p.log2_ctb, p.log2_min_cb = sps.log2_ctb, sps.log2_min_cb
     p.log2_min_tb, p.log2_max_tb = sps.log2_min_tb, sps.log2_max_tb
@@ -169,6 +194,8 @@ def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
     p.log2_max_ts = pps.log2_max_transform_skip_block_size
     p.constrained_intra_pred = pps.constrained_intra_pred
     p.log2_parallel_merge = pps.log2_parallel_merge_level
+    p.cu_qp_delta_enabled = pps.cu_qp_delta_enabled
+    p.diff_cu_qp_delta_depth = pps.diff_cu_qp_delta_depth
     p.implicit_rdpcm = getattr(sps, "implicit_rdpcm_enabled", 0)
     p.slice_type = sh.slice_type
     p.slice_qp = sh.qp
@@ -191,12 +218,52 @@ def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
     p.num_tile_cols = pps.num_tile_cols
     p.num_tile_rows = pps.num_tile_rows
     p.entropy_coding_sync = pps.entropy_coding_sync
+    p.start_ts = start_ts
+    p.slice_no = slice_no
+    p.dependent = 1 if sh.dependent else 0
     if ss_starts and len(ss_starts) <= 128:
         p.num_substreams = len(ss_starts)
-        for i, s in enumerate(ss_starts):
-            p.ss_start[i] = s
+        for i, ss in enumerate(ss_starts):
+            p.ss_start[i] = ss
     else:
         p.num_substreams = 0
+
+
+def _parse_native(segments, sps, pps, nal_type, poc, ref_list, ss_starts,
+                  col_motion) -> FrameSymbols:
+    lib = ensure_built()
+    ref_list = ref_list or [[], []]
+    rbsp, sh = segments[0][0], segments[0][1]
+    w4 = (sps.ctbs_w << sps.log2_ctb) >> 2
+    h4 = (sps.ctbs_h << sps.log2_ctb) >> 2
+    ng = h4 * w4
+
+    n_seg = len(segments)
+    params = (_SliceParams * n_seg)()
+    for i, (seg_rbsp, seg_sh, start_ts, slice_no) in enumerate(segments):
+        _fill_params(params[i], sps, pps, seg_sh, poc, ref_list,
+                     ss_starts if (i == 0 and n_seg == 1) else None,
+                     start_ts, slice_no)
+    # TMVP collocated motion (hevc_mvs.c:227 inputs)
+    col_pf_arr = col_mv_arr = col_rp_arr = None
+    if sh.temporal_mvp and col_motion is not None:
+        cpoc, cpf, cmv, crp = col_motion[:4]
+        lt_map = col_motion[4] if len(col_motion) > 4 else {}
+        items = list(lt_map.items())[:32]
+        for i, (seg_rbsp, seg_sh, start_ts, slice_no) in enumerate(segments):
+            if not seg_sh.temporal_mvp:
+                continue
+            p = params[i]
+            p.temporal_mvp = 1
+            p.colloc_from_l0 = int(seg_sh.collocated_list)
+            p.col_poc = cpoc
+            p.n_col_lt = len(items)
+            for j, (rp, lt) in enumerate(items):
+                p.col_lt_poc[j] = int(rp)
+                p.col_lt_flag[j] = 1 if lt else 0
+        col_pf_arr = np.ascontiguousarray(cpf, np.uint8)
+        col_mv_arr = np.ascontiguousarray(cmv, np.int32)
+        col_rp_arr = np.ascontiguousarray(crp, np.int32)
 
     # output arenas (numpy-owned; the native core initializes every grid
     # at parse entry, so np.empty throughout)
@@ -224,7 +291,7 @@ def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
     ij_avail = np.empty(ij_cap * 132, np.uint8)
     pcm_meta = np.empty(pcm_cap * 3, np.int32)
     pcm_samples = np.empty(pcm_arena, np.uint16)
-    pb = np.empty(pb_cap * 12, np.int32)
+    pb = np.empty(pb_cap * 14, np.int32)
 
     o = _Outputs()
     for name, a in (("ipm", g["ipm"]), ("pred_mode", g["pred_mode"]),
@@ -242,8 +309,18 @@ def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
     o.ij_cap, o.pcm_cap = ij_cap, pcm_cap
     o.pcm_arena_cap, o.pb_cap = pcm_arena, pb_cap
 
-    rc = lib.hevc_parse_slice(rbsp, len(rbsp), ctypes.byref(p),
-                              ctypes.byref(o))
+    cp = _ptr(col_pf_arr) if col_pf_arr is not None else None
+    cm = _ptr(col_mv_arr) if col_mv_arr is not None else None
+    cr = _ptr(col_rp_arr) if col_rp_arr is not None else None
+    if n_seg == 1:
+        rc = lib.hevc_parse_slice(rbsp, len(rbsp), ctypes.byref(params[0]),
+                                  ctypes.byref(o), cp, cm, cr)
+    else:
+        bufs = [bytes(sg[0]) for sg in segments]
+        rbsp_ptrs = (ctypes.c_char_p * n_seg)(*bufs)
+        sizes = (ctypes.c_int64 * n_seg)(*[len(b) for b in bufs])
+        rc = lib.hevc_parse_picture(n_seg, rbsp_ptrs, sizes, params,
+                                    ctypes.byref(o), cp, cm, cr)
     if rc != 0 or o.error:
         raise ValueError("native slice parse failed")
 
@@ -266,6 +343,7 @@ def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
     fs.sao_chroma = bool(sh.sao_chroma)
     fs.ref_poc_l0 = [rp for rp, _ in ref_list[0]]
     fs.ref_poc_l1 = [rp for rp, _ in ref_list[1]]
+    fs.weights = sh.weighted_pred_table   # reconstruction-side WP combine
     # CTB order (tile-scan) for the loop-filter schedule + tile-aware zscan
     if pps.tiles_enabled:
         from .ps import ctb_tile_maps
@@ -321,9 +399,10 @@ def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
                                       ys, cbs, crs))
     # inter pbs
     for i in range(o.n_pb):
-        m = pb[i * 12:(i + 1) * 12]
+        m = pb[i * 14:(i + 1) * 14]
         fs.inter_pbs.append(InterPb(
             x=int(m[0]), y=int(m[1]), w=int(m[2]), h=int(m[3]),
             l0=(int(m[5]), int(m[6]), int(m[7])) if m[4] else None,
-            l1=(int(m[9]), int(m[10]), int(m[11])) if m[8] else None))
+            l1=(int(m[9]), int(m[10]), int(m[11])) if m[8] else None,
+            r0=int(m[12]), r1=int(m[13])))
     return fs

@@ -102,6 +102,9 @@ class Decoder:
         self._parse_executor = None
         from .utils.log import StageTimers
         self.timers = StageTimers()   # per-frame parse/pack/… tracing
+        # parse-path accounting: how many slice segments took the native
+        # C++ core vs the Python mirror (tests assert no silent fallback)
+        self.stats = {"native_slices": 0, "python_slices": 0}
 
     # -- extradata (hvcC / Annex-B) ----------------------------------------
     def set_extradata(self, data: bytes):
@@ -290,19 +293,17 @@ class Decoder:
         elif self._acc is None:
             return                      # RASL continuation segments
         single_slice = sh.first_slice and not self._next_vcl_continues
-        # native core supports uniform tiles + WPP; non-uniform tile
-        # spacing, 4:4:4 chroma, weighted prediction, TMVP (need per-PB
-        # ref indices / collocated motion), and multi-slice pictures
-        # fall back to Python
-        use_native = single_slice and self.native_parse and not (
+        # native core supports uniform tiles + WPP, TMVP, weighted pred,
+        # cu_qp_delta, multi-slice pictures; non-uniform tile spacing,
+        # 4:2:2/4:4:4 chroma and RExt residual tools fall back to Python
+        native_caps = self.native_parse and not (
             pps.tiles_enabled and not pps.uniform_spacing) and \
             sps.chroma_format_idc == 1 and \
-            sh.weighted_pred_table is None and not sh.temporal_mvp and \
-            not pps.cu_qp_delta_enabled and \
             not (sps.transform_skip_rotation_enabled or
                  sps.implicit_rdpcm_enabled or sps.explicit_rdpcm_enabled or
                  sps.persistent_rice_adaptation or
                  getattr(pps, "cross_component_prediction_enabled", 0))
+        use_native = single_slice and native_caps
         if use_native:
             from .bitstream.native import parse_slice_native
             if self._parse_executor is None:
@@ -318,12 +319,39 @@ class Decoder:
                     sh.entry_point_offsets)
             fut = self._parse_executor.submit(
                 parse_slice_native, rbsp, sps, pps, sh, nal_type, poc,
-                ref_list=acc["ref_list"], ss_starts=ss_starts)
+                ref_list=acc["ref_list"], ss_starts=ss_starts,
+                col_motion=acc["col_motion"])
             # overlap: reconstruct+emit the previous picture while the
             # worker parses this one
             self._flush_pending()
             with self.timers.stage("parse"):
                 fs = fut.result()
+            self.stats["native_slices"] += 1
+            acc["n_parsed"] = n_ctb
+        elif native_caps:
+            # multi-slice picture through the native core: accumulate
+            # segments; the whole picture parses in ONE
+            # hevc_parse_picture call once the last segment arrives
+            # (CABAC/QP state chains across dependent segments in C++)
+            from .bitstream.native import parse_picture_native
+            if not sh.dependent:
+                acc["slice_no"] += 1
+            start_ts = sh.segment_address
+            if pps.tiles_enabled:
+                from .bitstream.ps import ctb_tile_maps
+                rs_to_ts = ctb_tile_maps(pps, sps)[0]
+                start_ts = int(np.asarray(rs_to_ts).flat[start_ts])
+            segs = acc.setdefault("native_segs", [])
+            segs.append((rbsp, sh, start_ts, max(acc["slice_no"], 0)))
+            if self._next_vcl_continues:
+                return                  # more segments of this picture
+            self._flush_pending()
+            with self.timers.stage("parse"):
+                fs = parse_picture_native(
+                    segs, sps, pps, acc["nal_type"], poc,
+                    ref_list=acc["ref_list"],
+                    col_motion=acc["col_motion"])
+            self.stats["native_slices"] += len(segs)
             acc["n_parsed"] = n_ctb
         else:
             self._flush_pending()
@@ -343,6 +371,7 @@ class Decoder:
                 slice_no=max(acc["slice_no"], 0))
             with self.timers.stage("parse"):
                 fs = p.decode()
+            self.stats["python_slices"] += 1
             acc["shared"] = p.shared
             acc["parser"] = p
             acc["n_parsed"] += p.end_ts - p.start_ts

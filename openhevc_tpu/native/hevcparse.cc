@@ -195,6 +195,19 @@ struct SliceParams {
     // absolute rbsp byte offset of each WPP-row / tile substream
     int32_t num_substreams;
     int32_t ss_start[128];
+    // TMVP (8.5.3.1.7/8; temporal_luma_motion_vector, hevc_mvs.c:227):
+    // collocated picture POC + its reference lists' {poc: long-term}
+    // map; the motion grids ride as separate hevc_parse_slice args
+    int32_t temporal_mvp, colloc_from_l0, col_poc;
+    int32_t n_col_lt;
+    int32_t col_lt_poc[32];
+    int32_t col_lt_flag[32];
+    // cu_qp_delta (7.4.9.10; CU-tail QP derivation hevc.c:2489-2500,
+    // get_qPy_pred hevc_filter.c:91)
+    int32_t cu_qp_delta_enabled, diff_cu_qp_delta_depth;
+    // multi-slice segments: first CTB (tile-scan), independent-slice
+    // ordinal (prediction-region id), dependent-segment flag
+    int32_t start_ts, slice_no, dependent;
 };
 
 struct Outputs {
@@ -211,7 +224,7 @@ struct Outputs {
     uint8_t *ij_avail;    // [ij_cap*132]
     int32_t *pcm_meta;    // [pcm_cap*3]
     uint16_t*pcm_samples; // [pcm_arena_cap]
-    int32_t *pb;          // [pb_cap*12]
+    int32_t *pb;          // [pb_cap*14]
     int32_t cb_cap, lvl_cap, ij_cap, pcm_cap, pcm_arena_cap, pb_cap;
     int32_t n_cb, n_ij, n_pcm, n_pb, lvl_used, pcm_used;
     int32_t error;
@@ -257,9 +270,15 @@ struct Shared {
     std::vector<int32_t> level_map[3];
     std::vector<int32_t> ts_order;
     std::vector<int32_t> tile_id;
+    std::vector<int32_t> region_ctb;   // slice_no * n_tiles + tile_id
+    int n_regions = 1;
     std::vector<int32_t> col_bd;
     bool tiles = false, wpp = false;
     int init_type = 0;
+    // TMVP collocated motion grids (null when TMVP off)
+    const uint8_t* col_pf = nullptr;
+    const int32_t* col_mv = nullptr;
+    const int32_t* col_rp = nullptr;
     // threaded-WPP wavefront: CTBs completed per CTB row (release) and
     // the CABAC context snapshot taken after each row's 2nd CTB
     std::unique_ptr<std::atomic<int>[]> row_progress;
@@ -295,6 +314,8 @@ struct Shared {
                     }
                 tid++;
             }
+        region_ctb = tile_id;
+        n_regions = tid;
         std::vector<int32_t> rs_to_ts(ctbs_w * ctbs_h);
         for (size_t t = 0; t < ts_order.size(); t++)
             rs_to_ts[ts_order[t]] = (int32_t)t;
@@ -356,6 +377,10 @@ struct Parser {
     int32_t* level_map[3];               // intra wavefront levels per plane
     const int32_t* ts_order;             // ts index -> ctb raster addr
     const int32_t* tile_id;              // per ctb
+    int32_t* region_ctb = nullptr;       // slice x tile prediction regions
+    int n_regions = 1;
+    bool use_regions = false;            // region-gate availability
+    int end_ts = 0;                      // CTBs parsed through (tile-scan)
     const int32_t* col_bd;               // tile column boundaries (CTBs)
     int n_col_bd = 0;
     bool tiles = false, wpp = false;
@@ -367,6 +392,16 @@ struct Parser {
     int pu_modes[4] = {1, 1, 1, 1};
     int intra_mode_c = 1;
     bool err = false;
+    // cu_qp_delta state (lc->qp_y / qPy_pred / first_qp_group)
+    int qp_y = 0, qPy_pred = 0;
+    bool first_qp_group = true;
+    int is_qp_coded = 0, qg_delta = 0, qg_mask = 0;
+    int cu_x0 = 0, cu_y0 = 0;
+    // TMVP state (bind)
+    const uint8_t* col_pf = nullptr;
+    const int32_t* col_mv = nullptr;
+    const int32_t* col_rp = nullptr;
+    bool tmvp = false, has_future = false;
 
     // ---------------- binding / per-substream init ----------------
     void bind(Shared& sh, Outputs* out) {
@@ -383,6 +418,9 @@ struct Parser {
         for (int c = 0; c < 3; c++) level_map[c] = sh.level_map[c].data();
         ts_order = sh.ts_order.data();
         tile_id = sh.tile_id.data();
+        region_ctb = sh.region_ctb.data();
+        n_regions = sh.n_regions;
+        use_regions = sh.tiles || P.slice_no > 0;
         col_bd = sh.col_bd.data();
         n_col_bd = (int)sh.col_bd.size();
         tiles = sh.tiles;
@@ -391,14 +429,30 @@ struct Parser {
         cab.nbits = size * 8;
         cab.pad_bytes = size + RBSP_PAD;
         cu_qp = P.slice_qp;
+        qp_y = qPy_pred = P.slice_qp;
+        first_qp_group = true;
+        is_qp_coded = 0;
+        qg_delta = 0;
+        qg_mask = P.cu_qp_delta_enabled
+            ? (1 << (P.log2_ctb - P.diff_cu_qp_delta_depth)) - 1 : 0;
+        col_pf = sh.col_pf;
+        col_mv = sh.col_mv;
+        col_rp = sh.col_rp;
+        tmvp = P.temporal_mvp && col_pf != nullptr;
+        has_future = false;
+        for (int lx = 0; lx < 2; lx++)
+            for (int i = 0; i < (lx ? P.num_ref1 : P.num_ref0); i++)
+                if (P.ref_poc[lx][i] > P.cur_poc) has_future = true;
     }
 
     inline int bin(int base, int inc = 0) { return cab.decode_bin(ctx, base + inc); }
 
     inline int tile_of4(int x4, int y4) const {
-        if (!tiles) return 0;
+        // prediction-region id (slice x tile) — slices break prediction
+        // exactly like tiles do (Python mirror: tile4 = region4)
+        if (!use_regions) return 0;
         int cx = (x4 << 2) >> P.log2_ctb, cy = (y4 << 2) >> P.log2_ctb;
-        return tile_id[cy * ctbs_w + cx];
+        return region_ctb[cy * ctbs_w + cx];
     }
     inline bool same_tile4(int xa4, int ya4, int xb4, int yb4) const {
         return tile_of4(xa4, ya4) == tile_of4(xb4, yb4);
@@ -422,26 +476,39 @@ struct Parser {
     int decode() {
         int cs = 1 << P.log2_ctb;
         int n_ctb = ctbs_w * ctbs_h;
+        int start_ts = P.start_ts;
+        // CTBs into the current tile at the segment start
         int ctb_tile_rs = 0;
+        if (start_ts > 0) {
+            int t0 = tile_id[ts_order[start_ts]];
+            int k = start_ts;
+            while (k > 0 && tile_id[ts_order[k - 1]] == t0) k--;
+            ctb_tile_rs = start_ts - k;
+        }
+        end_ts = start_ts;
         uint8_t saved_ctx[NUM_CONTEXTS];
         bool have_saved = false;
         int it = P.slice_type == 2 ? 0 : (P.slice_type == 1 ? 1 : 2);
         if (P.cabac_init_present && P.cabac_init_flag && P.slice_type != 2)
             it = 3 - it;
-        for (int ts = 0; ts < n_ctb && !err; ts++) {
+        for (int ts = start_ts; ts < n_ctb && !err; ts++) {
             int rs = ts_order[ts];
             int x0 = (rs % ctbs_w) * cs;
             int y0 = (rs / ctbs_w) * cs;
             int tw = tile_width_of(rs);
-            if (ts > 0) {
+            if (P.slice_no)   // paint region before availability queries
+                region_ctb[rs] = P.slice_no * n_regions + tile_id[rs];
+            if (ts > start_ts) {
                 int prev_rs = ts_order[ts - 1];
                 bool new_tile = tiles && tile_id[rs] != tile_id[prev_rs];
                 if (new_tile) {
                     ctb_tile_rs = 0;
                     cab.reinit(cab.consumed_bytes() * 8);
                     init_ctx_states(it);
+                    first_qp_group = true;
                 }
                 if (wpp && ctb_tile_rs % tw == 0 && !new_tile) {
+                    first_qp_group = true;
                     if (cab.terminate() != 1) { err = true; break; }
                     cab.reinit(cab.consumed_bytes() * 8);
                     if (tw == 1 || !have_saved) init_ctx_states(it);
@@ -458,8 +525,8 @@ struct Parser {
                 have_saved = true;
             }
             int end = cab.terminate();
-            if (ts == n_ctb - 1) { if (end != 1) err = true; }
-            else if (end) err = true;
+            if (end) { end_ts = ts + 1; break; }
+            if (ts == n_ctb - 1) err = true;   // missing end_of_slice
         }
         return err ? -1 : 0;
     }
@@ -571,16 +638,16 @@ struct Parser {
         int rx = x0 >> P.log2_ctb, ry = y0 >> P.log2_ctb;
         int16_t* dst = O->sao + (ry * ctbs_w + rx) * 18;
         if (x0 > 0 &&
-            (!tiles || tile_id[ry * ctbs_w + rx] ==
-                       tile_id[ry * ctbs_w + rx - 1]) &&
+            (!use_regions || region_ctb[ry * ctbs_w + rx] ==
+                             region_ctb[ry * ctbs_w + rx - 1]) &&
             bin(CTX_SAO_MERGE_FLAG)) {
             memcpy(dst, O->sao + (ry * ctbs_w + rx - 1) * 18,
                    18 * sizeof(int16_t));
             return;
         }
         if (y0 > 0 &&
-            (!tiles || tile_id[ry * ctbs_w + rx] ==
-                       tile_id[(ry - 1) * ctbs_w + rx]) &&
+            (!use_regions || region_ctb[ry * ctbs_w + rx] ==
+                             region_ctb[(ry - 1) * ctbs_w + rx]) &&
             bin(CTX_SAO_MERGE_FLAG)) {
             memcpy(dst, O->sao + ((ry - 1) * ctbs_w + rx) * 18,
                    18 * sizeof(int16_t));
@@ -635,6 +702,12 @@ struct Parser {
         } else {
             split = log2_cb > P.log2_min_cb ? 1 : 0;
         }
+        if (P.cu_qp_delta_enabled &&
+            log2_cb >= P.log2_ctb - P.diff_cu_qp_delta_depth) {
+            // new quantization group (hevc.c:2527)
+            is_qp_coded = 0;
+            qg_delta = 0;
+        }
         if (split) {
             int h = cb >> 1;
             static const int dxy[4][2] = {{0,0},{1,0},{0,1},{1,1}};
@@ -643,19 +716,66 @@ struct Parser {
                 if (x1 < P.width && y1 < P.height)
                     coding_quadtree(x1, y1, log2_cb - 1, depth + 1);
             }
+            if (P.cu_qp_delta_enabled &&
+                ((x0 + cb) & qg_mask) == 0 && ((y0 + cb) & qg_mask) == 0)
+                qPy_pred = qp_y;                  // hevc.c:2565
         } else {
             coding_unit(x0, y0, log2_cb, depth);
         }
     }
 
+    void set_qPy(int x_base, int y_base) {
+        // ff_hevc_set_qPy + get_qPy_pred (hevc_filter.c:91-143)
+        int ctb_mask = (1 << P.log2_ctb) - 1;
+        int x_qg = x_base - (x_base & qg_mask);
+        int y_qg = y_base - (y_base & qg_mask);
+        bool avail_a = (x_base & ctb_mask) && (x_qg & ctb_mask);
+        bool avail_b = (y_base & ctb_mask) && (y_qg & ctb_mask);
+        int pred;
+        if (first_qp_group || (x_qg == 0 && y_qg == 0)) {
+            first_qp_group = !is_qp_coded;
+            pred = P.slice_qp;
+        } else {
+            pred = qPy_pred;
+        }
+        int qa = avail_a ? O->qp_y4[(y_qg >> 2) * w4 + ((x_qg - 1) >> 2)]
+                         : pred;
+        int qb = avail_b ? O->qp_y4[((y_qg - 1) >> 2) * w4 + (x_qg >> 2)]
+                         : pred;
+        int qp = (qa + qb + 1) >> 1;
+        if (qg_delta != 0) {
+            int off = P.qp_bd_offset;
+            qp = (qp + qg_delta + 52 + 2 * off) % (52 + off) - off;
+        }
+        qp_y = qp;
+        cu_qp = qp;
+    }
+
     // ---------------- CU ----------------
     void coding_unit(int x0, int y0, int log2_cb, int depth) {
+        coding_unit_body(x0, y0, log2_cb, depth);
+        if (P.cu_qp_delta_enabled) {
+            // CU tail (hevc.c:2489-2500): derive the (possibly
+            // prediction-only) QP, paint it, update decode-order pred
+            if (!is_qp_coded) set_qPy(x0, y0);
+            int cb = 1 << log2_cb;
+            int x4 = x0 >> 2, y4 = y0 >> 2, n4 = cb >> 2;
+            for (int j = 0; j < n4; j++)
+                memset(O->qp_y4 + (y4 + j) * w4 + x4,
+                       (uint8_t)(int8_t)qp_y, n4);
+            if (((x0 + cb) & qg_mask) == 0 && ((y0 + cb) & qg_mask) == 0)
+                qPy_pred = qp_y;
+        }
+    }
+
+    void coding_unit_body(int x0, int y0, int log2_cb, int depth) {
         int cb = 1 << log2_cb;
         int x4 = x0 >> 2, y4 = y0 >> 2, n4 = cb >> 2;
         for (int j = 0; j < n4; j++)
             memset(&ct_depth[(y4 + j) * w4 + x4], depth, n4);
         cu_tqb = 0;
-        cu_qp = P.slice_qp;
+        cu_qp = P.cu_qp_delta_enabled ? qp_y : P.slice_qp;
+        cu_x0 = x0; cu_y0 = y0;
         cu_depth = depth;
         for (int j = 0; j < n4; j++)
             memset(O->qp_y4 + (y4 + j) * w4 + x4, (int8_t)cu_qp, n4);
@@ -941,8 +1061,9 @@ struct Parser {
         *cand_up_left = (!x0b && !y0b) ? (x0 > 0 && y0 > 0) : (left && up);
         *cand_up_right = ((x0b + w) == ctb) ? ((y0 > 0) && !y0b) : up;
         *cand_bottom_left = (y0 + h) >= P.height ? false : left;
-        if (tiles) {
-            // merge/AMVP neighbours must lie in the same tile (6.4.1)
+        if (use_regions) {
+            // merge/AMVP neighbours must lie in the same prediction
+            // region: tile (6.4.1) AND slice
             int x4c = x0 >> 2, y4c = y0 >> 2;
             if (*cand_left && !same_tile4(x4c, y4c, (x0 - 1) >> 2, y4c))
                 *cand_left = false;
@@ -1061,6 +1182,24 @@ struct Parser {
             lst[n++] = tab(xb2, yb2);
             if (merge_idx == n - 1) return lst[n - 1];
         }
+        // temporal merge candidate (hevc_mvs.c:418-447)
+        if (tmvp && n < P.max_merge_cand) {
+            int mv_l0[2] = {0, 0}, mv_l1[2] = {0, 0};
+            bool av_l0 = temporal_mv(x0, y0, w, h, 0, 0, mv_l0);
+            bool av_l1 = P.slice_type == 0 &&
+                         temporal_mv(x0, y0, w, h, 0, 1, mv_l1);
+            if (av_l0 || av_l1) {
+                MvField f;
+                memset(&f, 0, sizeof(f));
+                f.pf = (uint8_t)((av_l0 ? 1 : 0) | (av_l1 ? 2 : 0));
+                f.mv[0][0] = mv_l0[0]; f.mv[0][1] = mv_l0[1];
+                f.mv[1][0] = mv_l1[0]; f.mv[1][1] = mv_l1[1];
+                f.poc[0] = av_l0 ? P.ref_poc[0][0] : 0;
+                f.poc[1] = av_l1 ? P.ref_poc[1][0] : 0;
+                lst[n++] = f;
+                if (merge_idx == n - 1) return lst[n - 1];
+            }
+        }
         int n_orig = n;
         if (P.slice_type == 0 && n_orig > 1 && n_orig < P.max_merge_cand) {
             static const int comb[12][2] = {{0,1},{1,0},{0,2},{2,0},{1,2},{2,1},
@@ -1115,6 +1254,62 @@ struct Parser {
         int n = lx ? P.num_ref1 : P.num_ref0;
         for (int i = 0; i < n; i++)
             if (P.ref_poc[lx][i] == poc) return P.ref_lt[lx][i] != 0;
+        return false;
+    }
+
+    // ---- TMVP (mirror of mvs.py temporal_mv/_derive_col_mv; truth
+    // temporal_luma_motion_vector hevc_mvs.c:227,
+    // derive_temporal_colocated_mvs :172) ------------------------------
+    bool is_col_lt(int poc) {
+        for (int i = 0; i < P.n_col_lt; i++)
+            if (P.col_lt_poc[i] == poc) return P.col_lt_flag[i] != 0;
+        return false;
+    }
+
+    bool derive_col_mv(int pf, const int32_t* mv2, const int32_t* rp2,
+                       int ref_idx, int X, int* out) {
+        int l;
+        if (!(pf & 1)) l = 1;
+        else if (pf == 1) l = 0;
+        else l = has_future ? (P.colloc_from_l0 == 0 ? 0 : 1) : X;
+        int cur_ref_poc = P.ref_poc[X][ref_idx];
+        bool cur_lt = P.ref_lt[X][ref_idx] != 0;
+        int col_ref_poc = rp2[l];
+        if (is_col_lt(col_ref_poc) != cur_lt)
+            return false;          // 8.5.3.2.8: LT/ST mismatch -> unavail
+        out[0] = mv2[l * 2];
+        out[1] = mv2[l * 2 + 1];
+        if (cur_lt) return true;   // long-term: never scaled
+        int col_poc_diff = P.col_poc - col_ref_poc;
+        int cur_poc_diff = P.cur_poc - cur_ref_poc;
+        if (col_poc_diff == cur_poc_diff || col_poc_diff == 0) return true;
+        mv_scale(out, col_poc_diff, cur_poc_diff);
+        return true;
+    }
+
+    bool temporal_mv(int x0, int y0, int w, int h, int ref_idx, int X,
+                     int* out) {
+        if (!tmvp) return false;
+        int ctb = P.log2_ctb;
+        int cx[2], cy[2];
+        int nc = 0;
+        int xbr = x0 + w, ybr = y0 + h;
+        // bottom-right candidate (same CTB row, in-picture), else center
+        if ((y0 >> ctb) == (ybr >> ctb) && ybr < P.height &&
+            xbr < P.width) {
+            cx[nc] = xbr; cy[nc] = ybr; nc++;
+        }
+        cx[nc] = x0 + (w >> 1); cy[nc] = y0 + (h >> 1); nc++;
+        for (int i = 0; i < nc; i++) {
+            int x = (cx[i] >> 4) << 4;
+            int y = (cy[i] >> 4) << 4;
+            int idx = (y >> 2) * w4 + (x >> 2);
+            int pf = col_pf[idx];
+            if (pf == 0) continue;
+            if (derive_col_mv(pf, col_mv + (size_t)idx * 4,
+                              col_rp + (size_t)idx * 2, ref_idx, X, out))
+                return true;
+        }
         return false;
     }
 
@@ -1203,6 +1398,15 @@ struct Parser {
         if (av_lxb && (!av_lxa || mxa[0] != mxb[0] || mxa[1] != mxb[1])) {
             cands[nc][0] = mxb[0]; cands[nc][1] = mxb[1]; nc++;
         }
+        // temporal AMVP candidate (hevc_mvs.c:807-815)
+        if (nc < 2 && tmvp) {
+            int mv_col[2];
+            if (temporal_mv(x0, y0, w, h, ref_idx, lx, mv_col)) {
+                cands[nc][0] = mv_col[0];
+                cands[nc][1] = mv_col[1];
+                nc++;
+            }
+        }
         while (nc < 2) { cands[nc][0] = cands[nc][1] = 0; nc++; }
         out[0] = cands[mvp_flag][0];
         out[1] = cands[mvp_flag][1];
@@ -1263,12 +1467,13 @@ struct Parser {
         }
         set_pu_grid(x0, y0, w, h, f);
         if (O->n_pb >= O->pb_cap) { err = true; return merge; }
-        int32_t* pb = O->pb + O->n_pb * 12;
+        int32_t* pb = O->pb + O->n_pb * 14;
         pb[0] = x0; pb[1] = y0; pb[2] = w; pb[3] = h;
         pb[4] = (f.pf & 1) ? 1 : 0;
         pb[5] = f.mv[0][0]; pb[6] = f.mv[0][1]; pb[7] = f.poc[0];
         pb[8] = (f.pf & 2) ? 1 : 0;
         pb[9] = f.mv[1][0]; pb[10] = f.mv[1][1]; pb[11] = f.poc[1];
+        pb[12] = f.ref[0]; pb[13] = f.ref[1];   // weighted-pred lookup
         O->n_pb++;
         return merge;
     }
@@ -1338,6 +1543,27 @@ struct Parser {
     void transform_unit(int x0, int y0, int xb, int yb, int log2_tr,
                         int depth, int blk_idx, int cbf_luma,
                         int cbf_cb, int cbf_cr) {
+        if ((cbf_luma || cbf_cb || cbf_cr) &&
+            P.cu_qp_delta_enabled && !is_qp_coded) {
+            // cu_qp_delta_abs: TU prefix (<=5, ctx 0 then 1) + EG0
+            // suffix (ff_hevc_cu_qp_delta_abs, hevc_cabac.c:731)
+            int prefix = 0, inc = 0;
+            while (prefix < 5 && bin(CTX_CU_QP_DELTA, inc)) {
+                prefix++;
+                inc = 1;
+            }
+            int d = prefix;
+            if (prefix == 5) {
+                int k = 0, suffix = 0;
+                while (cab.bypass()) { suffix += 1 << k; k++; }
+                while (k) { k--; suffix += cab.bypass() << k; }
+                d = prefix + suffix;
+            }
+            if (d && cab.bypass()) d = -d;   // cu_qp_delta_sign_flag
+            qg_delta = d;
+            is_qp_coded = 1;
+            set_qPy(cu_x0, cu_y0);
+        }
         int n4 = 1 << imax(0, log2_tr - 2);
         int x4 = x0 >> 2, y4 = y0 >> 2;
         for (int j = 0; j < n4; j++) O->bounds_v[(y4 + j) * w4 + x4] = 1;
@@ -1388,7 +1614,8 @@ struct Parser {
         auto ok = [&](int lx, int ly) -> int {
             if (lx < 0 || ly < 0 || lx >= P.width || ly >= P.height) return 0;
             if (zscan[(ly >> 2) * w4 + (lx >> 2)] >= zc) return 0;
-            if (tiles && tile_of4(lx >> 2, ly >> 2) != tid0) return 0;
+            if (use_regions && tile_of4(lx >> 2, ly >> 2) != tid0)
+                return 0;
             if (P.constrained_intra_pred &&
                 O->pred_mode[(ly >> 2) * w4 + (lx >> 2)] != MODE_INTRA)
                 return 0;
@@ -1703,7 +1930,7 @@ struct LocalOut {
         ij_avail.reset(new uint8_t[(size_t)base->ij_cap * 132]);
         pcm_meta.reset(new int32_t[(size_t)base->pcm_cap * 3]);
         pcm_samples.reset(new uint16_t[base->pcm_arena_cap]);
-        pb.reset(new int32_t[(size_t)base->pb_cap * 12]);
+        pb.reset(new int32_t[(size_t)base->pb_cap * 14]);
         o.cb_meta = cb_meta.get();
         o.cb_levels = cb_levels.get();
         o.ij_meta = ij_meta.get();
@@ -1765,9 +1992,9 @@ bool merge_locals(std::vector<LocalOut>& locals, int nss, Outputs* out) {
                (size_t)npcm * 3 * sizeof(int32_t));
         memcpy(out->pcm_samples + out->pcm_used,
                lo->pcm_samples.get() + sg->ps0, nps * sizeof(uint16_t));
-        memcpy(out->pb + (size_t)out->n_pb * 12,
-               lo->pb.get() + (size_t)sg->pb0 * 12,
-               (size_t)npb * 12 * sizeof(int32_t));
+        memcpy(out->pb + (size_t)out->n_pb * 14,
+               lo->pb.get() + (size_t)sg->pb0 * 14,
+               (size_t)npb * 14 * sizeof(int32_t));
         out->n_cb += ncb; out->lvl_used += nlvl;
         out->n_ij += nij; out->n_pcm += npcm; out->pcm_used += nps;
         out->n_pb += npb;
@@ -1778,7 +2005,9 @@ bool merge_locals(std::vector<LocalOut>& locals, int nss, Outputs* out) {
 }  // namespace
 
 int hevc_parse_slice(const uint8_t* rbsp, int64_t size,
-                     const SliceParams* params, Outputs* out) {
+                     const SliceParams* params, Outputs* out,
+                     const uint8_t* col_pf, const int32_t* col_mv,
+                     const int32_t* col_rp) {
     // copy into a zero-padded buffer: the bit-cache refill then needs no
     // stream-end masking (past-end bits read as 0, as the spec's
     // bit-serial engine would)
@@ -1792,6 +2021,9 @@ int hevc_parse_slice(const uint8_t* rbsp, int64_t size,
 
     Shared S;
     S.init(params, out, padded.data(), size);
+    S.col_pf = col_pf;
+    S.col_mv = col_mv;
+    S.col_rp = col_rp;
 
     // ---- threaded substream parse (WPP rows / tiles) --------------------
     int nss = params->num_substreams;
@@ -1849,6 +2081,9 @@ int hevc_parse_slice(const uint8_t* rbsp, int64_t size,
         S.any_err.store(false);
         Shared S2;
         S2.init(params, out, padded.data(), size);
+        S2.col_pf = col_pf;
+        S2.col_mv = col_mv;
+        S2.col_rp = col_rp;
         Parser p;
         p.bind(S2, out);
         p.cab.reinit((int64_t)params->data_start_byte * 8);
@@ -1864,11 +2099,75 @@ int hevc_parse_slice(const uint8_t* rbsp, int64_t size,
     p.cab.reinit((int64_t)params->data_start_byte * 8);
     p.init_ctx_states(S.init_type);
     int rc = p.decode();
+    if (!rc && p.end_ts != S.ctbs_w * S.ctbs_h) rc = -1;
     if (rc) out->error = 1;
     return rc;
 }
 
-int hevc_parse_abi_version() { return 2; }
+// Multi-slice picture parse: segments chained in decode order (CABAC
+// context + QP state carry across dependent segments; independent
+// slices re-init). Serial only — the threaded substream path applies to
+// single-slice pictures. Mirrors decoder.py's Python accumulation
+// (hls_slice_data per segment, hevc.c:3017).
+int hevc_parse_picture(int n_seg, const uint8_t* const* rbsps,
+                       const int64_t* sizes, const SliceParams* params,
+                       Outputs* out, const uint8_t* col_pf,
+                       const int32_t* col_mv, const int32_t* col_rp) {
+    if (n_seg < 1) return -1;
+    std::vector<std::vector<uint8_t>> padded((size_t)n_seg);
+    for (int i = 0; i < n_seg; i++) {
+        padded[i].resize(sizes[i] + RBSP_PAD);
+        memcpy(padded[i].data(), rbsps[i], sizes[i]);
+        memset(padded[i].data() + sizes[i], 0, RBSP_PAD);
+    }
+    out->n_cb = out->n_ij = out->n_pcm = out->n_pb = 0;
+    out->lvl_used = out->pcm_used = 0;
+    out->error = 0;
+    Shared S;
+    S.init(&params[0], out, padded[0].data(), sizes[0]);
+    S.col_pf = col_pf;
+    S.col_mv = col_mv;
+    S.col_rp = col_rp;
+    int n_ctb = S.ctbs_w * S.ctbs_h;
+    std::unique_ptr<Parser> prev;
+    int expect_ts = 0;
+    for (int i = 0; i < n_seg; i++) {
+        if (params[i].start_ts != expect_ts) { out->error = 1; return -1; }
+        S.P = &params[i];
+        S.rbsp = padded[i].data();
+        S.size = sizes[i];
+        auto pr = std::unique_ptr<Parser>(new Parser());
+        pr->bind(S, out);
+        pr->cab.reinit((int64_t)params[i].data_start_byte * 8);
+        if (params[i].dependent && prev) {
+            // 7.4.7.1: dependent segment continues the slice — CABAC
+            // contexts and QP-prediction state carry over
+            memcpy(pr->ctx, prev->ctx, NUM_CONTEXTS);
+            pr->qp_y = prev->qp_y;
+            pr->qPy_pred = prev->qPy_pred;
+            pr->cu_qp = pr->qp_y;
+            pr->first_qp_group = false;
+        } else {
+            int it = params[i].slice_type == 2
+                ? 0 : (params[i].slice_type == 1 ? 1 : 2);
+            if (params[i].cabac_init_present && params[i].cabac_init_flag &&
+                params[i].slice_type != 2)
+                it = 3 - it;
+            pr->init_ctx_states(it);
+        }
+        int rc = pr->decode();
+        if (rc || pr->end_ts <= params[i].start_ts) {
+            out->error = 1;
+            return -1;
+        }
+        expect_ts = pr->end_ts;
+        prev = std::move(pr);
+    }
+    if (expect_ts != n_ctb) { out->error = 1; return -1; }
+    return 0;
+}
+
+int hevc_parse_abi_version() { return 3; }
 
 // ---------------------------------------------------------------------------
 // Frame packing: convert the parse outputs (cb_meta/cb_levels decode-order

@@ -1,0 +1,119 @@
+"""The native C++ parse core must take the fast path (no silent Python
+fallback) on the stream classes real content uses: TMVP, weighted pred,
+multi-ref, WPP, tiles. decoder.stats counts which parser ran."""
+import numpy as np
+import pytest
+
+from conftest import ref_decode, ref_planes
+
+from openhevc_tpu.decoder import Decoder
+from openhevc_tpu.encoder.inter_enc import encode_lowdelay_stream
+from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+from test_inter import moving_frames
+
+
+def check_native(data, n, expect_native=True):
+    ref = ref_decode(data)
+    d = Decoder("np", native_parse=True)
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == n
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(got, want), (i, p)
+    if expect_native:
+        assert d.stats["python_slices"] == 0, d.stats
+        assert d.stats["native_slices"] >= n - 1, d.stats
+
+
+def test_native_tmvp():
+    rng = np.random.default_rng(101)
+    frames = moving_frames(96, 64, 4, rng)
+    data, _ = encode_lowdelay_stream(frames, 96, 64, qp=30, ctb_log2=4,
+                                     seed=101, tmvp=True)
+    check_native(data, 4)
+
+
+def test_native_tmvp_bslices():
+    rng = np.random.default_rng(102)
+    frames = moving_frames(96, 64, 4, rng)
+    data, _ = encode_lowdelay_stream(frames, 96, 64, qp=28, ctb_log2=4,
+                                     seed=102, tmvp=True,
+                                     b_slices=True, n_refs=2)
+    check_native(data, 4)
+
+
+def test_native_weighted_pred():
+    rng = np.random.default_rng(103)
+    frames = moving_frames(64, 64, 4, rng)
+    data, _ = encode_lowdelay_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                     seed=103, weighted=True, n_refs=2)
+    check_native(data, 4)
+
+
+def test_native_tmvp_weighted_wpp():
+    rng = np.random.default_rng(104)
+    frames = moving_frames(128, 64, 3, rng)
+    data, _ = encode_lowdelay_stream(frames, 128, 64, qp=30, ctb_log2=4,
+                                     seed=104, tmvp=True,
+                                     weighted=True, wpp=True)
+    check_native(data, 3)
+
+
+def test_native_cu_qp_delta():
+    rng = np.random.default_rng(105)
+    frames = moving_frames(96, 64, 2, rng)
+    data, _ = encode_intra_stream(frames, 96, 64, qp=30, ctb_log2=5,
+                                  seed=105, cu_qp_delta_depth=1)
+    check_native(data, 2)
+
+
+def test_native_cu_qp_delta_wpp():
+    rng = np.random.default_rng(106)
+    frames = moving_frames(128, 96, 2, rng)
+    data, _ = encode_intra_stream(frames, 128, 96, qp=32, ctb_log2=5,
+                                  seed=106, cu_qp_delta_depth=2, wpp=True,
+                                  sao=True, deblock=True)
+    check_native(data, 2)
+
+
+def test_native_tmvp_small_ctb():
+    rng = np.random.default_rng(107)
+    frames = moving_frames(128, 64, 3, rng)
+    data, _ = encode_lowdelay_stream(frames, 128, 64, qp=30, ctb_log2=4,
+                                     seed=107, tmvp=True)
+    check_native(data, 3)
+
+
+def test_native_multislice():
+    rng = np.random.default_rng(108)
+    frames = moving_frames(96, 96, 2, rng)
+    data, _ = encode_intra_stream(frames, 96, 96, qp=30, ctb_log2=4,
+                                  seed=108, num_slices=3)
+    check_native(data, 2)
+
+
+def test_native_multislice_dependent():
+    rng = np.random.default_rng(109)
+    frames = moving_frames(96, 96, 2, rng)
+    data, _ = encode_intra_stream(frames, 96, 96, qp=30, ctb_log2=4,
+                                  seed=109, num_slices=3,
+                                  dependent_slices=True)
+    check_native(data, 2)
+
+
+def test_native_multislice_inter_tmvp():
+    rng = np.random.default_rng(110)
+    frames = moving_frames(96, 96, 3, rng)
+    data, _ = encode_lowdelay_stream(frames, 96, 96, qp=30, ctb_log2=4,
+                                     seed=110, tmvp=True, num_slices=2)
+    check_native(data, 3)
+
+
+def test_native_multislice_filters_cuqp():
+    rng = np.random.default_rng(111)
+    frames = moving_frames(128, 96, 2, rng)
+    data, _ = encode_intra_stream(frames, 128, 96, qp=32, ctb_log2=5,
+                                  seed=111, num_slices=2, sao=True,
+                                  deblock=True, cu_qp_delta_depth=1)
+    check_native(data, 2)
