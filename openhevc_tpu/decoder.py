@@ -283,6 +283,16 @@ class Decoder:
                 return                  # drop RASL ahead of the RAP
             if nal_type == 9 and poc > self.max_ra:
                 self.max_ra = float("-inf")
+            # RPS-driven DPB reference marking (ff_hevc_frame_rps,
+            # hevc_refs.c:637): every DPB picture absent from the current
+            # picture's RPS (ST curr+foll, LT curr+foll) becomes
+            # unused-for-reference and leaves ref_pics. Output copies ride
+            # self.dpb, so bumping order is unaffected.
+            if not is_idr(nal_type):
+                keep = self._rps_keep_set(sh, sps, poc)
+                for q in list(self.ref_pics):
+                    if q not in keep:
+                        del self.ref_pics[q]
             # missing-reference concealment (generate_missing_ref,
             # hevc_refs.c:538): fabricate mid-gray frames so decode
             # continues deterministically
@@ -395,8 +405,10 @@ class Decoder:
         pic = DecodedPicture(poc=poc, planes=None, sps=sps,
                              motion=self._motion_of(fs))
         self.ref_pics[poc] = pic
-        # simple sliding-window eviction (DPB capacity)
-        while len(self.ref_pics) > 17:
+        # retention is RPS-driven (see _decode_slice); this hard cap is
+        # pure OOM protection against damaged/non-conformant streams
+        cap = max(getattr(sps, "max_dec_pic_buffering", 8) + 2, 17)
+        while len(self.ref_pics) > cap:
             del self.ref_pics[min(self.ref_pics)]
         self._pending = (fs, pic, refs)
 
@@ -460,6 +472,22 @@ class Decoder:
                                    hs=el_sps.hshift1, vs=el_sps.vshift1)
         self._il_planes = {poc: planes}
         return (poc, True)
+
+    def _rps_keep_set(self, sh, sps, poc):
+        """POCs the current picture's RPS retains as references: all
+        short-term deltas (used AND follow) plus every long-term entry
+        (LT_CURR and LT_FOLL), resolved like the list build."""
+        keep = set()
+        if sh.st_rps is not None:
+            keep |= {poc + d for d in sh.st_rps.delta_poc}
+        max_lsb = 1 << sps.log2_max_poc_lsb
+        for lsb, _used, cyc in zip(sh.lt_poc, sh.lt_used,
+                                   sh.lt_msb_present):
+            p = lsb
+            if cyc is not None:
+                p = lsb + poc - cyc * max_lsb - (poc & (max_lsb - 1))
+            keep.add(self._find_lt_ref(p, sps))
+        return keep
 
     def _find_lt_ref(self, p, sps):
         """Resolve a long-term entry to a DPB picture POC: LSB match

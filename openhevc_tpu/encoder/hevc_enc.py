@@ -62,7 +62,10 @@ class EncoderConfig:
     max_num_ref: int = 1
     max_merge_cand: int = 5
     weighted_pred: bool = False
+    weighted_bipred: bool = False
     temporal_mvp: bool = False
+    num_reorder_pics: int = 0           # sps/vps_max_num_reorder_pics
+    max_dec_pic_buffering: int = 5      # minus1 written
     level_idc: int = 120
     # scaling lists: None off, "default" (enabled, no data), "sps"
     # (explicit SPS data), "pps" (PPS override data)
@@ -238,8 +241,8 @@ def write_vps(cfg: EncoderConfig) -> bytes:
     bw.put(0xFFFF, 16)      # vps_reserved_0xffff_16bits
     _profile_tier_level(bw, cfg)
     bw.put(0, 1)            # vps_sub_layer_ordering_info_present_flag
-    bw.ue(4)                # vps_max_dec_pic_buffering_minus1
-    bw.ue(0)                # vps_max_num_reorder_pics
+    bw.ue(cfg.max_dec_pic_buffering - 1)  # vps_max_dec_pic_buffering_minus1
+    bw.ue(cfg.num_reorder_pics)           # vps_max_num_reorder_pics
     bw.ue(0)                # vps_max_latency_increase_plus1
     bw.put(0, 6)            # vps_max_layer_id
     bw.ue(0)                # vps_num_layer_sets_minus1
@@ -266,8 +269,8 @@ def write_sps(cfg: EncoderConfig, st_rps: list | None = None) -> bytes:
     bw.ue(cfg.bit_depth - 8)
     bw.ue(cfg.log2_max_poc_lsb - 4)
     bw.put(0, 1)            # sps_sub_layer_ordering_info_present_flag
-    bw.ue(4)                # sps_max_dec_pic_buffering_minus1
-    bw.ue(0)                # sps_max_num_reorder_pics
+    bw.ue(cfg.max_dec_pic_buffering - 1)  # sps_max_dec_pic_buffering_minus1
+    bw.ue(cfg.num_reorder_pics)           # sps_max_num_reorder_pics
     bw.ue(0)                # sps_max_latency_increase_plus1
     bw.ue(cfg.min_cb_log2 - 3)
     bw.ue(cfg.ctb_log2 - cfg.min_cb_log2)
@@ -364,17 +367,32 @@ def _write_vui_timing_hrd(bw: BitWriter):
 
 
 def _write_st_rps(bw: BitWriter, idx: int, rps):
-    """rps: (negative_deltas:list[int] poc deltas (<0), used_flags)."""
+    """rps: either a legacy list of negative poc deltas (<0, closest
+    first, all used) or a tuple (neg, pos) where neg is
+    [(delta<0, used)] closest-first and pos is [(delta>0, used)]
+    ascending — the explicit st_ref_pic_set layout of 7.3.7 (parse
+    mirror: bitstream/ps.py parse_st_rps; hevc_ps.c ff_hevc_decode_
+    short_term_rps). Entries with used=0 are the RPS-follow set: kept
+    in the DPB for later pictures but absent from this picture's
+    lists — exactly what hierarchical-B retention produces."""
     if idx != 0:
         bw.put(0, 1)        # inter_ref_pic_set_prediction_flag (not used)
-    neg = rps
+    if isinstance(rps, tuple):
+        neg, pos = rps
+    else:
+        neg, pos = [(d, 1) for d in rps], []
     bw.ue(len(neg))         # num_negative_pics
-    bw.ue(0)                # num_positive_pics
+    bw.ue(len(pos))         # num_positive_pics
     prev = 0
-    for d in neg:
+    for d, used in neg:
         bw.ue(prev - d - 1)  # delta_poc_s0_minus1
         prev = d
-        bw.put(1, 1)         # used_by_curr_pic_s0_flag
+        bw.put(used, 1)      # used_by_curr_pic_s0_flag
+    prev = 0
+    for d, used in pos:
+        bw.ue(d - prev - 1)  # delta_poc_s1_minus1
+        prev = d
+        bw.put(used, 1)      # used_by_curr_pic_s1_flag
     return
 
 

@@ -28,11 +28,15 @@ class PFrameEncoder(IntraFrameEncoder):
 
     def encode_frame_p(self, y, u, v, poc, ref_pics, nal_type=NAL_TRAIL_R,
                        slice_type=1, num_slices=1, dependent=False,
-                       lt_entries=None):
+                       lt_entries=None, ref_pics_l1=None,
+                       st_rps_idx_ovr=None):
         """ref_pics: [(poc, [Y,Cb,Cr])] or [(poc, planes, is_lt)] in L0
-        order. slice_type 1=P, 0=low-delay B (L1 == L0). lt_entries:
-        slice-header long-term list [(poc_lsb, used, msb_cycle|None)]
-        matching the is_lt refs."""
+        order. slice_type 1=P, 0=B (L1 == L0 low-delay unless
+        ref_pics_l1 gives a distinct list — the random-access pyramid
+        path). lt_entries: slice-header long-term list
+        [(poc_lsb, used, msb_cycle|None)] matching the is_lt refs.
+        st_rps_idx_ovr: explicit SPS RPS index (RA streams carry one
+        RPS per pyramid position)."""
         cfg = self.cfg
         self.target = [np.asarray(y, np.int64), np.asarray(u, np.int64),
                        np.asarray(v, np.int64)]
@@ -49,7 +53,14 @@ class PFrameEncoder(IntraFrameEncoder):
                 for e in ref_pics]
         self.ref_planes = {p: pl for p, pl, _ in norm}
         l0 = [(p, lt) for p, _, lt in norm]
-        ref_list = [l0, list(l0) if slice_type == 0 else []]
+        if slice_type == 0 and ref_pics_l1 is not None:
+            norm1 = [(e[0], e[1], (e[2] if len(e) > 2 else self.ref_lt))
+                     for e in ref_pics_l1]
+            self.ref_planes.update({p: pl for p, pl, _ in norm1})
+            l1 = [(p, lt) for p, _, lt in norm1]
+        else:
+            l1 = list(l0)
+        ref_list = [l0, l1 if slice_type == 0 else []]
         self.slice_type = slice_type
         self.mvctx = MotionContext(_Sps2(cfg), self.zscan, poc, slice_type,
                                    cfg.max_merge_cand, ref_list)
@@ -65,12 +76,16 @@ class PFrameEncoder(IntraFrameEncoder):
             self.weight_table = self._gen_weight_table(len(ref_pics),
                                                        slice_type)
         n_st = sum(1 for e in ref_pics if len(e) <= 2 or not e[2])
+        if st_rps_idx_ovr is not None:
+            rps_idx = st_rps_idx_ovr
+        elif self.st_rps_idx is not None:
+            rps_idx = self.st_rps_idx
+        else:
+            rps_idx = max(n_st - 1, 0)
         hdr_kw = dict(lt_entries=lt_entries,
-                      st_rps_idx=self.st_rps_idx
-                      if self.st_rps_idx is not None
-                      else max(n_st - 1, 0),
+                      st_rps_idx=rps_idx,
                       num_ref_l0=self.num_ref_l0 or len(ref_pics),
-                      num_ref_l1=self.num_ref_l0 or len(ref_pics),
+                      num_ref_l1=self.num_ref_l0 or len(l1),
                       weight_table=self.weight_table)
         if num_slices > 1:
             return self._encode_frame_sliced(nal_type, poc,
@@ -562,4 +577,181 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                              for p in self_dec.ref_pics[i].planes])
         else:
             filtered.append([p.copy() for p in enc.recon])
+    return out, recons
+
+
+# ---- random-access hierarchical-B stream generator --------------------------
+NAL_RASL_R = 9
+NAL_CRA = 21
+
+
+def _pyramid_order(lo, hi):
+    """Decode order of the hierarchical-B pyramid over the open POC
+    interval (lo, hi): mid level first, then each half recursively —
+    the HM random-access GOP structure."""
+    if hi - lo < 2:
+        return []
+    mid = (lo + hi) // 2
+    return ([(mid, lo, hi)] + _pyramid_order(lo, mid) +
+            _pyramid_order(mid, hi))
+
+
+def encode_ra_stream(frames, width, height, qp=32, gop=8, ctb_log2=4,
+                     min_cb_log2=3, seed=0, sao=False, deblock=False,
+                     intra_period=None, tmvp=False, amp=False,
+                     bit_depth=8, wpp=False, n_anchor_refs=2,
+                     chroma_format_idc=1):
+    """Random-access stream: IDR + P anchors every `gop` pics with a
+    hierarchical-B pyramid between anchors (output reordering,
+    num_reorder_pics>0). Anchors at multiples of `intra_period` become
+    CRA pictures whose pyramid rides as RASL leading pictures — the
+    ra_main-style structure (BASELINE config 2; RPS/bumping truth:
+    hevc_refs.c:182-269,637). Per-frame RPSs carry used=0 follow
+    entries (pics retained for later pyramid levels), exercising
+    RPS-driven DPB retention. Returns (bytes, recons list in POC
+    order; recon entries valid only without loop filters — with
+    filters cross-check against the reference decoder)."""
+    cfg = EncoderConfig(width=width, height=height, qp=qp,
+                        bit_depth=bit_depth,
+                        chroma_format_idc=chroma_format_idc,
+                        ctb_log2=ctb_log2, min_cb_log2=min_cb_log2,
+                        min_tb_log2=2, max_tb_log2=min(5, ctb_log2),
+                        max_transform_hierarchy_depth=2,
+                        pcm_enabled=False, sao_enabled=sao,
+                        deblock_disabled=not deblock,
+                        max_num_ref=2, max_merge_cand=5,
+                        temporal_mvp=tmvp, amp_enabled=amp, wpp=wpp,
+                        num_reorder_pics=max(1, (gop - 1).bit_length()),
+                        max_dec_pic_buffering=(gop - 1).bit_length() + 3)
+    rng = np.random.default_rng(seed)
+    n = len(frames)
+    # ---- decode order: (poc, nal_type, slice_kind) -------------------------
+    anchors = list(range(0, n, gop))
+    if anchors[-1] != n - 1:
+        anchors.append(n - 1)
+    order = [(0, NAL_IDR_N_LP, "I")]
+    last_irap = 0
+    for k in range(1, len(anchors)):
+        lo, hi = anchors[k - 1], anchors[k]
+        is_cra = bool(intra_period) and hi % intra_period == 0
+        if is_cra:
+            order.append((hi, NAL_CRA, "I"))
+        else:
+            order.append((hi, NAL_TRAIL_R, "P"))
+        for (m, a, b) in _pyramid_order(lo, hi):
+            order.append((m, NAL_RASL_R if is_cra else NAL_TRAIL_R, "B"))
+        if is_cra:
+            last_irap = hi
+    # ---- per-frame used-reference sets (decode order) ----------------------
+    # anchors reference up to n_anchor_refs previous anchors >= last IRAP
+    # (TRAIL after CRA must not cross it); pyramid Bs their interval ends
+    used = []
+    irap_at = {}     # poc -> last_irap at that frame's decode position
+    li = 0
+    banchors = []
+    for (p, nal, kind) in order:
+        if kind == "I":
+            used.append(set())
+            if nal == NAL_CRA:
+                li = p
+            banchors.append(p)
+        elif kind == "P":
+            past = [q for q in sorted(banchors, reverse=True) if q >= li]
+            used.append(set(past[:n_anchor_refs]))
+            banchors.append(p)
+        else:
+            # recompute this B's interval from the pyramid structure
+            lo = max(q for q in banchors if q < p)
+            hi = min(q for q in banchors if q > p)
+            # locate exact parents in the pyramid (handles nested levels)
+            a, b = lo, hi
+            while True:
+                mid = (a + b) // 2
+                if mid == p:
+                    break
+                if p < mid:
+                    b = mid
+                else:
+                    a = mid
+            used.append({a, b})
+        irap_at[len(used) - 1] = li
+    # ---- RPS per frame: everything still needed by this or later frames ----
+    needs_after = [set() for _ in order] + [set()]
+    for i in range(len(order) - 1, -1, -1):
+        needs_after[i] = used[i] | needs_after[i + 1]
+    decoded = set()
+    rps_key = []
+    patterns = {}
+    for i, (p, nal, kind) in enumerate(order):
+        if i == 0:
+            rps_key.append(None)
+            decoded.add(p)
+            continue
+        keep = sorted(needs_after[i] & decoded)
+        neg = tuple((q - p, 1 if q in used[i] else 0)
+                    for q in sorted((q for q in keep if q < p),
+                                    reverse=True))
+        pos = tuple((q - p, 1 if q in used[i] else 0)
+                    for q in sorted(q for q in keep if q > p))
+        key = (neg, pos)
+        rps_key.append(patterns.setdefault(key, len(patterns)))
+        decoded.add(p)
+    rps_list = [(list(neg), list(pos)) for (neg, pos) in patterns]
+    # ---- encode -------------------------------------------------------------
+    headers = write_vps(cfg) + write_sps(cfg, st_rps=rps_list) + \
+        write_pps(cfg)
+    out = headers
+    enc = PFrameEncoder(cfg, rng)
+    enc.num_st_rps = len(rps_list)
+    enc._motion_store = {}
+    recons = [None] * n
+    filtered = {}
+    self_dec = None
+    if sao or deblock:
+        from ..decoder import Decoder
+        self_dec = Decoder("np")
+        self_dec.decode(headers)
+    for i, (p, nal, kind) in enumerate(order):
+        y, u, v = frames[p]
+        enc._parent_chroma = {}
+        enc._pu_list = []
+        if kind == "I":
+            enc.is_p = False
+            nal_bytes = enc.encode_frame(
+                y, u, v, nal_type=nal, poc=p,
+                num_st_rps=len(rps_list),
+                st_rps_idx=rps_key[i] if rps_key[i] is not None else 0)
+            enc.store_motion(p, i_frame=True)
+        else:
+            # mirror of Decoder._build_ref_lists cand order:
+            # L0 = before+after, L1 = after+before (hevc_refs.c:457)
+            neg, pos = rps_list[rps_key[i]]
+            before = [p + d for (d, u_) in neg if u_]
+            after = [p + d for (d, u_) in pos if u_]
+            cands0 = before + after
+            cands1 = after + before
+            n0 = min(cfg.max_num_ref, len(cands0))
+            l0 = [cands0[k % len(cands0)] for k in range(n0)]
+            ref_pics = [(q, filtered[q]) for q in l0]
+            ref_pics_l1 = None
+            slice_type = 1
+            if kind == "B":
+                slice_type = 0
+                n1 = min(cfg.max_num_ref, len(cands1))
+                l1 = [cands1[k % len(cands1)] for k in range(n1)]
+                ref_pics_l1 = [(q, filtered[q]) for q in l1]
+            nal_bytes = enc.encode_frame_p(
+                y, u, v, p, ref_pics, nal_type=nal,
+                slice_type=slice_type, ref_pics_l1=ref_pics_l1,
+                st_rps_idx_ovr=rps_key[i])
+            enc.store_motion(p)
+        out += nal_bytes
+        recons[p] = [pl.copy() for pl in enc.recon]
+        if self_dec is not None:
+            self_dec.decode(nal_bytes)
+            self_dec._flush_pending()
+            filtered[p] = [np.asarray(pl, np.int64)
+                           for pl in self_dec.ref_pics[p].planes]
+        else:
+            filtered[p] = [pl.copy() for pl in enc.recon]
     return out, recons

@@ -160,7 +160,7 @@ class IntraFrameEncoder:
 
     def encode_frame(self, y, u, v, nal_type=NAL_IDR_N_LP, poc=0,
                      num_st_rps=0, num_slices=1,
-                     dependent=False) -> bytes:
+                     dependent=False, st_rps_idx=0) -> bytes:
         cfg = self.cfg
         self.target = [np.asarray(y, np.int64), np.asarray(u, np.int64),
                        np.asarray(v, np.int64)]
@@ -178,7 +178,7 @@ class IntraFrameEncoder:
         data, eps = self._encode_slice_data(slice_type=2)
         bw = BitWriter()
         write_slice_header(bw, cfg, nal_type, slice_type=2, poc=poc,
-                           num_st_rps=num_st_rps,
+                           num_st_rps=num_st_rps, st_rps_idx=st_rps_idx,
                            entry_point_offsets=eps, pps_id=self.pps_id,
                            inter_layer_pred=self.inter_layer_pred)
         return wrap_nal(nal_type, bw.getvalue() + data,

@@ -227,7 +227,10 @@ def test_tmvp_candidate_is_live():
     orig = MV.MotionContext.temporal_mv
     MV.MotionContext.temporal_mv = lambda self, *a: (0, (0, 0))
     try:
-        d = Decoder("np")
+        # the sabotage targets the Python derivation; the native core
+        # computes TMVP in C++ (its liveness is asserted by
+        # test_native_coverage.py), so pin the Python parser here
+        d = Decoder("np", native_parse=False)
         mine = d.decode(data) + d.flush()
     finally:
         MV.MotionContext.temporal_mv = orig
