@@ -285,6 +285,45 @@ class JaxEngine:
     def __init__(self):
         self._cache = {}
         self._fetch_pool = FetchPool()
+        # per-reference-plane MC prefilter cache: id(host plane) ->
+        # (weakref(host plane), [P,Hp,wn] int16 device hf). A reference
+        # picture's stage-1 filtering runs ONCE, not once per frame
+        # that references it (ops/mc.mc_hprefilter).
+        self._hf_cache = {}
+
+    def _hf_stack(self, pocs, ref_planes, c, bd):
+        """Stage-1 MC prefilter stack [R, P, Hp, wn] for plane c of the
+        listed reference pictures, R padded to a power of two to bound
+        jit specializations."""
+        import weakref
+        from ..ops.mc import mc_hprefilter
+        if not pocs:
+            return None
+        entries = []
+        for p in pocs:
+            src = ref_planes[p][c]
+            key = (id(src), c)
+            hit = self._hf_cache.get(key)
+            if hit is not None and hit[0] is not None and \
+                    hit[0]() is src:
+                entries.append(hit[1])
+                continue
+            dev = mc_hprefilter(jnp.asarray(np.asarray(src, np.int32)),
+                                bit_depth=bd, is_luma=(c == 0))
+            try:
+                wr = weakref.ref(src)
+            except TypeError:
+                wr = None
+            self._hf_cache[key] = (wr, dev)
+            entries.append(dev)
+        if len(self._hf_cache) > 96:     # prune dead entries
+            self._hf_cache = {
+                k: v for k, v in self._hf_cache.items()
+                if v[0] is not None and v[0]() is not None}
+        R = len(entries)
+        rp = 1 << (R - 1).bit_length()
+        entries = entries + [entries[0]] * (rp - R)
+        return jnp.stack(entries)
 
     def _fused_plan(self, fs):
         """None when the fused path is unavailable; ("whole", dims) when
@@ -471,10 +510,10 @@ class JaxEngine:
                 s[pocg == p] = i
             slot[lx] = s
         mv = np.asarray(mc.mv, np.int32)          # [h4,w4,2,2]
-        refs = {c: np.stack([np.asarray(ref_planes[p][c], np.int32)
-                             for p in pocs]) if pocs else None
-                for c in range(3)}
-        out = dict(pf4=pf4, mv=mv, slot=slot, refs=refs)
+        bd = sps.bit_depth
+        hf = {c: self._hf_stack(pocs, ref_planes, c, bd)
+              for c in range(3)}
+        out = dict(pf4=pf4, mv=mv, slot=slot, hf=hf)
         if fs.weights is not None:
             # per-4x4 weight/offset grids per list+plane from ref_idx
             # (weighted uni/bi combine, ops/mc.py inter_combine_w)
@@ -520,51 +559,43 @@ class JaxEngine:
                                         jnp.asarray(b["plane"]),
                                         jnp.asarray(b["bx"]),
                                         jnp.asarray(b["by"]), s=s)
-        # inter prediction (dense-phase device MC) before the intra scan
+        # inter prediction (two-stage dense device MC) before the intra
+        # scan: stage-1 hf stacks were prefiltered/cached per reference
+        # picture; stage 2 + combine here, all grid upsampling on device
         inter = getattr(pf, "inter", None)
-        if inter is not None and inter["refs"][0] is not None:
-            from ..ops.mc import mc_dense_put, inter_combine, \
-                inter_combine_w
+        if inter is not None and inter["hf"][0] is not None:
+            from ..ops.mc import mc_put, inter_combine, inter_combine_w
             H, W = pf.height, pf.width
-            up = 4
-            pf4 = inter["pf4"]
+            pf4 = jnp.asarray(inter["pf4"])
+            mv_dev = jnp.asarray(inter["mv"])       # [h4,w4,2,2]
+            slot_dev = jnp.asarray(inter["slot"])   # [2,h4,w4]
             for c in range(3):
                 is_luma = c == 0
                 sh = 0 if is_luma else pf.hshift
                 sv = 0 if is_luma else pf.vshift
                 ph, pw = H >> sv, W >> sh
-                reph, repv = up >> sh, up >> sv
-                pf_px = jnp.asarray(np.repeat(np.repeat(pf4, repv, 0),
-                                              reph, 1)[:ph, :pw])
-                puts = []
-                for lx in range(2):
-                    mvx = np.repeat(np.repeat(inter["mv"][:, :, lx, 0],
-                                              repv, 0), reph, 1)[:ph, :pw]
-                    mvy = np.repeat(np.repeat(inter["mv"][:, :, lx, 1],
-                                              repv, 0), reph, 1)[:ph, :pw]
-                    sl = np.repeat(np.repeat(inter["slot"][lx], repv, 0),
-                                   reph, 1)[:ph, :pw]
-                    puts.append(mc_dense_put(
-                        jnp.asarray(inter["refs"][c]),
-                        jnp.asarray(mvx.astype(np.int32)),
-                        jnp.asarray(mvy.astype(np.int32)),
-                        jnp.asarray(sl), bit_depth=bd, is_luma=is_luma,
-                        hs=pf.hshift, vs=pf.vshift))
+                reph, repv = 4 >> sh, 4 >> sv
+                puts = [mc_put(inter["hf"][c], mv_dev[:, :, lx],
+                               slot_dev[lx], bit_depth=bd,
+                               is_luma=is_luma, hs=pf.hshift,
+                               vs=pf.vshift, H=ph, W=pw)
+                        for lx in range(2)]
                 wt = inter.get("wt")
                 if wt is not None:
-                    def px_grid(a):
-                        return jnp.asarray(np.repeat(
-                            np.repeat(a, repv, 0), reph, 1)[:ph, :pw])
                     denom = wt["denoms"][0 if is_luma else 1]
                     planes = inter_combine_w(
-                        planes, res_planes, puts[0], puts[1], pf_px,
-                        px_grid(wt["wg"][0, c]), px_grid(wt["og"][0, c]),
-                        px_grid(wt["wg"][1, c]), px_grid(wt["og"][1, c]),
-                        c, bit_depth=bd, denom=denom)
+                        planes, res_planes, puts[0], puts[1], pf4,
+                        jnp.asarray(wt["wg"][0, c]),
+                        jnp.asarray(wt["og"][0, c]),
+                        jnp.asarray(wt["wg"][1, c]),
+                        jnp.asarray(wt["og"][1, c]),
+                        c, bit_depth=bd, denom=denom,
+                        reph=reph, repv=repv)
                 else:
                     planes = inter_combine(planes, res_planes,
                                            puts[0], puts[1],
-                                           pf_px, c, bit_depth=bd)
+                                           pf4, c, bit_depth=bd,
+                                           reph=reph, repv=repv)
         # intra wavefront
         if pf.n_levels and isinstance(pf.intra, dict) and \
                 "stacked" in pf.intra:

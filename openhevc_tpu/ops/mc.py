@@ -1,16 +1,26 @@
-"""Inter prediction on device (JAX) — dense-phase formulation.
+"""Inter prediction on device (JAX) — two-stage dense formulation.
 
-Instead of per-PU windowed interpolation (the reference's qpel/epel calls),
-the whole reference plane is filtered once per fractional phase (separable
-taps on the VPU over a replicate-padded frame), and prediction becomes one
-per-pixel gather by (ref slot, phase, integer offset). MVs/phases come from
-the dense per-4x4 motion grids the parser already emits — the layout the
-TPU wants.  Bit-exact vs ops/mc_np.py (the unified two-stage filtering with
-identity phase rows reproduces the reference's h-only/v-only/copy paths
-exactly).
+Stage 1 (per decoded picture, cached across the frames that reference
+it): the reference plane is horizontally filtered at ALL fractional
+phases — P=4 (qpel) or P=8 (epel) int16 planes, the reference's int16
+`tmp` intermediate materialized once per phase column
+(put_hevc_qpel/epel_h, hevcdsp_template.c:610-1608).
 
-Pad margin of 8 makes out-of-range clamped gathers land in fully-constant
-filtered regions, which equals the reference's replicate edge emulation.
+Stage 2 (per predicted frame): prediction is per-pixel vertical
+filtering over `taps` gathered rows of the stage-1 planes, indexed by
+(ref slot, x-phase, integer offset); the y-phase selects the filter row
+per pixel. MVs/phases come from the per-4x4 motion grids the parser
+emits, upsampled to pixel granularity ON DEVICE so a frame's upload is
+just the [h4,w4] grids.
+
+HBM cost is O(refs x P x frame) int16 — 4x (luma) / 8x (chroma) less
+than the previous all-phase-pair prefilter, with no per-frame
+recompute for reused references. Bit-exact vs ops/mc_np.py (identity
+phase rows reproduce the h-only/v-only/copy paths exactly).
+
+Pad margin of 8 makes out-of-range clamped gathers land in fully-
+constant filtered regions, which equals the reference's replicate edge
+emulation (videodsp emulated_edge_mc behavior).
 """
 from __future__ import annotations
 
@@ -33,60 +43,86 @@ _EPEL_ALL[0, 1] = 64
 _EPEL_ALL[1:] = EPEL_FILTERS
 
 
-@partial(jax.jit, static_argnames=("bit_depth", "is_luma", "hs", "vs"))
-def mc_dense_put(refs, mvx, mvy, slot, bit_depth: int, is_luma: bool,
-                 hs: int = 1, vs: int = 1):
-    """refs: [R, H, W] int32 reference planes. mvx/mvy/slot: [H, W] int32
-    (luma quarter-pel MV units; slot indexes refs). hs/vs: chroma
-    subsampling shifts — chroma offset/phase follow hevc.c:1807-1813
-    (offset = mv >> (2+shift), phase = (mv & mask) << (1-shift)).
-    Returns the 14-bit 'put' intermediate [H, W] int32."""
-    R, H, W = refs.shape
+@partial(jax.jit, static_argnames=("bit_depth", "is_luma"))
+def mc_hprefilter(ref, bit_depth: int, is_luma: bool):
+    """ref: [H, W] int32 plane -> hf [P, H+2*PAD, wn] int16, the
+    horizontally filtered intermediate at every phase (>> (bd-8), the
+    reference's 14-bit-headroom tmp)."""
+    H, W = ref.shape
+    taps = 8 if is_luma else 4
+    filt = _QPEL_ALL if is_luma else _EPEL_ALL
+    nphase = filt.shape[0]
+    shift1 = bit_depth - 8
+    padded = jnp.pad(ref, ((PAD, PAD), (PAD, PAD)), mode="edge")
+    wn = W + 2 * PAD - taps + 1
+    acc = jnp.zeros((nphase, H + 2 * PAD, wn), jnp.int32)
+    for k in range(taps):
+        col = padded[:, k:k + wn]
+        w = jnp.asarray(filt[:, k])[:, None, None]
+        acc = acc + col[None] * w
+    return (acc >> shift1).astype(jnp.int16)
+
+
+@partial(jax.jit,
+         static_argnames=("bit_depth", "is_luma", "hs", "vs", "H", "W"))
+def mc_put(hf, mv4, slot4, bit_depth: int, is_luma: bool, hs: int,
+           vs: int, H: int, W: int):
+    """hf: [R, P, Hp, wn] int16 stage-1 stack. mv4: [h4, w4, 2] int32
+    (this list's luma quarter-pel MVs at 4x4 granularity), slot4:
+    [h4, w4] int32 ref-slot grid. Chroma offset/phase follow
+    hevc.c:1807-1813 (offset = mv >> (2+shift), phase =
+    (mv & mask) << (1-shift)). Returns the 14-bit 'put' intermediate
+    [H, W] int32 for this plane."""
+    R, P, Hp, wn = hf.shape
     taps = 8 if is_luma else 4
     fbx = 2 if is_luma else 2 + hs
     fby = 2 if is_luma else 2 + vs
     pmx = 1 if is_luma else 1 << (1 - hs)
     pmy = 1 if is_luma else 1 << (1 - vs)
-    nphase = 4 if is_luma else 8
-    filt = jnp.asarray(_QPEL_ALL if is_luma else _EPEL_ALL)
     center = 3 if is_luma else 1
-    shift1 = bit_depth - 8
-
-    padded = jnp.pad(refs, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="edge")
-    # horizontal filtering, all phases: hf[r, p, y, i] over padded width
-    wn = W + 2 * PAD - taps + 1
-    cols = jnp.arange(wn)
-    hst = jnp.stack([padded[:, :, k:k + wn] for k in range(taps)], axis=-1)
-    hf = jnp.einsum("ryxk,pk->rpyx", hst, filt,
-                    preferred_element_type=jnp.int32)
-    hf = hf >> shift1                       # 14-bit intermediate base
-    # vertical filtering of hf, all phases: vf[r, p, q, j, i]
-    hn = hf.shape[2] - taps + 1
-    vst = jnp.stack([hf[:, :, k:k + hn, :] for k in range(taps)], axis=-1)
-    vf = jnp.einsum("rpjik,qk->rpqji", vst, filt,
-                    preferred_element_type=jnp.int32)
-    vf = vf >> 6
-    # per-pixel gather
-    ys, xs = jnp.mgrid[0:H, 0:W]
+    filt = jnp.asarray(_QPEL_ALL if is_luma else _EPEL_ALL)
+    hn = Hp - taps + 1
+    reph = 4 if is_luma else 4 >> hs
+    repv = 4 if is_luma else 4 >> vs
+    # device-side 4x4 -> pixel upsample of the motion grids
+    mvx = jnp.repeat(jnp.repeat(mv4[:, :, 0], repv, 0), reph, 1)[:H, :W]
+    mvy = jnp.repeat(jnp.repeat(mv4[:, :, 1], repv, 0), reph, 1)[:H, :W]
+    slot = jnp.repeat(jnp.repeat(slot4, repv, 0), reph, 1)[:H, :W]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     sx = xs + (mvx >> fbx)
     sy = ys + (mvy >> fby)
     fx = ((mvx & ((1 << fbx) - 1)) * pmx).astype(jnp.int32)
     fy = ((mvy & ((1 << fby) - 1)) * pmy).astype(jnp.int32)
     gi = jnp.clip(sx + PAD - center, 0, wn - 1)
     gj = jnp.clip(sy + PAD - center, 0, hn - 1)
-    flat = vf.reshape(R * nphase * nphase, hn, wn)
-    lin = (slot * nphase + fx) * nphase + fy
-    return flat[lin, gj, gi]
+    flat = hf.reshape(R * P, Hp, wn)
+    lin = slot * P + fx
+    acc = jnp.zeros((H, W), jnp.int32)
+    for j in range(taps):
+        rows = flat[lin, gj + j, gi].astype(jnp.int32)
+        wj = filt[:, j][fy]
+        acc = acc + rows * wj
+    return acc >> 6
 
 
-@partial(jax.jit, static_argnames=("bit_depth", "denom"),
+@partial(jax.jit,
+         static_argnames=("bit_depth", "denom", "reph", "repv"),
          donate_argnums=(0,))
-def inter_combine_w(planes, res_planes, put0, put1, pf, w0, o0, w1, o1,
-                    plane_idx, bit_depth: int, denom: int):
-    """Weighted-prediction variant of inter_combine: w*/o* are per-pixel
-    int32 weight/offset grids selected by list+ref_idx (mc_np.uni_w/bi_w
-    formulas; put_hevc_*_uni_w/bi_w behavior)."""
+def inter_combine_w(planes, res_planes, put0, put1, pf4, w0, o0, w1, o1,
+                    plane_idx, bit_depth: int, denom: int, reph: int,
+                    repv: int):
+    """Weighted-prediction variant of inter_combine: pf4/w*/o* are
+    [h4, w4] int32 grids (pred_flag; weight/offset selected by
+    list+ref_idx), upsampled on device (mc_np.uni_w/bi_w formulas;
+    put_hevc_*_uni_w/bi_w behavior)."""
     H, W = put0.shape
+
+    def up(a):
+        return jnp.repeat(jnp.repeat(a, repv, 0), reph, 1)[:H, :W]
+
+    pf = up(pf4)
+    w0, o0, w1, o1 = up(w0), up(o0), up(w1), up(o1)
     maxv = (1 << bit_depth) - 1
     osc = 1 << (bit_depth - 8)
     shift_u = denom + 14 - bit_depth
@@ -105,14 +141,16 @@ def inter_combine_w(planes, res_planes, put0, put1, pf, w0, o0, w1, o1,
     return planes.at[plane_idx, :H, :W].set(out)
 
 
-@partial(jax.jit, static_argnames=("bit_depth",),
+@partial(jax.jit, static_argnames=("bit_depth", "reph", "repv"),
          donate_argnums=(0,))
-def inter_combine(planes, res_planes, put0, put1, pf, plane_idx,
-                  bit_depth: int):
+def inter_combine(planes, res_planes, put0, put1, pf4, plane_idx,
+                  bit_depth: int, reph: int, repv: int):
     """Final prediction + residual for one plane of the frame.
-    put0/put1: [H, W] 14-bit intermediates; pf: [H, W] pred_flag grid
-    (0 intra, 1 L0, 2 L1, 3 BI); writes plane `plane_idx` of the stack."""
+    put0/put1: [H, W] 14-bit intermediates; pf4: [h4, w4] pred_flag
+    grid (0 intra, 1 L0, 2 L1, 3 BI), upsampled on device; writes
+    plane `plane_idx` of the stack."""
     H, W = put0.shape
+    pf = jnp.repeat(jnp.repeat(pf4, repv, 0), reph, 1)[:H, :W]
     maxv = (1 << bit_depth) - 1
     shift_u = 14 - bit_depth
     off_u = 1 << (shift_u - 1)
