@@ -1,11 +1,20 @@
 #!/usr/bin/env python3
-"""Benchmark: decode throughput vs the reference decoder on this machine.
+"""Benchmark: decode throughput vs the reference decoder on this machine,
+across the five BASELINE.md configs:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value = openhevc_tpu frames/s on the i_main-style intra config
-(832x480 Main 8-bit, BASELINE.md config 1); vs_baseline = ratio vs the
-reference openHEVC decoder (pure-C build, 1 thread) decoding the same
-stream on this host's CPU.
+  1. i_main   832x480  Main 8-bit all-intra (+WPP substreams)
+  2. ra_main  1920x1080 random-access hierarchical-B
+  3. main10   3840x2160 Main10 10-bit all-intra
+  4. rext444  832x480  4:4:4 all-intra
+  5. shvc     2-layer (416x240 -> 832x480) inter-layer prediction
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "configs",
+"stages_ms"}: the headline metric stays the i_main fps (round-1
+comparable); "configs" carries every config's fps + vs_baseline +
+bit-exactness; "stages_ms" the per-stage decoder timers of the headline
+config. Reference = openHEVC pure-C build, 1 thread, same streams.
+
+Usage: bench.py [--gen] [--only NAME]  (--gen only (re)generates streams)
 """
 import json
 import os
@@ -17,55 +26,178 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-STREAM = "/tmp/bench_i_main_832x480.265"
-NFRAMES = 12
-W, H = 832, 480
+VER = "r2a"          # bump to invalidate cached streams
+CACHE = "/tmp/openhevc_tpu_bench"
 
 
-def make_stream():
-    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
-    rng = np.random.default_rng(0)
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _frames(W, H, n, seed=0, ten_bit=False):
+    rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:H, 0:W]
-    frames = []
-    for i in range(NFRAMES):
+    mx = 1024 if ten_bit else 256
+    dt = np.uint16 if ten_bit else np.uint8
+    out = []
+    for i in range(n):
+        y = ((xx * 2 + yy * 3 + i * 10) % mx * 0.7 +
+             rng.integers(0, mx // 4, (H, W))).astype(dt)
+        u = ((xx[::2, ::2] + i * 7 + mx // 2) % mx).astype(dt)
+        v = ((yy[::2, ::2] * 2 + i * 3) % mx).astype(dt)
+        out.append((y, u, v))
+    return out
+
+
+def _frames444(W, H, n, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W]
+    out = []
+    for i in range(n):
         y = ((xx * 2 + yy * 3 + i * 10) % 256 * 0.7 +
              rng.integers(0, 60, (H, W))).astype(np.uint8)
-        u = ((xx[::2, ::2] + 128) % 256).astype(np.uint8)
-        v = ((yy[::2, ::2] * 2) % 256).astype(np.uint8)
-        frames.append((y, u, v))
-    # WPP substreams: real-world encodes of this class carry them for
-    # parallel decode; the reference decoder is measured on the SAME
-    # stream (its single-thread parse reads WPP streams natively), while
-    # openhevc_tpu's native core parses the rows on a thread pool
-    data, recons = encode_intra_stream(frames, W, H, qp=32, ctb_log2=6,
-                                       seed=0, wpp=True)
-    with open(STREAM, "wb") as f:
-        f.write(data)
-    np.save(STREAM + ".golden.npy", np.stack([r[0] for r in recons]))
+        u = ((xx + i * 7 + 128) % 256).astype(np.uint8)
+        v = ((yy * 2 + i * 3) % 256).astype(np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+# ---- stream generators -------------------------------------------------
+
+def gen_i_main():
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    W, H = 832, 480
+    data, _ = encode_intra_stream(_frames(W, H, 12), W, H, qp=32,
+                                  ctb_log2=6, seed=0, wpp=True)
     return data
 
 
-def bench_mine(data):
-    from openhevc_tpu.decoder import Decoder
-    # warm-up pass: jit compilation (amortized over a stream in production;
-    # the steady-state pass below is the throughput figure)
-    dec = Decoder("jax")
-    dec.decode(data)
-    dec.flush()
-    golden = np.load(STREAM + ".golden.npy")
-    best = 0.0
-    ok = True
-    # best of 3: the tunneled link to the chip is shared and noisy
-    for _ in range(3):
-        dec = Decoder("jax")
+def gen_ra_main():
+    from openhevc_tpu.encoder.inter_enc import encode_ra_stream
+    W, H = 1920, 1080
+    # 1080 = 135 x 8: MinCbSizeY must be 8 (spec: pic dims are
+    # multiples of the minimum CB size)
+    data, _ = encode_ra_stream(_frames(W, H, 9), W, H, qp=35, gop=8,
+                               ctb_log2=6, min_cb_log2=3, seed=0,
+                               tmvp=True)
+    return data
+
+
+def gen_main10_4k():
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    W, H = 3840, 2160
+    data, _ = encode_intra_stream(_frames(W, H, 3, ten_bit=True), W, H,
+                                  qp=35, ctb_log2=6, min_cb_log2=4,
+                                  seed=0, bit_depth=10)
+    return data
+
+
+def gen_rext444():
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    W, H = 832, 480
+    data, _ = encode_intra_stream(_frames444(W, H, 6), W, H, qp=32,
+                                  ctb_log2=6, seed=0,
+                                  chroma_format_idc=3)
+    return data
+
+
+def gen_shvc():
+    from openhevc_tpu.encoder.shvc_enc import encode_shvc_stream
+    data, _ = encode_shvc_stream(_frames(416, 240, 6),
+                                 _frames(832, 480, 6),
+                                 (416, 240), (832, 480), qp=32,
+                                 ctb_log2=6, seed=0)
+    return data
+
+
+CONFIGS = [
+    ("i_main_832x480", gen_i_main, "single", 12),
+    ("ra_main_1080p", gen_ra_main, "single", 9),
+    ("main10_4k", gen_main10_4k, "single", 3),
+    ("rext_444_832x480", gen_rext444, "single", 6),
+    ("shvc_2layer_832x480", gen_shvc, "shvc", 6),
+]
+
+
+def stream_path(name):
+    return f"{CACHE}/{VER}_{name}.265"
+
+
+def ensure_stream(name, gen):
+    os.makedirs(CACHE, exist_ok=True)
+    p = stream_path(name)
+    if os.path.exists(p):
+        with open(p, "rb") as f:
+            return f.read()
+    log(f"[bench] generating {name} ...")
+    t0 = time.time()
+    data = gen()
+    with open(p, "wb") as f:
+        f.write(data)
+    log(f"[bench] {name}: {len(data)} bytes in {time.time() - t0:.0f}s")
+    return data
+
+
+def golden(name, data):
+    """Reference-decoded plane hashes (correctness check)."""
+    import hashlib
+    p = stream_path(name) + ".md5"
+    if os.path.exists(p):
+        with open(p) as f:
+            return f.read().split()
+    from tools.refdec import RefDecoder
+    d = RefDecoder(nb_threads=1, thread_type=1)
+    out = d.decode_stream(data)
+    d.close()
+    hs = []
+    for f in out:
+        h = hashlib.md5()
+        h.update(f.y)
+        h.update(f.u)
+        h.update(f.v)
+        hs.append(h.hexdigest())
+    with open(p, "w") as fo:
+        fo.write("\n".join(hs))
+    return hs
+
+
+def _mk_dec(kind):
+    from openhevc_tpu.decoder import Decoder, ShvcDecoder
+    return ShvcDecoder("jax") if kind == "shvc" else Decoder("jax")
+
+
+def _hash_pics(pics):
+    import hashlib
+    hs = []
+    for p in pics:
+        y, u, v = p.cropped()
+        nb = 2 if p.sps.bit_depth > 8 else 1
+        dt = np.uint16 if nb == 2 else np.uint8
+        h = hashlib.md5()
+        h.update(np.ascontiguousarray(np.asarray(y, dt)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(u, dt)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(v, dt)).tobytes())
+        hs.append(h.hexdigest())
+    return hs
+
+
+def bench_mine(kind, data, want_hashes, reps=2):
+    dec = _mk_dec(kind)                      # warm-up (jit compiles)
+    pics = dec.decode(data) + dec.flush()
+    ok = _hash_pics(pics) == want_hashes
+    best, stages = 0.0, {}
+    for _ in range(reps):
+        dec = _mk_dec(kind)
         t0 = time.perf_counter()
         pics = dec.decode(data) + dec.flush()
-        outs = [p.cropped() for p in pics]   # materialize (lazy fetch)
+        for p in pics:
+            np.asarray(p.planes[0])          # materialize lazy fetches
         dt = time.perf_counter() - t0
-        ok = ok and all(np.array_equal(o[0], golden[i])
-                        for i, o in enumerate(outs))
-        best = max(best, len(pics) / dt)
-    return best, ok
+        if len(pics) / dt > best:
+            best = len(pics) / dt
+            t = dec.timers if kind != "shvc" else dec.el.timers
+            stages = t.summary() if hasattr(t, "summary") else {}
+    return best, ok, stages
 
 
 def bench_reference(data):
@@ -77,27 +209,51 @@ def bench_reference(data):
         out = dec.decode_stream(data)
         dt = time.perf_counter() - t0
         dec.close()
-        if not out:
-            return None
-        return len(out) / dt
+        return (len(out) / dt) if out else None
     except Exception:
         return None
 
 
 def main():
-    if os.path.exists(STREAM) and os.path.exists(STREAM + ".golden.npy"):
-        with open(STREAM, "rb") as f:
-            data = f.read()
-    else:
-        data = make_stream()
-    fps, ok = bench_mine(data)
-    ref_fps = bench_reference(data)
-    vs = (fps / ref_fps) if ref_fps else 0.0
+    argv = sys.argv[1:]
+    gen_only = "--gen" in argv
+    only = argv[argv.index("--only") + 1] if "--only" in argv else None
+    results = {}
+    headline = None
+    head_stages = {}
+    for (name, gen, kind, nframes) in CONFIGS:
+        if only and only not in name:
+            continue
+        data = ensure_stream(name, gen)
+        if gen_only:
+            continue
+        want = golden(name, data)
+        fps, ok, stages = bench_mine(kind, data, want)
+        ref_fps = bench_reference(data)
+        vs = (fps / ref_fps) if ref_fps else 0.0
+        results[name] = {"fps": round(fps, 4),
+                         "ref_fps": round(ref_fps or 0.0, 4),
+                         "vs_baseline": round(vs, 4),
+                         "bit_exact": bool(ok)}
+        log(f"[bench] {name}: {fps:.2f} fps (ref {ref_fps or 0:.2f}, "
+            f"x{vs:.3f}, exact={ok})")
+        if name.startswith("i_main"):
+            headline = (fps, vs, ok)
+            head_stages = stages
+    if gen_only:
+        return
+    if headline is None and results:
+        k = next(iter(results))
+        headline = (results[k]["fps"], results[k]["vs_baseline"],
+                    results[k]["bit_exact"])
+    fps, vs, ok = headline
     print(json.dumps({
         "metric": "i_main_832x480_intra_fps" + ("" if ok else "_MISMATCH"),
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(vs, 4),
+        "configs": results,
+        "stages_ms": head_stages,
     }))
 
 

@@ -61,14 +61,23 @@ class DecodedPicture:
 
 class Decoder:
     def __init__(self, engine: str = "np", native_parse: bool | None = None,
-                 layer: int = 0):
+                 layer: int = 0, mesh=None, wave_depth: int | None = None):
         """engine: 'np' (scalar oracle) or 'jax' (TPU pipeline).
         native_parse: host parse via native/libhevcparse.so (default: auto,
         falls back to the Python parser if the build is unavailable).
         layer: nuh_layer_id this decoder handles (SHVC EL uses 1 with
-        shvc_bl set to the base-layer Decoder)."""
+        shvc_bl set to the base-layer Decoder).
+        mesh: jax.sharding.Mesh with a 'frame' axis — independent
+        pictures batch into waves reconstructed by ONE sharded dispatch
+        (parallel/mesh.py, the pthread_frame.c:325 analogue).
+        wave_depth: max pictures per wave (default: the mesh's frame
+        axis size)."""
         self.engine = engine
         self.layer = layer
+        self.mesh = mesh
+        self._wave = []                 # [(fs, pic)] parse-done intra pics
+        self._wave_depth = wave_depth
+        self._mesh_dec = None
         self.shvc_bl: Decoder | None = None
         if native_parse is None:
             try:
@@ -252,7 +261,7 @@ class Decoder:
             il = None
             if self.layer > 0 and sh.inter_layer_pred and \
                     self.shvc_bl is not None:
-                il = self._make_il_ref(poc, sps)
+                il = self._make_il_ref(poc, sps, sh)
             ref_list = self._build_ref_lists(sh, sps, poc, il=il)
             # collocated picture motion for TMVP (hevc_refs.c)
             col_motion = None
@@ -261,9 +270,17 @@ class Decoder:
                 lst = ref_list[cl] or ref_list[1 - cl]
                 if lst:
                     idx = min(sh.collocated_ref_idx, len(lst) - 1)
-                    col = self.ref_pics.get(lst[idx][0])
-                    if col is not None and col.motion is not None:
-                        col_motion = (col.poc,) + col.motion
+                    cpoc = lst[idx][0]
+                    if cpoc == poc and \
+                            getattr(self, "_il_motion", None) is not None:
+                        # collocated = the inter-layer reference: its
+                        # motion is the upsampled BL field (mfm,
+                        # ff_upscale_mv_block)
+                        col_motion = (poc,) + self._il_motion
+                    else:
+                        col = self.ref_pics.get(cpoc)
+                        if col is not None and col.motion is not None:
+                            col_motion = (col.poc,) + col.motion
             acc = dict(sh0=sh, poc=poc, sps=sps, pps=pps,
                        ref_list=ref_list, col_motion=col_motion,
                        nal_type=nal_type, shared=None, parser=None,
@@ -306,13 +323,17 @@ class Decoder:
         # native core supports uniform tiles + WPP, TMVP, weighted pred,
         # cu_qp_delta, multi-slice pictures; non-uniform tile spacing,
         # 4:2:2/4:4:4 chroma and RExt residual tools fall back to Python
+        import os as _os
+        relax = _os.environ.get("OPENHEVC_NATIVE_RELAX") == "1"
         native_caps = self.native_parse and not (
             pps.tiles_enabled and not pps.uniform_spacing) and \
-            sps.chroma_format_idc == 1 and \
-            not (sps.transform_skip_rotation_enabled or
-                 sps.implicit_rdpcm_enabled or sps.explicit_rdpcm_enabled or
-                 sps.persistent_rice_adaptation or
-                 getattr(pps, "cross_component_prediction_enabled", 0))
+            (relax or (
+                sps.chroma_format_idc == 1 and
+                not (sps.transform_skip_rotation_enabled or
+                     sps.implicit_rdpcm_enabled or
+                     sps.explicit_rdpcm_enabled or
+                     getattr(pps, "cross_component_prediction_enabled",
+                             0))))
         use_native = single_slice and native_caps
         if use_native:
             from .bitstream.native import parse_slice_native
@@ -396,12 +417,29 @@ class Decoder:
         refs snapshot pins the reference pictures this picture needs, so
         later IDR resets / evictions cannot invalidate the deferred
         reconstruct."""
+        il = getattr(self, "_il_planes", None)
+        # mesh wave path: an independent (intra, no-IL) picture joins
+        # the current wave instead of the 1-deep pipeline; anything that
+        # may reference wave members flushes the wave first
+        if self.mesh is not None and self.engine == "jax":
+            if not fs.inter_pbs and not il:
+                pic = DecodedPicture(poc=poc, planes=None, sps=sps,
+                                     motion=self._motion_of(fs))
+                self.ref_pics[poc] = pic
+                if self._wave and (self._wave[0][0].sps is not sps or
+                                   len(self._wave) >= self._wave_max()):
+                    self._flush_wave()
+                self._wave.append((fs, pic))
+                if len(self._wave) >= self._wave_max():
+                    self._flush_wave()
+                return
+            self._flush_wave()      # wave members are candidate refs
         refs = {p: pic.planes for p, pic in self.ref_pics.items()
                 if pic.planes is not None}
-        il = getattr(self, "_il_planes", None)
         if il:
             refs.update(il)     # inter-layer ref (same poc as current)
             self._il_planes = None
+            self._il_motion = None
         pic = DecodedPicture(poc=poc, planes=None, sps=sps,
                              motion=self._motion_of(fs))
         self.ref_pics[poc] = pic
@@ -422,6 +460,33 @@ class Decoder:
             pic.planes = self._reconstruct(fs, refs)
         self.timers.frame_done()
         self._bump(pic, pic.sps)
+
+    def _wave_max(self):
+        if self._wave_depth is not None:
+            return self._wave_depth
+        return int(self.mesh.shape["frame"])
+
+    def _flush_wave(self):
+        """Reconstruct the accumulated wave as ONE mesh-sharded batched
+        dispatch (parallel/mesh.py) and bump in decode order."""
+        if not self._wave:
+            return
+        self._flush_pending()       # pending picture is always older
+        entries, self._wave = self._wave, []
+        if self._mesh_dec is None:
+            from .parallel import MeshFrameDecoder
+            self._mesh_dec = MeshFrameDecoder(self.mesh)
+        fs_list = [fs for fs, _ in entries]
+        with self.timers.stage("kernel"):
+            outs, fmask = self._mesh_dec.reconstruct_wave(fs_list)
+        for (fs, pic), planes in zip(entries, outs):
+            if not fmask and (not fs.deblock_disabled or fs.sao_luma or
+                              fs.sao_chroma):
+                from .models.recon_np import apply_loop_filters
+                planes = apply_loop_filters(planes, fs)
+            pic.planes = planes
+            self.timers.frame_done()
+            self._bump(pic, pic.sps)
 
     def _missing_ref(self, poc, sps):
         """Concealment frame: mid-gray planes + zero motion
@@ -456,21 +521,34 @@ class Decoder:
                 np.zeros((h4, w4, 2, 2), np.int32),
                 np.zeros((h4, w4, 2), np.int32), {})
 
-    def _make_il_ref(self, poc, el_sps):
+    def _make_il_ref(self, poc, el_sps, sh):
         """Upsampled BL picture of this AU as the inter-layer reference
         (ff_hevc_set_new_iter_layer_ref behavior; marked long-term with
-        the EL's own POC, hevc_refs.c:748)."""
+        the EL's own POC, hevc_refs.c:748). Also derives the IL ref's
+        upsampled motion field + BL reference-list LT map for TMVP with
+        collocated = IL (mfm; ff_upscale_mv_block, hevc_filter.c:1311)."""
         bl_pic = self.shvc_bl.ref_pics.get(poc)
         if bl_pic is not None and bl_pic.planes is None:
             self.shvc_bl._flush_pending()   # BL picture still pending
+            self.shvc_bl._flush_wave()
         if bl_pic is None or bl_pic.planes is None:
             return None
-        from .ops.upsample_np import upsample_il_frame
+        from .ops.upsample_np import upsample_il_frame, upscale_mv_field
         planes = upsample_il_frame(bl_pic.planes, el_sps.width,
                                    el_sps.height,
                                    bit_depth=el_sps.bit_depth,
                                    hs=el_sps.hshift1, vs=el_sps.vshift1)
         self._il_planes = {poc: planes}
+        self._il_motion = None
+        if bl_pic.motion is not None:
+            h4 = (el_sps.ctbs_h << el_sps.log2_ctb) >> 2
+            w4 = (el_sps.ctbs_w << el_sps.log2_ctb) >> 2
+            bl_sps = bl_pic.sps
+            pf, mv, pocg = upscale_mv_field(
+                bl_pic.motion, bl_sps.width, bl_sps.height,
+                el_sps.width, el_sps.height, h4, w4,
+                nb_list=2 if sh.slice_type == 0 else 1)
+            self._il_motion = (pf, mv, pocg, bl_pic.motion[3])
         return (poc, True)
 
     def _rps_keep_set(self, sh, sps, poc):
@@ -577,15 +655,10 @@ class Decoder:
             self.output.append(self.dpb.pop(0))
 
     # -- public API --------------------------------------------------------
-    def decode(self, data: bytes):
-        """Feed Annex-B bytes (any number of AUs); returns newly available
-        pictures in output order."""
-        nals = self._split_nalff(data) if self.is_nalff \
-            else split_nals(data)
-        nals = [n for n in nals if len(n) >= 2]
-        # lookahead: does the next VCL NAL of this layer continue the
-        # current picture (first_slice_segment_in_pic_flag == 0)? Drives
-        # multi-slice accumulation and the native single-slice fast path.
+    def _vcl_lookahead(self, nals):
+        """Per-NAL flag: does the next VCL NAL of this layer continue
+        the current picture (first_slice_segment_in_pic_flag == 0)?
+        Drives multi-slice accumulation and the native fast path."""
         nxt = [False] * len(nals)
         prev_vcl = None
         for i, n in enumerate(nals):
@@ -595,6 +668,15 @@ class Decoder:
                 if prev_vcl is not None:
                     nxt[prev_vcl] = (n[2] >> 7) == 0
                 prev_vcl = i
+        return nxt
+
+    def decode(self, data: bytes):
+        """Feed Annex-B bytes (any number of AUs); returns newly available
+        pictures in output order."""
+        nals = self._split_nalff(data) if self.is_nalff \
+            else split_nals(data)
+        nals = [n for n in nals if len(n) >= 2]
+        nxt = self._vcl_lookahead(nals)
         for i, nal in enumerate(nals):
             self._next_vcl_continues = nxt[i]
             self._handle_nal(nal)
@@ -603,6 +685,7 @@ class Decoder:
 
     def flush(self):
         self._flush_pending()
+        self._flush_wave()
         out = self.output + self.dpb
         self.output, self.dpb = [], []
         return out
@@ -624,9 +707,23 @@ class ShvcDecoder:
         self.el.set_extradata(data)
 
     def decode(self, data: bytes):
-        """Returns newly available EL pictures (the display layer)."""
-        self.bl.decode(data)
-        return self.el.decode(data)
+        """Returns newly available EL pictures (the display layer).
+        Layers advance NAL-interleaved — the EL's inter-layer reference
+        is built right after the BL picture of the same AU, matching
+        the wrapper's AU-locked layer stepping (openHevcWrapper.c:95;
+        BL reference retention is RPS-driven, so the EL cannot lag a
+        whole buffer behind)."""
+        nals = [n for n in split_nals(data) if len(n) >= 2]
+        nxt_bl = self.bl._vcl_lookahead(nals)
+        nxt_el = self.el._vcl_lookahead(nals)
+        for i, nal in enumerate(nals):
+            self.bl._next_vcl_continues = nxt_bl[i]
+            self.bl._handle_nal(nal)
+            self.el._next_vcl_continues = nxt_el[i]
+            self.el._handle_nal(nal)
+        self.bl.output = []
+        out, self.el.output = self.el.output, []
+        return out
 
     def flush(self):
         self.bl.flush()

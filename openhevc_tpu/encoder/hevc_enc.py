@@ -496,7 +496,8 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
                        pps_id: int = 0,
                        inter_layer_pred: int | None = None,
                        first_slice: int = 1, segment_address: int = 0,
-                       dependent: int = 0, lt_entries: list | None = None):
+                       dependent: int = 0, lt_entries: list | None = None,
+                       collocated_ref_idx: int = 0):
     """slice_type: 0=B 1=P 2=I. Only the syntax paths this encoder exercises.
     Non-first slice segments carry segment_address (CTB raster) and, when
     the PPS enables them, the dependent_slice_segment_flag (7.3.6.1)."""
@@ -576,7 +577,7 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
             if slice_type == 0:
                 bw.put(1, 1)        # collocated_from_l0_flag
             if num_ref_l0 is not None and num_ref_l0 > 1:
-                bw.ue(0)            # collocated_ref_idx
+                bw.ue(collocated_ref_idx)
         if cfg.weighted_pred and weight_table is not None:
             _write_pred_weight_table(bw, cfg, weight_table, slice_type)
         bw.ue(5 - cfg.max_merge_cand)  # five_minus_max_num_merge_cand

@@ -65,11 +65,15 @@ class PFrameEncoder(IntraFrameEncoder):
         self.mvctx = MotionContext(_Sps2(cfg), self.zscan, poc, slice_type,
                                    cfg.max_merge_cand, ref_list)
         if cfg.temporal_mvp and ref_pics:
-            # collocated = L0[0] (collocated_from_l0=1, idx 0 in header)
-            col_poc = ref_pics[0][0]
+            # collocated = L0[collocated_idx] (collocated_from_l0=1)
+            ci = min(self.collocated_idx, len(l0) - 1)
+            col_poc = l0[ci][0]
             cm = self._motion_store.get(col_poc)
             if cm is not None:
-                self.mvctx.set_col_motion(col_poc, *cm, colloc_from_l0=1)
+                self.mvctx.set_col_motion(col_poc, cm[0], cm[1], cm[2],
+                                          colloc_from_l0=1,
+                                          lt_map=cm[3]
+                                          if len(cm) > 3 else None)
         self.is_p = True
         self.weight_table = None
         if cfg.weighted_pred:
@@ -86,7 +90,8 @@ class PFrameEncoder(IntraFrameEncoder):
                       st_rps_idx=rps_idx,
                       num_ref_l0=self.num_ref_l0 or len(ref_pics),
                       num_ref_l1=self.num_ref_l0 or len(l1),
-                      weight_table=self.weight_table)
+                      weight_table=self.weight_table,
+                      collocated_ref_idx=self.collocated_idx)
         if num_slices > 1:
             return self._encode_frame_sliced(nal_type, poc,
                                              self.num_st_rps, num_slices,
@@ -106,6 +111,7 @@ class PFrameEncoder(IntraFrameEncoder):
     st_rps_idx = None     # override (SHVC EL uses the empty RPS)
     num_ref_l0 = None     # override for IL-only reference lists
     ref_lt = False        # mark refs long-term (SHVC inter-layer ref)
+    collocated_idx = 0    # collocated_ref_idx in L0 (SHVC: point at IL)
 
     def _gen_weight_table(self, n_refs, slice_type):
         """Random explicit weights per ref (the conformance generator's
@@ -138,8 +144,12 @@ class PFrameEncoder(IntraFrameEncoder):
         self.ct_depth[y4:y4 + n4, x4:x4 + n4] = depth
         self.cu_depth = depth
         self.cu_tqb = False
+        ctb = 1 << cfg.ctb_log2
+        if x0 % ctb == 0 and y0 % ctb == 0:
+            self._ctb_saw_il = False
+        force_il = self.il_every_ctb and not self._ctb_saw_il
         # skip flag
-        skip = rng.random() < 0.3
+        skip = (not force_il) and rng.random() < 0.3
         inc = 0
         if x0 > 0 and self._same_tile4(x4, y4, x4 - 1, y4) and \
                 self.skip_grid[y4, x4 - 1]:
@@ -166,7 +176,7 @@ class PFrameEncoder(IntraFrameEncoder):
                 self.recon[c][ys:ys + ss, xs:xs + ss] = \
                     pb[c][ys:ys + ss, xs:xs + ss]
             return
-        intra = rng.random() < 0.25
+        intra = (not force_il) and rng.random() < 0.25
         enc.bin("pred_mode_flag", 0, 1 if intra else 0)
         if intra:
             self.pred_mode[y4:y4 + n4, x4:x4 + n4] = 1
@@ -271,7 +281,8 @@ class PFrameEncoder(IntraFrameEncoder):
     def _encode_pu(self, x0, y0, w, h, part_mode, part_idx, log2_cb,
                    cu_x, cu_y):
         cfg, rng, enc = self.cfg, self.rng, self.enc
-        use_merge = rng.random() < 0.4
+        force_il = self.il_every_ctb and not self._ctb_saw_il
+        use_merge = (not force_il) and rng.random() < 0.4
         enc.bin("merge_flag", 0, 1 if use_merge else 0)
         if use_merge:
             merge_idx = int(rng.integers(0, cfg.max_merge_cand))
@@ -296,8 +307,59 @@ class PFrameEncoder(IntraFrameEncoder):
                     continue
                 nref = len(self.mvctx.ref_list[lx])
                 ref = int(rng.integers(0, nref))
+                if force_il:
+                    # every CTB's first PU references the IL picture:
+                    # the reference upsamples IL CTBs on demand only
+                    # (ff_upsample_block + is_upsampled), so untouched
+                    # CTBs hold undefined pool data — this invariant
+                    # keeps every cross-CTB read deterministic
+                    lt = [k for k, e in enumerate(self.mvctx.ref_list[lx])
+                          if e[1]]
+                    if lt:
+                        ref = lt[0]
+                        self._ctb_saw_il = True
                 self._encode_ref_idx(ref, nref)
-                if self.zero_mv:
+                is_lt_ref = bool(self.mvctx.ref_list[lx][ref][1])
+                pin_zero = self.zero_mv and is_lt_ref
+                if self.il_mv_cap is not None and is_lt_ref and \
+                        not pin_zero:
+                    # SHVC IL refs with bounded MVs. The compiled
+                    # reference upsamples IL CTBs on demand
+                    # (ff_upsample_block); its trigger set has no
+                    # bottom-left case and untouched CTBs keep
+                    # undefined pool data, so deterministic decode
+                    # requires every read (block + 4-tap halo) to stay
+                    # inside the PU's own CTB — real fractional MC on
+                    # the IL picture without the reference's
+                    # uninitialized corners.
+                    cap = self.il_mv_cap
+                    ctb = 1 << cfg.ctb_log2
+                    cx0 = (x0 >> cfg.ctb_log2) << cfg.ctb_log2
+                    cy0 = (y0 >> cfg.ctb_log2) << cfg.ctb_log2
+                    xlo = 4 * (cx0 - x0 + 4)
+                    xhi = 4 * (cx0 + ctb - x0 - w - 4)
+                    ylo = 4 * (cy0 - y0 + 4)
+                    yhi = 4 * (cy0 + ctb - y0 - h - 4)
+                    xlo, xhi = max(xlo, -cap), min(xhi, cap)
+                    ylo, yhi = max(ylo, -cap), min(yhi, cap)
+                    pred = self.mvctx.amvp(x0, y0, w, h, lx, ref,
+                                           mvp_pick := int(
+                                               rng.integers(0, 2)))
+                    tx = int(rng.integers(xlo, xhi + 1)) \
+                        if xlo <= xhi else 0
+                    ty = int(rng.integers(ylo, yhi + 1)) \
+                        if ylo <= yhi else 0
+                    if self.il_mv_force is not None:
+                        tx, ty = self.il_mv_force
+                    mvd = (tx - pred[0], ty - pred[1])
+                    self._encode_mvd(mvd)
+                    enc.bin("mvp_l0_flag", 0, mvp_pick)
+                    mv[lx] = (tx, ty)
+                    refs[lx] = ref
+                    pocs[lx] = self.mvctx.ref_list[lx][ref][0]
+                    pf |= 1 << lx
+                    continue
+                if pin_zero:
                     # SHVC inter-layer refs: MV must be zero (the
                     # reference's on-demand PU upsampling only covers the
                     # PU's own CTB neighbourhood, ff_upsample_block,
@@ -311,7 +373,7 @@ class PFrameEncoder(IntraFrameEncoder):
                     mvd = (int(rng.integers(-24, 25)),
                            int(rng.integers(-24, 25)))
                 self._encode_mvd(mvd)
-                mvp_flag = mvp_pick if self.zero_mv else \
+                mvp_flag = mvp_pick if pin_zero else \
                     int(rng.integers(0, 2))
                 enc.bin("mvp_l0_flag", 0, mvp_flag)
                 pred = self.mvctx.amvp(x0, y0, w, h, lx, ref, mvp_flag)
@@ -334,21 +396,28 @@ class PFrameEncoder(IntraFrameEncoder):
                      r0=f.ref_idx[0], r1=f.ref_idx[1])
         self._pu_list.append(pb)
 
-    zero_mv = False       # force MV (0,0) on every PU (SHVC IL refs)
+    zero_mv = False       # force MV (0,0) on long-term/IL-ref PUs
+    il_mv_cap = None      # cap |MV| (qpel units) on IL-ref PUs instead
+    il_mv_force = None    # pin a single (x, y) IL MV (directed tests)
+    il_every_ctb = False  # first PU of every CTB references the IL pic
+    _ctb_saw_il = True
     weight_table = None   # pred_weight_table for the current slice
     _motion_store: dict = {}   # poc -> (pred_flag4, mv4, refpoc4) for TMVP
 
     def store_motion(self, poc, i_frame=False):
-        """Keep this frame's motion grids (per-frame tab_mvf analogue)."""
+        """Keep this frame's motion grids + its reference lists' LT map
+        (per-frame tab_mvf + refPicList analogue)."""
         if i_frame or not hasattr(self, "mvctx") or self.mvctx is None:
             h4, w4 = self.h4, self.w4
             self._motion_store[poc] = (np.zeros((h4, w4), np.uint8),
                                        np.zeros((h4, w4, 2, 2), np.int32),
-                                       np.zeros((h4, w4, 2), np.int32))
+                                       np.zeros((h4, w4, 2), np.int32),
+                                       {})
         else:
             m = self.mvctx
+            lt_map = {p: lt for lst in m.ref_list for (p, lt) in lst}
             self._motion_store[poc] = (m.pred_flag.copy(), m.mv.copy(),
-                                       m.refpoc.copy())
+                                       m.refpoc.copy(), lt_map)
 
     def _pred_buf_for(self, x0, y0, w, h):
         """Frame-sized planes with MC prediction filled for PUs parsed so

@@ -129,7 +129,7 @@ def write_sps_el(cfg: EncoderConfig, st_rps: list | None = None) -> bytes:
     for i, rps in enumerate(st_rps):
         _write_st_rps(bw, i, rps)
     bw.put(0, 1)            # long_term_ref_pics_present_flag
-    bw.put(0, 1)            # sps_temporal_mvp_enabled_flag
+    bw.put(1 if cfg.temporal_mvp else 0, 1)  # sps_temporal_mvp_enabled
     bw.put(1 if cfg.strong_intra_smoothing else 0, 1)
     bw.put(0, 1)            # vui_parameters_present_flag
     bw.put(0, 1)            # sps_extension_flag
@@ -138,14 +138,30 @@ def write_sps_el(cfg: EncoderConfig, st_rps: list | None = None) -> bytes:
 
 
 def encode_shvc_stream(bl_frames, el_frames, bl_size, el_size, qp=30,
-                       seed=0, ctb_log2=4, min_cb_log2=3, el_qp=None):
-    """2-layer SHVC stream: all-intra BL + EL whose P slices reference
-    only the upsampled BL picture of the same AU (sample prediction).
+                       seed=0, ctb_log2=4, min_cb_log2=3, el_qp=None,
+                       bl_inter=False, el_temporal=False, el_tmvp=False,
+                       col_il=False, nonzero_il_mv=False):
+    """2-layer SHVC stream. Default: all-intra BL + EL P slices whose
+    only reference is the upsampled BL picture of the same AU (sample
+    prediction, zero MVs). Options grow it to the full inter-layer
+    feature set:
+      bl_inter:      BL is a low-delay P chain (real BL motion for mfm)
+      el_temporal:   EL L0 mixes the previous EL picture (ST) with the
+                     IL reference (LT; cand order ST_BEF then IL_REF0,
+                     hevc_refs.c:657)
+      el_tmvp:       EL slices enable TMVP (collocated = L0[0], the
+                     temporal ref)
+      col_il:        collocated_ref_idx points at the IL reference; its
+                     motion is the upsampled BL field (mfm,
+                     ff_upscale_mv_block, hevc_filter.c:1311)
+      nonzero_il_mv: PUs referencing the IL picture carry real MVs (the
+                     reference upsamples the displaced CTBs on demand,
+                     ff_upsample_block — equal to whole-frame upsample)
     Returns (bytes, el_recons) — EL recon is the closed-loop output.
     bl_frames/el_frames: [(y, u, v)] at BL / EL resolutions."""
     from .intra_enc import IntraFrameEncoder
     from .inter_enc import PFrameEncoder
-    from ..ops.upsample_np import upsample_il_frame
+    from ..ops.upsample_np import upsample_il_frame, upscale_mv_field
 
     wb, hb = bl_size
     we, he = el_size
@@ -155,42 +171,97 @@ def encode_shvc_stream(bl_frames, el_frames, bl_size, el_size, qp=30,
     el = EncoderConfig(width=we, height=he, qp=el_qp or qp,
                        pcm_enabled=False, ctb_log2=ctb_log2,
                        min_cb_log2=min_cb_log2,
-                       max_tb_log2=min(5, ctb_log2), max_num_ref=1)
+                       max_tb_log2=min(5, ctb_log2),
+                       max_num_ref=2 if el_temporal else 1,
+                       temporal_mvp=el_tmvp)
     rng = np.random.default_rng(seed)
     out = write_vps_shvc(bl, el)
     from .hevc_enc import write_sps
     out += write_sps(bl, st_rps=[[-1]]) + write_pps(bl)
-    out += write_sps_el(el, st_rps=[[]]) + \
+    out += write_sps_el(el, st_rps=[[-1]] if el_temporal else [[]]) + \
         write_pps(el, pps_id=1, sps_id=1, layer_id=1)
 
-    bl_enc = IntraFrameEncoder(bl, rng)
+    bl_i = IntraFrameEncoder(bl, rng)
+    bl_p = PFrameEncoder(bl, rng)
+    bl_p.num_st_rps = 1
+    bl_p._motion_store = {}
     el_i = IntraFrameEncoder(el, rng)
     el_i.layer_id, el_i.pps_id, el_i.inter_layer_pred = 1, 1, 0
     el_p = PFrameEncoder(el, rng)
     el_p.layer_id, el_p.pps_id, el_p.inter_layer_pred = 1, 1, 1
-    el_p.st_rps_idx, el_p.num_ref_l0, el_p.ref_lt = 0, 1, True
+    el_p.st_rps_idx = 0
     el_p.num_st_rps = 1
-    el_p.zero_mv = True
+    el_p._motion_store = {}
+    if el_temporal:
+        el_p.num_ref_l0 = None      # header carries the real count
+        el_p.ref_lt = False         # per-entry LT flags below
+        el_p.collocated_idx = 1 if col_il else 0
+    else:
+        el_p.num_ref_l0, el_p.ref_lt = 1, True
+    el_p.zero_mv = not nonzero_il_mv
+    if nonzero_il_mv:
+        el_p.il_mv_cap = 11        # sub-3-pel displacements
+        el_p.il_every_ctb = True
     el_recons = []
+    bl_filtered = {}
+    el_filtered = {}
     for i, ((by, bu, bv), (ey, eu, ev)) in enumerate(
             zip(bl_frames, el_frames)):
-        bl_enc._parent_chroma = {}
-        if i == 0:
-            out += bl_enc.encode_frame(by, bu, bv, nal_type=NAL_IDR_N_LP)
+        if i == 0 or not bl_inter:
+            bl_i._parent_chroma = {}
+            if i == 0:
+                out += bl_i.encode_frame(by, bu, bv,
+                                         nal_type=NAL_IDR_N_LP)
+            else:
+                out += bl_i.encode_frame(by, bu, bv,
+                                         nal_type=NAL_TRAIL_R, poc=i,
+                                         num_st_rps=1)
+            bl_recon = bl_i.recon
+            bl_p._motion_store[i] = None
         else:
-            out += bl_enc.encode_frame(by, bu, bv, nal_type=NAL_TRAIL_R,
-                                       poc=i, num_st_rps=1)
-        il = upsample_il_frame([p.copy() for p in bl_enc.recon], we, he,
+            bl_p._parent_chroma = {}
+            bl_p._pu_list = []
+            out += bl_p.encode_frame_p(by, bu, bv, i,
+                                       [(i - 1, bl_filtered[i - 1])])
+            bl_p.store_motion(i)
+            bl_recon = bl_p.recon
+        bl_filtered[i] = [p.copy() for p in bl_recon]
+        il = upsample_il_frame([p.copy() for p in bl_recon], we, he,
                                bit_depth=el.bit_depth,
                                hs=el.hshift1, vs=el.vshift1)
         if i == 0:
             el_i._parent_chroma = {}
             out += el_i.encode_frame(ey, eu, ev, nal_type=NAL_IDR_N_LP)
             el_recons.append([p.copy() for p in el_i.recon])
+            el_filtered[i] = [p.copy() for p in el_i.recon]
         else:
             el_p._parent_chroma = {}
             el_p._pu_list = []
-            out += el_p.encode_frame_p(ey, eu, ev, i, [(i, il)],
+            if el_temporal:
+                refs = [(i - 1, el_filtered[i - 1], False),
+                        (i, il, True)]
+            else:
+                refs = [(i, il)]
+            if col_il:
+                # the collocated picture is the IL ref: its motion is
+                # the upsampled BL field (P slices: nb_list=1)
+                blm = bl_p._motion_store.get(i)
+                h4 = (el.ctbs_h << el.ctb_log2) >> 2
+                w4 = (el.ctbs_w << el.ctb_log2) >> 2
+                if blm is not None:
+                    pf, mv, pocg = upscale_mv_field(
+                        blm, wb, hb, we, he, h4, w4, nb_list=1)
+                    ltm = blm[3] if len(blm) > 3 else {}
+                else:
+                    pf = np.zeros((h4, w4), np.uint8)
+                    mv = np.zeros((h4, w4, 2, 2), np.int32)
+                    pocg = np.zeros((h4, w4, 2), np.int32)
+                    ltm = {}
+                el_p._motion_store[i] = (pf, mv, pocg, ltm)
+            out += el_p.encode_frame_p(ey, eu, ev, i, refs,
                                        slice_type=1)
+            if el_tmvp:
+                el_p.store_motion(i)
             el_recons.append([p.copy() for p in el_p.recon])
+            el_filtered[i] = [p.copy() for p in el_p.recon]
     return out, el_recons

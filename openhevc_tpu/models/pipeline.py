@@ -285,6 +285,25 @@ class JaxEngine:
     def __init__(self):
         self._cache = {}
         self._fetch_pool = FetchPool()
+        # persistent XLA compile cache: shape buckets are coarse
+        # (256-block / 1024-meta), so a production decode hits a handful
+        # of programs — cache them across processes like the test suite
+        # does (first tunneled TPU compile is ~20-40 s each)
+        import os as _os
+        import jax as _jax
+        if (_os.environ.get("JAX_COMPILATION_CACHE_DIR") is None and
+                _jax.config.jax_compilation_cache_dir is None):
+            d = _os.path.join(_os.path.expanduser("~"), ".cache",
+                              "openhevc_tpu_xla")
+            try:
+                _os.makedirs(d, exist_ok=True)
+                _jax.config.update("jax_compilation_cache_dir", d)
+                _jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1)
+                _jax.config.update(
+                    "jax_persistent_cache_min_entry_size_bytes", 0)
+            except Exception:
+                pass
         # per-reference-plane MC prefilter cache: id(host plane) ->
         # (weakref(host plane), [P,Hp,wn] int16 device hf). A reference
         # picture's stage-1 filtering runs ONCE, not once per frame
@@ -367,13 +386,39 @@ class JaxEngine:
             if fs.inter_pbs:
                 pf.inter = self._pack_inter(fs, ref_planes or {})
             planes = self._run(pf)
+            # in-loop filters on device when the whole-frame stencil
+            # formulation is schedule-exact (ops/filters_jax.py) — the
+            # scalar CTB schedule stays off the hot path
+            want_filters = (not fs.deblock_disabled or fs.sao_luma or
+                            fs.sao_chroma)
+            if want_filters:
+                from ..ops.filters_jax import (device_filters_ok,
+                                               prep_filters)
+                pff = prep_filters(fs) if device_filters_ok(fs) else None
+                if pff is not None:
+                    yv, uv, vv = self._device_filter_planes(planes, fs,
+                                                            pff)
+                    return [np.asarray(yv), np.asarray(uv),
+                            np.asarray(vv)]
             y = np.asarray(planes[0, :H, :W])
             u = np.asarray(planes[1, :H >> vs, :W >> hs])
             v = np.asarray(planes[2, :H >> vs, :W >> hs])
-        # in-loop filters currently run via the scalar reference
-        # (device deblock/SAO stencil kernels are the next optimization)
         from .recon_np import apply_loop_filters
         return apply_loop_filters([y, u, v], fs)
+
+    def _device_filter_planes(self, planes, fs, pff):
+        """Whole-frame device deblock+SAO over the [4, H, W] stack."""
+        from ..ops.filters_jax import apply_filters_device
+        sps = fs.sps
+        H, W = sps.height, sps.width
+        Hc, Wc = H >> sps.vshift1, W >> sps.hshift1
+        from ..ops.filters_jax import fargs_arrays
+        fargs = tuple(jnp.asarray(a) for a in fargs_arrays(pff))
+        return apply_filters_device(
+            planes[0, :H, :W], planes[1, :Hc, :Wc], planes[2, :Hc, :Wc],
+            *fargs, bd=sps.bit_depth, bdc=sps.bit_depth_chroma,
+            cs=1 << sps.log2_ctb, do_deblock=pff["do_deblock"],
+            do_sao=pff["do_sao"])
 
     def _run_fused(self, fs: FrameSymbols, ref_planes):
         """Whole-frame path around the fused Pallas intra kernel: residual
@@ -455,11 +500,8 @@ class JaxEngine:
             pff = prep_filters(fs)
             if pff is not None:
                 fmask = (1 if pff["do_deblock"] else 0) |                         (2 if pff["do_sao"] else 0)
-                z2 = np.zeros((1, 1), np.int16)
-                z4 = np.zeros((1, 1, 3, 6), np.int16)
-                fargs = tuple(jnp.asarray(pff.get(k, z2)) for k in
-                              ("beta_v", "tc_v", "beta_h", "tc_h",
-                               "tc_cv1", "tc_ch1", "tc_cv2", "tc_ch2")) +                     (jnp.asarray(pff.get("sao", z4)),)
+                from ..ops.filters_jax import fargs_arrays
+                fargs = tuple(jnp.asarray(a) for a in fargs_arrays(pff))
         flat = _frame_fused(arena4, arena16, escs, meta,
                             np.full((1, 1), n, np.int32),
                             luma, chroma, fargs,
@@ -962,11 +1004,8 @@ def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
     yv = luma[OY:OY + H, OX:OX + W]
     cbv = chroma[0, OY:OY + Hc, OX:OX + Wc]
     crv = chroma[1, OY:OY + Hc, OX:OX + Wc]
-    (beta_v, tc_v, beta_h, tc_h, tc_cv1, tc_ch1, tc_cv2, tc_ch2,
-     sao) = fargs
     yv, cbv, crv = apply_filters_device(
-        yv, cbv, crv, beta_v, tc_v, beta_h, tc_h,
-        tc_cv1, tc_ch1, tc_cv2, tc_ch2, sao,
+        yv, cbv, crv, *fargs,
         bd=bd, bdc=bdc, cs=cs, do_deblock=bool(filters & 1),
         do_sao=bool(filters & 2))
     dt = jnp.uint8 if bd <= 8 else jnp.uint16

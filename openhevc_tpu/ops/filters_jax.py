@@ -120,18 +120,168 @@ def boundary_strengths_vec(fs):
     return vbs, hbs
 
 
+FARG_KEYS = ("beta_v", "tc_v", "beta_h", "tc_h", "tc_cv1", "tc_ch1",
+             "tc_cv2", "tc_ch2", "sao", "nop_v", "noq_v", "nop_h",
+             "noq_h", "nop_cv", "noq_cv", "nop_ch", "noq_ch", "nf4",
+             "nf4c", "st_b0", "st_b2", "st_a3")
+
+
+def fargs_arrays(pff):
+    """prep_filters dict -> the positional filter tensors of
+    apply_filters_device, (1,1)/(1,1,3,6) placeholders where absent."""
+    z2 = np.zeros((1, 1), np.int16)
+    z4 = np.zeros((1, 1, 3, 6), np.int16)
+    return tuple(pff.get(k, z4 if k == "sao" else z2) for k in FARG_KEYS)
+
+
 def device_filters_ok(fs) -> bool:
-    """Whole-frame device filtering is bit-exact to the reference's
-    staggered schedule except: 16x16 CTBs (SAO chroma-halo timing,
-    sao_np.py docstring) and PCM/transquant-bypass no-filter blocks
-    (restore_tqb_pixels quirks). 4:2:0 only for now."""
-    sps, pps = fs.sps, fs.pps
-    if sps.log2_ctb < 5 or sps.chroma_format_idc != 1:
-        return False
-    if (sps.pcm_enabled and sps.pcm_loop_filter_disabled) or \
-            pps.transquant_bypass_enabled:
-        return False
-    return True
+    """Whole-frame device filtering reproduces the reference's staggered
+    schedule including PCM/transquant-bypass no-filter blocks (per-edge
+    write suppression + post-SAO restore, restore_tqb_pixels behavior)
+    and the 16x16-CTB SAO chroma-halo timing (vertical-stage sourcing,
+    sao_np.py docstring). 4:2:0 only for now."""
+    sps = fs.sps
+    return sps.chroma_format_idc == 1
+
+
+def _nofilter_grids(fs, nf, H, W):
+    """Per-edge-segment write-suppression flags for the device deblock
+    (granularity mirror of filters_sched._deblock_ctb's get_nf calls)
+    plus the per-4x4 restore mask. nf: [h4, w4] bool."""
+    h4, w4, h8, w8 = H >> 2, W >> 2, H >> 3, W >> 3
+    hc4, wc8 = (H >> 1) >> 2, (W >> 1) >> 3
+    hc8, wc4 = (H >> 1) >> 3, (W >> 1) >> 2
+    g = {}
+    nop_v = np.zeros((h4, w8), np.int16)
+    noq_v = np.zeros((h4, w8), np.int16)
+    if w8 > 1:
+        nop_v[:, 1:] = nf[:h4, 1:2 * w8 - 1:2]
+        noq_v[:, 1:] = nf[:h4, 2:2 * w8:2]
+    nop_h = np.zeros((h8, w4), np.int16)
+    noq_h = np.zeros((h8, w4), np.int16)
+    if h8 > 1:
+        nop_h[1:] = nf[1:2 * h8 - 1:2, :w4]
+        noq_h[1:] = nf[2:2 * h8:2, :w4]
+    nop_cv = np.zeros((hc4, wc8), np.int16)
+    noq_cv = np.zeros((hc4, wc8), np.int16)
+    if wc8 > 1:
+        cy4, cx8 = np.mgrid[0:hc4, 1:wc8]
+        nop_cv[:, 1:] = nf[cy4 * 2, cx8 * 4 - 1]
+        noq_cv[:, 1:] = nf[cy4 * 2, cx8 * 4]
+    nop_ch = np.zeros((hc8, wc4), np.int16)
+    noq_ch = np.zeros((hc8, wc4), np.int16)
+    if hc8 > 1:
+        cy8, cx4 = np.mgrid[1:hc8, 0:wc4]
+        nop_ch[1:] = nf[cy8 * 4 - 1, cx4 * 2]
+        noq_ch[1:] = nf[cy8 * 4, cx4 * 2]
+    nf4 = nf[:h4, :w4].astype(np.int16)
+    # chroma restore covers only the top-left CTB quadrant: the
+    # reference passes plane-unit width/height with LUMA x/y into
+    # restore_tqb_pixels (hevc_filter.c:163) — reproduced faithfully
+    # (see filters_sched._restore_ctb)
+    sps = fs.sps
+    ctb = 1 << sps.log2_ctb
+    Wc, Hc = W >> 1, H >> 1
+    xl = np.arange(w4) * 4
+    yl = np.arange(h4) * 4
+    cx0 = (xl // ctb) * ctb
+    cy0 = (yl // ctb) * ctb
+    qw = np.minimum(ctb >> 1, Wc - (cx0 >> 1))
+    qh = np.minimum(ctb >> 1, Hc - (cy0 >> 1))
+    quad = ((yl - cy0 < qh)[:, None] & (xl - cx0 < qw)[None, :])
+    g.update(nop_v=nop_v, noq_v=noq_v, nop_h=nop_h, noq_h=noq_h,
+             nop_cv=nop_cv, noq_cv=noq_cv, nop_ch=nop_ch, noq_ch=noq_ch,
+             nf4=nf4, nf4c=(nf4 & quad).astype(np.int16))
+    return g
+
+
+def _chroma_stale_reads(fs):
+    """Exact schedule simulation of the reference's staggered filter
+    pipeline (ops/filters_sched.py truth; ff_hevc_hls_filter +
+    deblocking_filter_CTB's chroma x_end -= 8*h deferral): for every
+    chroma position, the step at which its horizontal deblock lands,
+    and for every CTB, the step at which its SAO runs. A neighbor read
+    is stale (must source the vertical-stage plane) iff the target's
+    h-deblock lands strictly after the reader CTB's SAO step.
+
+    Returns center-space masks {(dx, dy): [Hc, Wc] int16} for the three
+    +x neighbor offsets of the SAO edge classes (eo0 b=(1,0),
+    eo2 b=(1,1), eo3 a=(1,-1)), or None when a non-+x offset would be
+    stale (never observed; caller then falls back to host filters)."""
+    sps = fs.sps
+    ctb = 1 << sps.log2_ctb
+    W, H = sps.width, sps.height
+    Hc, Wc = H >> 1, W >> 1
+    h_time = np.full((Hc, Wc), -1, np.int64)
+    sao_t = np.full((sps.ctbs_h, sps.ctbs_w), 1 << 60, np.int64)
+    step = 0
+
+    def deblock_times(x0, y0, t):
+        x_end = min(x0 + ctb, W)
+        y_end = min(y0 + ctb, H)
+        x_end2 = x_end
+        if x_end2 != W:
+            x_end = x_end2 - 16
+        for y in range(y0 if y0 else 16, y_end, 16):
+            for x in range(x0 - 16 if x0 else 0, x_end, 16):
+                for sub in (0, 8):
+                    xx = x + sub
+                    if xx >= W:
+                        continue
+                    cy, cx = y >> 1, xx >> 1
+                    h_time[cy - 1, cx:cx + 4] = t
+                    if cy < Hc:
+                        h_time[cy, cx:cx + 4] = t
+
+    def hls_filter(x, y, t):
+        deblock_times(x, y, t)
+        x_end = x >= W - ctb
+        y_end = y >= H - ctb
+        for (sx, sy, cond) in (((x - ctb), (y - ctb), y and x),
+                               ((x - ctb), y, x and y_end),
+                               (x, (y - ctb), y and x_end),
+                               (x, y, x_end and y_end)):
+            if cond:
+                sao_t[sy >> sps.log2_ctb, sx >> sps.log2_ctb] = \
+                    min(sao_t[sy >> sps.log2_ctb, sx >> sps.log2_ctb], t)
+
+    if fs.ctb_order is not None:
+        order = list(fs.ctb_order)
+    else:
+        order = [(rx * ctb, ry * ctb) for ry in range(sps.ctbs_h)
+                 for rx in range(sps.ctbs_w)]
+    calls = []
+    for (x, y) in order:
+        x_end = x >= W - ctb
+        y_end = y >= H - ctb
+        if y and x:
+            calls.append((x - ctb, y - ctb))
+        if y and x_end:
+            calls.append((x, y - ctb))
+        if x and y_end:
+            calls.append((x - ctb, y))
+    calls.append(order[-1])
+    for t, (x, y) in enumerate(calls):
+        hls_filter(x, y, t)
+
+    yy, xx = np.mgrid[0:Hc, 0:Wc]
+    ry = np.minimum(yy * 2 // ctb, sps.ctbs_h - 1)
+    rx = np.minimum(xx * 2 // ctb, sps.ctbs_w - 1)
+    reader_t = sao_t[ry, rx]
+    masks = {}
+    any_bad = False
+    for (dx, dy) in ((-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1),
+                     (1, 1), (1, -1), (-1, 1)):
+        ty = np.clip(yy + dy, 0, Hc - 1)
+        tx = np.clip(xx + dx, 0, Wc - 1)
+        inb = ((yy + dy >= 0) & (yy + dy < Hc) &
+               (xx + dx >= 0) & (xx + dx < Wc))
+        m = inb & (h_time[ty, tx] > reader_t)
+        if dx == 1:
+            masks[(dx, dy)] = m.astype(np.int16)
+        elif m.any():
+            any_bad = True
+    return None if any_bad else masks
 
 
 def prep_filters(fs):
@@ -146,6 +296,17 @@ def prep_filters(fs):
     h4, w4, h8, w8 = H >> 2, W >> 2, H >> 3, W >> 3
     bd, bdc = sps.bit_depth, sps.bit_depth_chroma
     out = {"do_deblock": do_deblock, "do_sao": do_sao}
+    from .deblock_np import _no_filter_mask
+    nf = _no_filter_mask(fs)
+    if nf is not None:
+        out.update(_nofilter_grids(fs, nf, H, W))
+    if do_sao and do_deblock and sps.log2_ctb == 4:
+        masks = _chroma_stale_reads(fs)
+        if masks is None:
+            return None          # caller falls back to host filters
+        out["st_b0"] = masks[(1, 0)]
+        out["st_b2"] = masks[(1, 1)]
+        out["st_a3"] = masks[(1, -1)]
     if do_deblock:
         vbs, hbs = boundary_strengths_vec(fs)
         qp4 = fs.qp_y4[:h4, :w4].astype(np.int32)
@@ -226,10 +387,12 @@ def _shift_params(a):
     return jnp.roll(a.astype(jnp.int32), -1, axis=1)
 
 
-def _deblock_luma_dir(pl, beta_e, tc_e, bd: int):
+def _deblock_luma_dir(pl, beta_e, tc_e, bd: int, nop_e=None, noq_e=None):
     """One direction of luma deblocking over the whole plane.
     pl [H, W] int32, vertical edges at x=8k; beta/tc [H//4, W//8]
-    (0 where inactive). Bit-exact to _luma_edge_seg (8.7.2.5.3-7)."""
+    (0 where inactive). nop/noq: per-segment PCM/tqb write suppression
+    (no_p/no_q of _luma_edge_seg). Bit-exact to _luma_edge_seg
+    (8.7.2.5.3-7)."""
     H, W = pl.shape
     H4, W8 = H // 4, W // 8
     w = jnp.roll(pl, -4, axis=1).reshape(H4, 4, W8, 8) \
@@ -297,14 +460,24 @@ def _deblock_luma_dir(pl, beta_e, tc_e, bd: int):
     out_q0 = jnp.where(sm, sq0, jnp.where(fm, nq0, q0))
     out_q1 = jnp.where(sm, sq1, jnp.where(fm & nd_q, nq1, q1))
     out_q2 = jnp.where(sm, sq2, q2)
+    if nop_e is not None and nop_e.shape == beta_e.shape:
+        keep_p = _shift_params(nop_e)[:, :, None] > 0
+        keep_q = _shift_params(noq_e)[:, :, None] > 0
+        out_p0 = jnp.where(keep_p, p0, out_p0)
+        out_p1 = jnp.where(keep_p, p1, out_p1)
+        out_p2 = jnp.where(keep_p, p2, out_p2)
+        out_q0 = jnp.where(keep_q, q0, out_q0)
+        out_q1 = jnp.where(keep_q, q1, out_q1)
+        out_q2 = jnp.where(keep_q, q2, out_q2)
     new = jnp.stack([p3, out_p2, out_p1, out_p0,
                      out_q0, out_q1, out_q2, q3], axis=-1)
     return jnp.roll(new.transpose(0, 2, 1, 3).reshape(H, W), 4, axis=1)
 
 
-def _deblock_chroma_dir(pl, tc_e, bd: int):
+def _deblock_chroma_dir(pl, tc_e, bd: int, nop_e=None, noq_e=None):
     """Chroma deblocking, one direction: edges every 8 chroma samples,
-    tc [Hc//4, Wc//8] already zeroed where bs != 2."""
+    tc [Hc//4, Wc//8] already zeroed where bs != 2. nop/noq: PCM/tqb
+    write suppression per segment."""
     H, W = pl.shape
     H4, W8 = H // 4, W // 8
     w = jnp.roll(pl, -6, axis=1).reshape(H4, 4, W8, 8).transpose(0, 2, 1, 3)
@@ -313,8 +486,13 @@ def _deblock_chroma_dir(pl, tc_e, bd: int):
     maxv = (1 << bd) - 1
     delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
     act = tc > 0
-    np0 = jnp.where(act, jnp.clip(p0 + delta, 0, maxv), p0)
-    nq0 = jnp.where(act, jnp.clip(q0 - delta, 0, maxv), q0)
+    if nop_e is not None and nop_e.shape == tc_e.shape:
+        keep_p = _shift_params(nop_e)[:, :, None] > 0
+        keep_q = _shift_params(noq_e)[:, :, None] > 0
+    else:
+        keep_p = keep_q = jnp.zeros_like(act)
+    np0 = jnp.where(act & ~keep_p, jnp.clip(p0 + delta, 0, maxv), p0)
+    nq0 = jnp.where(act & ~keep_q, jnp.clip(q0 - delta, 0, maxv), q0)
     new = jnp.concatenate([jnp.stack([p1, np0, nq0, q1], axis=-1),
                            w[..., 4:]], axis=-1)
     return jnp.roll(new.transpose(0, 2, 1, 3).reshape(H, W), 6, axis=1)
@@ -327,9 +505,13 @@ def _expand_ctb(a, cs: int, H: int, W: int):
     return g.reshape(cH * cs, cW * cs)[:H, :W]
 
 
-def _sao_component(pl, typ, second, offs, cs: int, bd: int):
+def _sao_component(pl, typ, second, offs, cs: int, bd: int,
+                   vstage=None, st_b0=None, st_b2=None, st_a3=None):
     """SAO one component. pl [H, W] int32 (deblocked input); typ/second
-    [cH, cW]; offs [cH, cW, 4]. Parity: sao() in sao_np.py."""
+    [cH, cW]; offs [cH, cW, 4]. vstage/stale: 16x16-CTB chroma halo
+    timing — neighbor reads in the +x direction of `stale` positions
+    source the vertical-deblock-stage plane (sao_np.py docstring).
+    Parity: sao() in sao_np.py."""
     H, W = pl.shape
     maxv = (1 << bd) - 1
     typ_px = _expand_ctb(typ, cs, H, W)
@@ -343,6 +525,13 @@ def _sao_component(pl, typ, second, offs, cs: int, bd: int):
         badd = badd + jnp.where(band == ((sec_px + k) & 31), o[k], 0)
     out_band = jnp.clip(pl + badd, 0, maxv)
 
+    # stale-read patching (16x16 CTBs): center-space masks say which
+    # +x neighbor reads land on positions whose horizontal deblock the
+    # schedule runs after this CTB's SAO — those reads source the
+    # vertical-stage plane instead
+    use_stale = (vstage is not None and st_b0 is not None and
+                 st_b0.shape == pl.shape)
+
     # ---- edge (all 4 classes, select by sec_px) ----
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -352,6 +541,15 @@ def _sao_component(pl, typ, second, offs, cs: int, bd: int):
     for eo, ((ax, ay), (bx, by)) in enumerate(neigh):
         a = jnp.roll(pl, (-ay, -ax), axis=(0, 1))
         bq = jnp.roll(pl, (-by, -bx), axis=(0, 1))
+        if use_stale:
+            va = jnp.roll(vstage, (-ay, -ax), axis=(0, 1))
+            vb = jnp.roll(vstage, (-by, -bx), axis=(0, 1))
+            if eo == 0:
+                bq = jnp.where(st_b0 > 0, vb, bq)
+            elif eo == 2:
+                bq = jnp.where(st_b2 > 0, vb, bq)
+            elif eo == 3:
+                a = jnp.where(st_a3 > 0, va, a)
         idx = 2 + jnp.sign(pl - a) + jnp.sign(pl - bq)
         eadd = (jnp.where(idx == 0, o[0], 0) + jnp.where(idx == 1, o[1], 0) +
                 jnp.where(idx == 3, o[2], 0) + jnp.where(idx == 4, o[3], 0))
@@ -370,26 +568,48 @@ def _sao_component(pl, typ, second, offs, cs: int, bd: int):
                                    "do_sao"))
 def apply_filters_device(y, cb, cr, beta_v, tc_v, beta_h, tc_h,
                          tc_cv1, tc_ch1, tc_cv2, tc_ch2, sao,
+                         nop_v, noq_v, nop_h, noq_h,
+                         nop_cv, noq_cv, nop_ch, noq_ch, nf4, nf4c,
+                         st_b0, st_b2, st_a3,
                          *, bd, bdc, cs, do_deblock, do_sao):
     """Whole-frame deblock (vertical then horizontal, luma + chroma)
-    followed by SAO. y [H, W], cb/cr [Hc, Wc] int32."""
+    followed by SAO. y [H, W], cb/cr [Hc, Wc] int32. nop*/noq*/nf4:
+    PCM/tqb no-filter suppression + restore ((1,1) placeholders when
+    absent); stale: 16x16-CTB SAO chroma halo positions."""
+    vst_cb = vst_cr = None
     if do_deblock:
-        y = _deblock_luma_dir(y, beta_v, tc_v, bd)
-        y = _deblock_luma_dir(y.T, beta_h.T, tc_h.T, bd).T
-        cb = _deblock_chroma_dir(cb, tc_cv1, bdc)
-        cb = _deblock_chroma_dir(cb.T, tc_ch1.T, bdc).T
-        cr = _deblock_chroma_dir(cr, tc_cv2, bdc)
-        cr = _deblock_chroma_dir(cr.T, tc_ch2.T, bdc).T
+        y = _deblock_luma_dir(y, beta_v, tc_v, bd, nop_v, noq_v)
+        y = _deblock_luma_dir(y.T, beta_h.T, tc_h.T, bd,
+                              nop_h.T, noq_h.T).T
+        cb = _deblock_chroma_dir(cb, tc_cv1, bdc, nop_cv, noq_cv)
+        cr = _deblock_chroma_dir(cr, tc_cv2, bdc, nop_cv, noq_cv)
+        if do_sao and cs == 16:
+            vst_cb, vst_cr = cb, cr    # vertical-stage snapshot
+        cb = _deblock_chroma_dir(cb.T, tc_ch1.T, bdc,
+                                 nop_ch.T, noq_ch.T).T
+        cr = _deblock_chroma_dir(cr.T, tc_ch2.T, bdc,
+                                 nop_ch.T, noq_ch.T).T
     if do_sao:
+        pre_y, pre_cb, pre_cr = y, cb, cr
         y = _sao_component(y, sao[:, :, 0, 0].astype(jnp.int32),
                            sao[:, :, 0, 1].astype(jnp.int32),
                            sao[:, :, 0, 2:6].astype(jnp.int32), cs, bd)
         cb = _sao_component(cb, sao[:, :, 1, 0].astype(jnp.int32),
                             sao[:, :, 1, 1].astype(jnp.int32),
                             sao[:, :, 1, 2:6].astype(jnp.int32),
-                            cs >> 1, bdc)
+                            cs >> 1, bdc, vst_cb, st_b0, st_b2, st_a3)
         cr = _sao_component(cr, sao[:, :, 2, 0].astype(jnp.int32),
                             sao[:, :, 2, 1].astype(jnp.int32),
                             sao[:, :, 2, 2:6].astype(jnp.int32),
-                            cs >> 1, bdc)
+                            cs >> 1, bdc, vst_cr, st_b0, st_b2, st_a3)
+        if nf4.shape != (1, 1):
+            # restore_tqb_pixels: SAO writes to no-filter blocks revert
+            # to the deblocked input (4x4 luma / 2x2 chroma per block)
+            H, W = y.shape
+            Hc, Wc = cb.shape
+            m = jnp.repeat(jnp.repeat(nf4 > 0, 4, 0), 4, 1)[:H, :W]
+            mc = jnp.repeat(jnp.repeat(nf4c > 0, 2, 0), 2, 1)[:Hc, :Wc]
+            y = jnp.where(m, pre_y, y)
+            cb = jnp.where(mc, pre_cb, cb)
+            cr = jnp.where(mc, pre_cr, cr)
     return y, cb, cr

@@ -139,3 +139,53 @@ def upsample_il_frame(planes, el_w: int, el_h: int, bit_depth: int = 8,
                                   bit_depth=bit_depth, luma=False,
                                   off16_y=-4))
     return out
+
+
+def upscale_mv_field(bl_motion, bl_w, bl_h, el_w, el_h, grid_h4, grid_w4,
+                     nb_list):
+    """Inter-layer motion field mapping (ff_upscale_mv_block,
+    hevc_filter.c:1311, whole-frame): per 16x16 EL block, sample the BL
+    motion at the center-mapped 16-aligned position; SNR copies the
+    MvField, spatial scales MVs by ScalingFactor = ((EL<<8)+(BL>>1))//BL
+    per axis (clip +-4096 then +-32768 on the product>>8). nb_list: 1
+    for P EL slices (the reference then scales list 0 only but still
+    copies the full pred_flag — reproduced). Returns (pred_flag4, mv4,
+    refpoc4) grids of [grid_h4, grid_w4] shape."""
+    pf_b, mv_b, poc_b = bl_motion[0], bl_motion[1], bl_motion[2]
+    pf = np.zeros((grid_h4, grid_w4), np.uint8)
+    mv = np.zeros((grid_h4, grid_w4, 2, 2), np.int32)
+    poc = np.zeros((grid_h4, grid_w4, 2), np.int32)
+    scale_x = ((bl_w << 16) + (el_w >> 1)) // el_w
+    scale_y = ((bl_h << 16) + (el_h >> 1)) // el_h
+    sf_x = int(np.clip(((el_w << 8) + (bl_w >> 1)) // bl_w, -4096, 4095))
+    sf_y = int(np.clip(((el_h << 8) + (bl_h >> 1)) // bl_h, -4096, 4095))
+    snr = scale_x == 65536 and scale_y == 65536
+    for y_el in range(0, el_h, 16):
+        for x_el in range(0, el_w, 16):
+            x_bl = (((min(x_el + 8, el_w - 1)) * scale_x +
+                     (1 << 15)) >> 16) + 4
+            y_bl = (((min(y_el + 8, el_h - 1)) * scale_y +
+                     (1 << 15)) >> 16) + 4
+            ys, xs = y_el >> 2, x_el >> 2
+            ye = min(ys + 4, grid_h4)
+            xe = min(xs + 4, grid_w4)
+            if not (x_bl < bl_w and y_bl < bl_h):
+                continue
+            b4y, b4x = (y_bl >> 4) << 2, (x_bl >> 4) << 2
+            pfb = int(pf_b[b4y, b4x])
+            if not pfb:
+                continue
+            pf[ys:ye, xs:xe] = pfb
+            if snr:
+                mv[ys:ye, xs:xe] = mv_b[b4y, b4x]
+                poc[ys:ye, xs:xe] = poc_b[b4y, b4x]
+                continue
+            for lx in range(nb_list):
+                px = sf_x * int(mv_b[b4y, b4x, lx, 0])
+                py = sf_y * int(mv_b[b4y, b4x, lx, 1])
+                mv[ys:ye, xs:xe, lx, 0] = np.clip(
+                    (px + 127 + (1 if px < 0 else 0)) >> 8, -32768, 32767)
+                mv[ys:ye, xs:xe, lx, 1] = np.clip(
+                    (py + 127 + (1 if py < 0 else 0)) >> 8, -32768, 32767)
+                poc[ys:ye, xs:xe, lx] = poc_b[b4y, b4x, lx]
+    return pf, mv, poc

@@ -1,0 +1,85 @@
+"""Device (XLA) whole-frame deblock+SAO vs the reference-exact scalar
+schedule (ops/filters_sched.py), including the formerly-gated cases:
+PCM / transquant-bypass no-filter blocks (restore_tqb_pixels,
+hevc_filter.c:163) and 16x16-CTB SAO chroma halo timing
+(deblocking_filter_CTB's x_end -= 8*h deferral).
+
+Runs on CPU: filters_jax is plain XLA (no Pallas), so the device
+formulation executes anywhere."""
+import numpy as np
+import pytest
+
+from openhevc_tpu.decoder import Decoder
+from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+
+from conftest import make_frames
+
+
+def _capture_frames(data):
+    """Decode with the np engine, capturing (pre-filter planes, fs) for
+    every picture plus the schedule-exact filtered truth."""
+    import openhevc_tpu.models.recon_np as R
+    from openhevc_tpu.ops.filters_sched import apply_loop_filters as sched
+    captured = []
+    orig = R.apply_loop_filters
+
+    def spy(planes, fs):
+        pre = [np.array(p, np.int64) for p in planes]
+        out = sched(planes, fs)
+        captured.append((pre, fs, [np.array(p) for p in out]))
+        return out
+
+    R.apply_loop_filters = spy
+    try:
+        d = Decoder("np")
+        d.decode(data)
+        d.flush()
+    finally:
+        R.apply_loop_filters = orig
+    assert captured
+    return captured
+
+
+def _device_filter(pre, fs):
+    import jax.numpy as jnp
+    from openhevc_tpu.ops.filters_jax import (apply_filters_device,
+                                              device_filters_ok,
+                                              prep_filters)
+    assert device_filters_ok(fs)
+    pff = prep_filters(fs)
+    assert pff is not None
+    from openhevc_tpu.ops.filters_jax import fargs_arrays
+    fargs = tuple(jnp.asarray(a) for a in fargs_arrays(pff))
+    y, cb, cr = (jnp.asarray(np.asarray(p, np.int32)) for p in pre)
+    sps = fs.sps
+    yo, cbo, cro = apply_filters_device(
+        y, cb, cr, *fargs, bd=sps.bit_depth, bdc=sps.bit_depth_chroma,
+        cs=1 << sps.log2_ctb,
+        do_deblock=pff["do_deblock"], do_sao=pff["do_sao"])
+    return [np.asarray(yo), np.asarray(cbo), np.asarray(cro)]
+
+
+@pytest.mark.parametrize("W,H,ctb,seed,pcm,tqb,sao,dbk", [
+    (64, 64, 5, 1, False, False, True, True),    # baseline (already ok)
+    (64, 64, 4, 2, False, False, True, True),    # 16x16 CTB halo quirk
+    (96, 64, 4, 3, False, False, True, True),    # non-square, ctb16
+    (64, 64, 5, 4, True, False, True, True),     # PCM no-filter blocks
+    (64, 64, 5, 5, False, True, True, True),     # transquant bypass
+    (64, 64, 4, 6, True, True, True, True),      # everything at once
+    (64, 64, 4, 7, True, False, False, True),    # deblock-only + pcm
+    (64, 64, 4, 8, True, False, True, False),    # sao-only + pcm
+])
+def test_device_filters_match_schedule(W, H, ctb, seed, pcm, tqb,
+                                       sao, dbk):
+    rng = np.random.default_rng(seed)
+    frames = make_frames(W, H, 2, rng, smooth=False)
+    kw = dict(qp=34, ctb_log2=ctb, seed=seed, pcm=pcm, sao=sao,
+              deblock=dbk)
+    if tqb:
+        kw["transquant_bypass"] = True
+    data, _ = encode_intra_stream(frames, W, H, **kw)
+    for pre, fs, truth in _capture_frames(data):
+        got = _device_filter(pre, fs)
+        for c in range(3):
+            assert np.array_equal(got[c].astype(np.int64), truth[c]), \
+                (c, np.argwhere(got[c].astype(np.int64) != truth[c])[:5])

@@ -67,3 +67,56 @@ def test_shvc_vps_roundtrip():
     snal = split_nals(write_sps_el(el))[0]
     s = PS.parse_sps(unescape_rbsp(snal[2:]), layer_id=1, vps=v)
     assert (s.width, s.height, s.sps_id) == (64, 64, 1)
+
+
+# ---- inter-layer motion prediction (mfm) + mixed EL reference lists -----
+
+@pytest.mark.parametrize("seed,kw", [
+    (51, dict(bl_inter=True)),                       # real BL motion
+    (52, dict(bl_inter=True, el_temporal=True)),     # ST + IL mixed L0
+    (53, dict(bl_inter=True, el_temporal=True,       # fractional MC on
+              nonzero_il_mv=True)),                  # the IL picture
+    (54, dict(bl_inter=True, el_temporal=True, el_tmvp=True)),
+    (55, dict(bl_inter=True, el_temporal=True, el_tmvp=True,
+              col_il=True)),                         # TMVP col = IL ref
+    (56, dict(bl_inter=True, el_temporal=True, el_tmvp=True,
+              col_il=True, nonzero_il_mv=True)),
+])
+def test_shvc_il_motion(seed, kw):
+    """EL temporal+IL mixed lists, nonzero MVs on the IL picture and
+    TMVP with collocated = IL whose motion is the upsampled BL field
+    (mfm; ff_upscale_mv_block hevc_filter.c:1311, EL cand order
+    hevc_refs.c:657). All bit-exact vs the reference decoder."""
+    _check((32, 32), (64, 64), seed, n=5, **kw)
+
+
+def test_shvc_il_motion_x15_snr():
+    _check((32, 32), (48, 48), 57, n=4, bl_inter=True, el_temporal=True,
+           el_tmvp=True, col_il=True, nonzero_il_mv=True)
+    _check((48, 48), (48, 48), 58, n=4, bl_inter=True, el_temporal=True,
+           el_tmvp=True, col_il=True, nonzero_il_mv=True)
+
+
+def test_shvc_il_motion_is_live():
+    """Zeroing the upscaled IL motion field must diverge a col_il
+    stream (guards against TMVP never consuming the mfm field)."""
+    import openhevc_tpu.ops.upsample_np as U
+    rng = np.random.default_rng(59)
+    blf = _frames(32, 32, 5, rng)
+    elf = _frames(64, 64, 5, rng)
+    data, recons = encode_shvc_stream(blf, elf, (32, 32), (64, 64),
+                                      qp=30, seed=59, bl_inter=True,
+                                      el_temporal=True, el_tmvp=True,
+                                      col_il=True)
+    orig = U.upscale_mv_field
+    U.upscale_mv_field = lambda *a, **k: tuple(
+        np.zeros_like(x) for x in orig(*a, **k))
+    try:
+        d = ShvcDecoder("np")
+        mine = d.decode(data) + d.flush()
+    finally:
+        U.upscale_mv_field = orig
+    diff = sum(int(not np.array_equal(np.asarray(mine[i].cropped()[0]),
+                                      np.asarray(recons[i][0])))
+               for i in range(len(recons)))
+    assert diff > 0
