@@ -51,7 +51,9 @@ class _SliceParams(ctypes.Structure):
         ("col_lt_flag", ctypes.c_int32 * 32),
     ] + [(n, ctypes.c_int32) for n in (
         "cu_qp_delta_enabled", "diff_cu_qp_delta_depth",
-        "start_ts", "slice_no", "dependent")]
+        "start_ts", "slice_no", "dependent",
+        "ts_rotation", "explicit_rdpcm", "persistent_rice",
+        "cross_component")]
 
 
 class _Outputs(ctypes.Structure):
@@ -197,6 +199,11 @@ def _fill_params(p, sps, pps, sh, poc, ref_list, ss_starts,
     p.cu_qp_delta_enabled = pps.cu_qp_delta_enabled
     p.diff_cu_qp_delta_depth = pps.diff_cu_qp_delta_depth
     p.implicit_rdpcm = getattr(sps, "implicit_rdpcm_enabled", 0)
+    p.ts_rotation = getattr(sps, "transform_skip_rotation_enabled", 0)
+    p.explicit_rdpcm = getattr(sps, "explicit_rdpcm_enabled", 0)
+    p.persistent_rice = getattr(sps, "persistent_rice_adaptation", 0)
+    p.cross_component = getattr(
+        pps, "cross_component_prediction_enabled", 0)
     p.slice_type = sh.slice_type
     p.slice_qp = sh.qp
     p.cabac_init_flag = sh.cabac_init_flag

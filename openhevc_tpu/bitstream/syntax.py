@@ -401,8 +401,11 @@ class SliceDataParser:
                                                max(0, min(51, self.sh.qp)))
                         self.stat_coeff = [0, 0, 0, 0]
                     else:
+                        # load_states copies the CABAC contexts ONLY:
+                        # StatCoeff carries over serially across WPP
+                        # rows (hevc_cabac.c:562, never restored from
+                        # the row snapshot)
                         self.ctx = list(saved_ctx[0])
-                        self.stat_coeff = list(saved_ctx[1])
             if sps.sao_enabled and (self.sh.sao_luma or self.sh.sao_chroma):
                 self._sao_params(x0, y0)
             self._coding_quadtree(x0, y0, sps.log2_ctb, 0)

@@ -109,6 +109,15 @@ class Decoder:
         # the GIL). Pending = (fs, pic, refs_snapshot, il_planes).
         self._pending = None
         self._parse_executor = None
+        # parse-ahead queue (depth>1 keeps the native-parse worker fed
+        # while the main thread packs/dispatches; col-motion inputs of
+        # queued jobs resolve lazily inside the FIFO worker)
+        import os as _os
+        from collections import deque
+        self._parse_q = deque()
+        self._parse_futs = {}
+        self._parse_depth = max(1, int(_os.environ.get(
+            "OPENHEVC_PARSE_AHEAD", "2")))
         from .utils.log import StageTimers
         self.timers = StageTimers()   # per-frame parse/pack/… tracing
         # parse-path accounting: how many slice segments took the native
@@ -281,6 +290,14 @@ class Decoder:
                         col = self.ref_pics.get(cpoc)
                         if col is not None and col.motion is not None:
                             col_motion = (col.poc,) + col.motion
+                        elif cpoc in self._parse_futs:
+                            # collocated picture still parsing: resolve
+                            # inside the FIFO parse worker
+                            fcol = self._parse_futs[cpoc]
+                            mo = self._motion_of
+                            col_motion = (
+                                lambda f=fcol, cp=cpoc, mo=mo:
+                                (cp,) + mo(f.result()))
             acc = dict(sh0=sh, poc=poc, sps=sps, pps=pps,
                        ref_list=ref_list, col_motion=col_motion,
                        nal_type=nal_type, shared=None, parser=None,
@@ -323,17 +340,13 @@ class Decoder:
         # native core supports uniform tiles + WPP, TMVP, weighted pred,
         # cu_qp_delta, multi-slice pictures; non-uniform tile spacing,
         # 4:2:2/4:4:4 chroma and RExt residual tools fall back to Python
-        import os as _os
-        relax = _os.environ.get("OPENHEVC_NATIVE_RELAX") == "1"
+        # native core covers 4:2:0/4:2:2/4:4:4 + every RExt tool except
+        # cross-component prediction; non-uniform tile spacing and CCLM
+        # fall back to the Python mirror
         native_caps = self.native_parse and not (
             pps.tiles_enabled and not pps.uniform_spacing) and \
-            (relax or (
-                sps.chroma_format_idc == 1 and
-                not (sps.transform_skip_rotation_enabled or
-                     sps.implicit_rdpcm_enabled or
-                     sps.explicit_rdpcm_enabled or
-                     getattr(pps, "cross_component_prediction_enabled",
-                             0))))
+            sps.chroma_format_idc in (1, 2, 3) and \
+            not getattr(pps, "cross_component_prediction_enabled", 0)
         use_native = single_slice and native_caps
         if use_native:
             from .bitstream.native import parse_slice_native
@@ -348,18 +361,42 @@ class Decoder:
                 ss_starts = substream_starts_rbsp(
                     esc_payload, sh.data_start_byte,
                     sh.entry_point_offsets)
-            fut = self._parse_executor.submit(
-                parse_slice_native, rbsp, sps, pps, sh, nal_type, poc,
-                ref_list=acc["ref_list"], ss_starts=ss_starts,
-                col_motion=acc["col_motion"])
-            # overlap: reconstruct+emit the previous picture while the
-            # worker parses this one
-            self._flush_pending()
-            with self.timers.stage("parse"):
-                fs = fut.result()
+            cm = acc["col_motion"]
+            rl = acc["ref_list"]
+
+            def job(rbsp=rbsp, sps=sps, pps=pps, sh=sh,
+                    nal_type=nal_type, poc=poc, rl=rl,
+                    ss_starts=ss_starts, cm=cm):
+                return parse_slice_native(
+                    rbsp, sps, pps, sh, nal_type, poc, ref_list=rl,
+                    ss_starts=ss_starts,
+                    col_motion=cm() if callable(cm) else cm)
+
+            fut = self._parse_executor.submit(job)
             self.stats["native_slices"] += 1
-            acc["n_parsed"] = n_ctb
+            self._acc = None
+            # placeholder enters the DPB now: later headers do RPS
+            # bookkeeping against it; motion/planes land at drain
+            pic = DecodedPicture(poc=poc, planes=None, sps=sps,
+                                 motion=None)
+            self.ref_pics[poc] = pic
+            self._parse_futs[poc] = fut
+            il = getattr(self, "_il_planes", None) or None
+            self._il_planes = None
+            # pin the reference PICTURE OBJECTS now: later headers'
+            # RPS eviction must not drop them before this picture's
+            # drain-time planes snapshot
+            pins = {p: self.ref_pics[p]
+                    for lst in acc["ref_list"] for (p, _lt) in lst
+                    if p in self.ref_pics}
+            self._parse_q.append((fut, pic, poc, sps, il, pins))
+            while len(self._parse_q) > self._parse_depth:
+                self._drain_parse()
+            return
         elif native_caps:
+            self._drain_parse_all()
+            if callable(acc["col_motion"]):
+                acc["col_motion"] = acc["col_motion"]()
             # multi-slice picture through the native core: accumulate
             # segments; the whole picture parses in ONE
             # hevc_parse_picture call once the last segment arrives
@@ -385,6 +422,9 @@ class Decoder:
             self.stats["native_slices"] += len(segs)
             acc["n_parsed"] = n_ctb
         else:
+            self._drain_parse_all()
+            if callable(acc["col_motion"]):
+                acc["col_motion"] = acc["col_motion"]()
             self._flush_pending()
             if not sh.dependent:
                 acc["slice_no"] += 1
@@ -412,20 +452,43 @@ class Decoder:
         self._finish_picture(fs, poc, sps)
 
     def _finish_picture(self, fs, poc, sps):
-        """Parse of this picture is complete: register it in the DPB
-        (planes still pending) and stash the reconstruction work. The
-        refs snapshot pins the reference pictures this picture needs, so
+        """Parse of this picture is complete (synchronous paths):
+        register it in the DPB and stash the reconstruction work."""
+        il = getattr(self, "_il_planes", None)
+        self._il_planes = None
+        pic = DecodedPicture(poc=poc, planes=None, sps=sps,
+                             motion=self._motion_of(fs))
+        self.ref_pics[poc] = pic
+        self._finish_parsed(fs, poc, sps, pic, il)
+
+    def _drain_parse(self):
+        """Retire the oldest queued native parse: wait for the worker,
+        attach motion to the DPB placeholder, hand off to recon."""
+        if not self._parse_q:
+            return
+        fut, pic, poc, sps, il, pins = self._parse_q.popleft()
+        self._parse_futs.pop(poc, None)
+        # dispatch the previous picture's recon while the worker runs
+        self._flush_pending()
+        with self.timers.stage("parse"):
+            fs = fut.result()
+        pic.motion = self._motion_of(fs)
+        self._finish_parsed(fs, poc, sps, pic, il, pins)
+
+    def _drain_parse_all(self):
+        while self._parse_q:
+            self._drain_parse()
+
+    def _finish_parsed(self, fs, poc, sps, pic, il, pins=None):
+        """Queue reconstruction of a parse-complete picture. The refs
+        snapshot pins the reference pictures this picture needs, so
         later IDR resets / evictions cannot invalidate the deferred
         reconstruct."""
-        il = getattr(self, "_il_planes", None)
         # mesh wave path: an independent (intra, no-IL) picture joins
         # the current wave instead of the 1-deep pipeline; anything that
         # may reference wave members flushes the wave first
         if self.mesh is not None and self.engine == "jax":
             if not fs.inter_pbs and not il:
-                pic = DecodedPicture(poc=poc, planes=None, sps=sps,
-                                     motion=self._motion_of(fs))
-                self.ref_pics[poc] = pic
                 if self._wave and (self._wave[0][0].sps is not sps or
                                    len(self._wave) >= self._wave_max()):
                     self._flush_wave()
@@ -434,15 +497,12 @@ class Decoder:
                     self._flush_wave()
                 return
             self._flush_wave()      # wave members are candidate refs
-        refs = {p: pic.planes for p, pic in self.ref_pics.items()
-                if pic.planes is not None}
+        src = self.ref_pics if pins is None else \
+            {**self.ref_pics, **pins}
+        refs = {p: rp.planes for p, rp in src.items()
+                if rp.planes is not None}
         if il:
             refs.update(il)     # inter-layer ref (same poc as current)
-            self._il_planes = None
-            self._il_motion = None
-        pic = DecodedPicture(poc=poc, planes=None, sps=sps,
-                             motion=self._motion_of(fs))
-        self.ref_pics[poc] = pic
         # retention is RPS-driven (see _decode_slice); this hard cap is
         # pure OOM protection against damaged/non-conformant streams
         cap = max(getattr(sps, "max_dec_pic_buffering", 8) + 2, 17)
@@ -527,6 +587,7 @@ class Decoder:
         the EL's own POC, hevc_refs.c:748). Also derives the IL ref's
         upsampled motion field + BL reference-list LT map for TMVP with
         collocated = IL (mfm; ff_upscale_mv_block, hevc_filter.c:1311)."""
+        self.shvc_bl._drain_parse_all()
         bl_pic = self.shvc_bl.ref_pics.get(poc)
         if bl_pic is not None and bl_pic.planes is None:
             self.shvc_bl._flush_pending()   # BL picture still pending
@@ -684,6 +745,7 @@ class Decoder:
         return out
 
     def flush(self):
+        self._drain_parse_all()
         self._flush_pending()
         self._flush_wave()
         out = self.output + self.dpb

@@ -641,6 +641,7 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
         recons.append([p.copy() for p in enc.recon])
         if self_dec is not None:
             self_dec.decode(nal)
+            self_dec._drain_parse_all()
             self_dec._flush_pending()   # force the pipelined recon now
             filtered.append([np.asarray(p, np.int64)
                              for p in self_dec.ref_pics[i].planes])
@@ -818,6 +819,7 @@ def encode_ra_stream(frames, width, height, qp=32, gop=8, ctb_log2=4,
         recons[p] = [pl.copy() for pl in enc.recon]
         if self_dec is not None:
             self_dec.decode(nal_bytes)
+            self_dec._drain_parse_all()
             self_dec._flush_pending()
             filtered[p] = [np.asarray(pl, np.int64)
                            for pl in self_dec.ref_pics[p].planes]

@@ -260,8 +260,10 @@ class IntraFrameEncoder:
                                                    max(0, min(51, cfg.qp)))
                         self.stat_coeff = [0, 0, 0, 0]
                     else:
+                        # load_states copies contexts ONLY: StatCoeff
+                        # carries over serially across WPP rows
+                        # (hevc_cabac.c:562)
                         self.enc.ctx = list(saved_ctx[0])
-                        self.stat_coeff = list(saved_ctx[1])
             if cfg.sao_enabled:
                 self._encode_sao(x0 >> cfg.ctb_log2, y0 >> cfg.ctb_log2)
             self._quadtree(x0, y0, cfg.ctb_log2, 0)

@@ -691,8 +691,9 @@ class FetchPool:
     # tunneled runtime (plus wire), so group frames: wait for MIN_BATCH
     # frames or BATCH_WAIT_S after the first, unless a consumer is
     # already blocking on one of the queued frames (urgent()).
-    MIN_BATCH = 4
-    BATCH_WAIT_S = 0.06
+    import os as _os
+    MIN_BATCH = int(_os.environ.get("OPENHEVC_FETCH_BATCH", "8"))
+    BATCH_WAIT_S = float(_os.environ.get("OPENHEVC_FETCH_WAIT", "0.12"))
 
     def add(self, lp):
         with self._cv:

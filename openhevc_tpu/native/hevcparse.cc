@@ -19,6 +19,7 @@
 #include <vector>
 
 #include "tables.inc"
+#define CTX_STATE_BYTES (NUM_CONTEXTS + 4)
 
 namespace {
 
@@ -208,6 +209,8 @@ struct SliceParams {
     // multi-slice segments: first CTB (tile-scan), independent-slice
     // ordinal (prediction-region id), dependent-segment flag
     int32_t start_ts, slice_no, dependent;
+    // RExt tool set (SPS range extension; python mirror syntax.py)
+    int32_t ts_rotation, explicit_rdpcm, persistent_rice, cross_component;
 };
 
 struct Outputs {
@@ -282,7 +285,7 @@ struct Shared {
     // threaded-WPP wavefront: CTBs completed per CTB row (release) and
     // the CABAC context snapshot taken after each row's 2nd CTB
     std::unique_ptr<std::atomic<int>[]> row_progress;
-    std::vector<std::array<uint8_t, NUM_CONTEXTS>> row_snapshot;
+    std::vector<std::array<uint8_t, CTX_STATE_BYTES>> row_snapshot;
     std::unique_ptr<std::atomic<int>[]> snapshot_ready;
     std::atomic<bool> any_err{false};
 
@@ -366,7 +369,11 @@ struct Parser {
     const uint8_t* rbsp;
     int64_t size;
     Cabac cab;
-    uint8_t ctx[NUM_CONTEXTS];
+    // ctx states + 4 persistent-rice stat counters (StatCoeff,
+    // 9.3.3.13) kept contiguous so every CABAC-state snapshot
+    // (WPP row entry, dependent-segment chain) carries both
+    uint8_t ctx[CTX_STATE_BYTES];
+    uint8_t* stat_coeff() { return ctx + NUM_CONTEXTS; }
 
     int w4, h4, ctbs_w, ctbs_h;
     // shared per-slice maps/grids (Shared below); pointer aliases so the
@@ -391,6 +398,8 @@ struct Parser {
     int cu_part_mode = PART_2Nx2N, cu_depth = 0;
     int pu_modes[4] = {1, 1, 1, 1};
     int intra_mode_c = 1;
+    int pu_cmode[4] = {1, 1, 1, 1};   // per-PU chroma modes (4:4:4 NxN)
+    int cu_log2_cb = 3;
     bool err = false;
     // cu_qp_delta state (lc->qp_y / qPy_pred / first_qp_group)
     int qp_y = 0, qPy_pred = 0;
@@ -486,7 +495,7 @@ struct Parser {
             ctb_tile_rs = start_ts - k;
         }
         end_ts = start_ts;
-        uint8_t saved_ctx[NUM_CONTEXTS];
+        uint8_t saved_ctx[CTX_STATE_BYTES];
         bool have_saved = false;
         int it = P.slice_type == 2 ? 0 : (P.slice_type == 1 ? 1 : 2);
         if (P.cabac_init_present && P.cabac_init_flag && P.slice_type != 2)
@@ -512,6 +521,8 @@ struct Parser {
                     if (cab.terminate() != 1) { err = true; break; }
                     cab.reinit(cab.consumed_bytes() * 8);
                     if (tw == 1 || !have_saved) init_ctx_states(it);
+                    // load_states copies contexts ONLY: StatCoeff
+                    // carries over serially (hevc_cabac.c:562)
                     else memcpy(ctx, saved_ctx, NUM_CONTEXTS);
                 }
             }
@@ -521,7 +532,7 @@ struct Parser {
             ctb_tile_rs++;
             if (wpp && (ctb_tile_rs % tw == 2 ||
                         (tw == 2 && ctb_tile_rs % tw == 0))) {
-                memcpy(saved_ctx, ctx, NUM_CONTEXTS);
+                memcpy(saved_ctx, ctx, CTX_STATE_BYTES);
                 have_saved = true;
             }
             int end = cab.terminate();
@@ -567,7 +578,7 @@ struct Parser {
                 sao_params(x0, y0);
             coding_quadtree(x0, y0, P.log2_ctb, 0);
             if (x == 1) {
-                memcpy(S->row_snapshot[row].data(), ctx, NUM_CONTEXTS);
+                memcpy(S->row_snapshot[row].data(), ctx, CTX_STATE_BYTES);
                 S->snapshot_ready[row].store(1, std::memory_order_release);
             }
             int end = cab.terminate();
@@ -631,6 +642,7 @@ struct Parser {
             ctx[i] = pre <= 63 ? (uint8_t)((63 - pre) << 1)
                                : (uint8_t)(((pre - 64) << 1) | 1);
         }
+        memset(stat_coeff(), 0, 4);   // persistent-rice StatCoeff reset
     }
 
     // ---------------- SAO ----------------
@@ -775,7 +787,7 @@ struct Parser {
             memset(&ct_depth[(y4 + j) * w4 + x4], depth, n4);
         cu_tqb = 0;
         cu_qp = P.cu_qp_delta_enabled ? qp_y : P.slice_qp;
-        cu_x0 = x0; cu_y0 = y0;
+        cu_x0 = x0; cu_y0 = y0; cu_log2_cb = log2_cb;
         cu_depth = depth;
         for (int j = 0; j < n4; j++)
             memset(O->qp_y4 + (y4 + j) * w4 + x4, (int8_t)cu_qp, n4);
@@ -826,8 +838,9 @@ struct Parser {
         intra_prediction_unit(x0, y0, log2_cb, part_mode);
         int intra_split = part_mode == PART_NxN ? 1 : 0;
         int max_depth = P.max_trafo_depth_intra + intra_split;
+        static const int one2[2] = {1, 1};
         transform_tree(x0, y0, x0, y0, log2_cb, 0, 0, max_depth,
-                       intra_split, 1, 1);
+                       intra_split, one2, one2);
     }
 
     void set_motion_intra(int x4, int y4, int n4) {
@@ -909,13 +922,41 @@ struct Parser {
         }
         for (int i = 0; i < 4; i++) pu_modes[i] = modes[i % n_pu];
         if (n_pu == 4) for (int i = 0; i < 4; i++) pu_modes[i] = modes[i];
-        if (!bin(CTX_INTRA_CHROMA_PRED_MODE)) {
-            intra_mode_c = modes[0];
-        } else {
-            static const int table[4] = {0, 26, 10, 1};
-            int m = table[cab.bypass_bits(2)];
-            intra_mode_c = (m == modes[0]) ? 34 : m;
+        // chroma mode: per PU for 4:4:4, single otherwise (7.3.8.5;
+        // syntax.py:876); 4:2:2 maps through Table 8-3 (hevc.c:2310)
+        int n_cpu = P.chroma_format_idc == 3 ? n_pu : 1;
+        int cmodes[4];
+        for (int i = 0; i < n_cpu; i++) {
+            if (!bin(CTX_INTRA_CHROMA_PRED_MODE)) {
+                cmodes[i] = modes[i];
+            } else {
+                static const int table[4] = {0, 26, 10, 1};
+                int m = table[cab.bypass_bits(2)];
+                cmodes[i] = (m == modes[i]) ? 34 : m;
+            }
         }
+        if (P.chroma_format_idc == 2) {
+            static const int tab422[35] = {
+                0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18,
+                19, 20, 21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28,
+                28, 29, 29, 30, 31};
+            for (int i = 0; i < n_cpu; i++)
+                cmodes[i] = tab422[cmodes[i]];
+        }
+        intra_mode_c = cmodes[0];
+        for (int i = 0; i < 4; i++) pu_cmode[i] = cmodes[i % n_cpu];
+        if (n_cpu == 4) for (int i = 0; i < 4; i++) pu_cmode[i] = cmodes[i];
+    }
+
+    int chroma_mode_at(int x0, int y0) {
+        // tu.intra_pred_mode_c selection (hevc.c:1460; syntax.py:1063)
+        if (P.chroma_format_idc == 3 && cu_part_mode == PART_NxN) {
+            int half = 1 << (cu_log2_cb - 1);
+            int bi = ((y0 - cu_y0) >= half ? 2 : 0) +
+                     ((x0 - cu_x0) >= half ? 1 : 0);
+            return pu_cmode[bi];
+        }
+        return intra_mode_c;
     }
 
     void mpm_candidates(int x0, int y0, int* out) {
@@ -972,8 +1013,9 @@ struct Parser {
             int inter_split = P.max_trafo_depth_inter == 0 &&
                               part_mode != PART_2Nx2N;
             int max_depth = P.max_trafo_depth_inter + (inter_split ? 1 : 0);
+            static const int one2[2] = {1, 1};
             transform_tree(x0, y0, x0, y0, log2_cb, 0, 0, max_depth,
-                           inter_split, 1, 1);
+                           inter_split, one2, one2);
         } else {
             for (int j = 0; j < n4; j++) O->bounds_v[(y4 + j) * w4 + x4] = 1;
             memset(O->bounds_h + y4 * w4 + x4, 1, n4);
@@ -1506,8 +1548,13 @@ struct Parser {
     // ---------------- transform tree ----------------
     void transform_tree(int x0, int y0, int xb, int yb, int log2_tr,
                         int depth, int blk_idx, int max_depth,
-                        int intra_split, int cbf_cb, int cbf_cr) {
+                        int intra_split, const int* cbf_cb,
+                        const int* cbf_cr) {
+        // cbf_cb/cbf_cr are 2-vectors: [1] is the second (lower) chroma
+        // TB of a 4:2:2 pair (hls_transform_tree, hevc.c:1452/1495;
+        // python mirror syntax.py:933)
         if (err) return;
+        const int is422 = P.chroma_format_idc == 2;
         int split = 0;
         if (log2_tr <= P.log2_max_tb && log2_tr > P.log2_min_tb &&
             depth < max_depth && !(intra_split && depth == 0)) {
@@ -1515,10 +1562,19 @@ struct Parser {
         } else if (log2_tr > P.log2_max_tb || (intra_split && depth == 0)) {
             split = 1;
         }
-        int my_cb = cbf_cb, my_cr = cbf_cr;
-        if (log2_tr > 2) {
-            my_cb = (depth == 0 || cbf_cb) ? bin(CTX_CBF_CBCR, depth) : 0;
-            my_cr = (depth == 0 || cbf_cr) ? bin(CTX_CBF_CBCR, depth) : 0;
+        int my_cb[2] = {cbf_cb[0], cbf_cb[1]};
+        int my_cr[2] = {cbf_cr[0], cbf_cr[1]};
+        if (log2_tr > 2 || P.chroma_format_idc == 3) {
+            if (depth == 0 || cbf_cb[0]) {
+                my_cb[0] = bin(CTX_CBF_CBCR, depth);
+                if (is422 && (!split || log2_tr == 3))
+                    my_cb[1] = bin(CTX_CBF_CBCR, depth);
+            } else { my_cb[0] = my_cb[1] = 0; }
+            if (depth == 0 || cbf_cr[0]) {
+                my_cr[0] = bin(CTX_CBF_CBCR, depth);
+                if (is422 && (!split || log2_tr == 3))
+                    my_cr[1] = bin(CTX_CBF_CBCR, depth);
+            } else { my_cr[0] = my_cr[1] = 0; }
         }
         if (split) {
             int h = 1 << (log2_tr - 1);
@@ -1530,7 +1586,9 @@ struct Parser {
             return;
         }
         int cbf_luma = 1;
-        if (cu_pred_mode == MODE_INTRA || depth != 0 || my_cb || my_cr)
+        if (cu_pred_mode == MODE_INTRA || depth != 0 ||
+            my_cb[0] || my_cr[0] ||
+            (is422 && (my_cb[1] || my_cr[1])))
             cbf_luma = bin(CTX_CBF_LUMA, depth ? 0 : 1);
         transform_unit(x0, y0, xb, yb, log2_tr, depth, blk_idx,
                        cbf_luma, my_cb, my_cr);
@@ -1542,8 +1600,11 @@ struct Parser {
 
     void transform_unit(int x0, int y0, int xb, int yb, int log2_tr,
                         int depth, int blk_idx, int cbf_luma,
-                        int cbf_cb, int cbf_cr) {
-        if ((cbf_luma || cbf_cb || cbf_cr) &&
+                        const int* cbf_cb, const int* cbf_cr) {
+        const int is422 = P.chroma_format_idc == 2;
+        int any_cbf = cbf_luma || cbf_cb[0] || cbf_cr[0] ||
+            (is422 && (cbf_cb[1] || cbf_cr[1]));
+        if (any_cbf &&
             P.cu_qp_delta_enabled && !is_qp_coded) {
             // cu_qp_delta_abs: TU prefix (<=5, ctx 0 then 1) + EG0
             // suffix (ff_hevc_cu_qp_delta_abs, hevc_cabac.c:731)
@@ -1579,22 +1640,37 @@ struct Parser {
             int mode = cu_pred_mode == MODE_INTRA ? luma_mode_at(x0, y0) : -1;
             residual(x0, y0, log2_tr, 0, mode);
         }
-        if (log2_tr > 2) {
-            if (cu_pred_mode == MODE_INTRA) {
-                emit_intra_job(1, x0 >> 1, y0 >> 1, 1 << (log2_tr - 1),
-                               intra_mode_c);
-                emit_intra_job(2, x0 >> 1, y0 >> 1, 1 << (log2_tr - 1),
-                               intra_mode_c);
+        // chroma TB log2 = luma - hshift (hevc.c:1210); 4:2:2 codes a
+        // vertical pair of square TBs per component (hevc.c:1302;
+        // python mirror syntax.py:1005-1041)
+        const int hs = P.chroma_format_idc == 3 ? 0 : 1;
+        const int vs = P.chroma_format_idc == 1 ? 1 : 0;
+        const int n_c = is422 ? 2 : 1;
+        int mode_c = chroma_mode_at(x0, y0);
+        if (log2_tr > 2 || P.chroma_format_idc == 3) {
+            int clog2 = log2_tr - hs;
+            int csz = 1 << clog2;
+            int cx = x0 >> hs, cy0 = y0 >> vs;
+            for (int pl = 1; pl <= 2; pl++) {
+                const int* cbf = pl == 1 ? cbf_cb : cbf_cr;
+                for (int i = 0; i < n_c; i++) {
+                    int cy = cy0 + (i << clog2);
+                    if (cu_pred_mode == MODE_INTRA)
+                        emit_intra_job(pl, cx, cy, csz, mode_c);
+                    if (cbf[i]) residual(cx, cy, clog2, pl, mode_c);
+                }
             }
-            if (cbf_cb) residual(x0 >> 1, y0 >> 1, log2_tr - 1, 1, intra_mode_c);
-            if (cbf_cr) residual(x0 >> 1, y0 >> 1, log2_tr - 1, 2, intra_mode_c);
         } else if (blk_idx == 3) {
-            if (cu_pred_mode == MODE_INTRA) {
-                emit_intra_job(1, xb >> 1, yb >> 1, 4, intra_mode_c);
-                emit_intra_job(2, xb >> 1, yb >> 1, 4, intra_mode_c);
+            int cx = xb >> hs, cy0 = yb >> vs;
+            for (int pl = 1; pl <= 2; pl++) {
+                const int* cbf = pl == 1 ? cbf_cb : cbf_cr;
+                for (int i = 0; i < n_c; i++) {
+                    int cy = cy0 + (i << 2);
+                    if (cu_pred_mode == MODE_INTRA)
+                        emit_intra_job(pl, cx, cy, 4, mode_c);
+                    if (cbf[i]) residual(cx, cy, 2, pl, mode_c);
+                }
             }
-            if (cbf_cb) residual(xb >> 1, yb >> 1, 2, 1, intra_mode_c);
-            if (cbf_cr) residual(xb >> 1, yb >> 1, 2, 2, intra_mode_c);
         }
     }
 
@@ -1602,7 +1678,8 @@ struct Parser {
     void emit_intra_job(int plane, int x, int y, int size, int mode) {
         if (O->n_ij >= O->ij_cap) { err = true; return; }
         int32_t* m = O->ij_meta + O->n_ij * 8;
-        int filt = (plane == 0 && !P.intra_smoothing_disabled) ? 1 : 0;
+        int filt = ((plane == 0 || P.chroma_format_idc == 3) &&
+                    !P.intra_smoothing_disabled) ? 1 : 0;
         m[0] = plane; m[1] = x; m[2] = y; m[3] = size; m[4] = mode; m[5] = filt;
         uint8_t* av = O->ij_avail + O->n_ij * 132;
         memset(av, 0, 132);
@@ -1672,6 +1749,14 @@ struct Parser {
         int transform_skip = 0;
         if (!cu_tqb && P.transform_skip_enabled && log2_tr <= P.log2_max_ts)
             transform_skip = bin(CTX_TRANSFORM_SKIP_FLAG, c_idx ? 1 : 0);
+        // explicit RDPCM (RExt): inter TS/lossless TBs (syntax.py:1111)
+        int explicit_rd = -1;
+        if (cu_pred_mode == MODE_INTER && P.explicit_rdpcm &&
+            (transform_skip || cu_tqb)) {
+            if (bin(CTX_EXPLICIT_RDPCM_FLAG, c_idx ? 1 : 0))
+                explicit_rd = bin(CTX_EXPLICIT_RDPCM_DIR_FLAG,
+                                  c_idx ? 1 : 0);
+        }
         int scan_idx = SCAN_DIAG;
         if (cu_pred_mode == MODE_INTRA &&
             (log2_tr == 2 || (log2_tr == 3 && c_idx == 0) ||
@@ -1811,7 +1896,23 @@ struct Parser {
             int nb_signs = n_sig - ((P.sign_data_hiding && hidden) ? 1 : 0);
             uint32_t sign_bits = nb_signs
                 ? (cab.bypass_bits(nb_signs) << (16 - nb_signs)) : 0;
-            int rice = 0;
+            // persistent Rice adaptation (9.3.3.13; syntax.py:1244):
+            // per-CG init from StatCoeff, one stat update on the first
+            // coded remainder, no +1 cap while adapting
+            const int price = P.persistent_rice;
+            const int sb_type = (c_idx == 0 ? 2 : 0) +
+                ((transform_skip || cu_tqb) ? 1 : 0);
+            int rice = price ? (stat_coeff()[sb_type] >> 2) : 0;
+            int rice_done = 0;
+            auto bump = [&](int rem) {
+                if (price && !rice_done) {
+                    int r0 = stat_coeff()[sb_type] >> 2;
+                    if (rem >= (3 << r0)) stat_coeff()[sb_type]++;
+                    else if (2 * rem < (1 << r0) && stat_coeff()[sb_type])
+                        stat_coeff()[sb_type]--;
+                    rice_done = 1;
+                }
+            };
             int sum_abs = 0;
             for (int m = 0; m < n_sig; m++) {
                 int n = sig_idx[m];
@@ -1823,12 +1924,16 @@ struct Parser {
                     if (level == (m == first_g1 ? 3 : 2)) {
                         int rem = abs_level_remaining(rice);
                         level += rem;
-                        if (level > (3 << rice)) rice = imin(rice + 1, 4);
+                        if (level > (3 << rice))
+                            rice = price ? rice + 1 : imin(rice + 1, 4);
+                        bump(rem);
                     }
                 } else {
                     int rem = abs_level_remaining(rice);
                     level = 1 + rem;
-                    if (level > (3 << rice)) rice = imin(rice + 1, 4);
+                    if (level > (3 << rice))
+                        rice = price ? rice + 1 : imin(rice + 1, 4);
+                    bump(rem);
                 }
                 if (P.sign_data_hiding && hidden) {
                     sum_abs += level;
@@ -1858,11 +1963,30 @@ struct Parser {
         }
         int is_dst = (cu_pred_mode == MODE_INTRA && c_idx == 0 &&
                       log2_tr == 2) ? 1 : 0;
+        // transform-skip rotation: 4x4 intra TS blocks decode in
+        // reversed scan (hevc_cabac.c:1877; syntax.py:1303)
+        if (P.ts_rotation && log2_tr == 2 && cu_pred_mode == MODE_INTRA &&
+            transform_skip && !cu_tqb) {
+            for (int i = 0; i < 8; i++) {
+                int16_t t = levels[i];
+                levels[i] = levels[15 - i];
+                levels[15 - i] = t;
+            }
+        }
+        // RDPCM gates mirror syntax.py:1312-1328 (incl. the reference's
+        // rotation-flag gate on the TS implicit path)
         int rdpcm_mode = -1;
-        if ((cu_tqb || transform_skip) && P.implicit_rdpcm &&
-            cu_pred_mode == MODE_INTRA &&
-            (pred_mode_intra == 10 || pred_mode_intra == 26))
-            rdpcm_mode = pred_mode_intra == 26 ? 1 : 0;
+        int intra_1026 = cu_pred_mode == MODE_INTRA &&
+            (pred_mode_intra == 10 || pred_mode_intra == 26);
+        if (cu_tqb) {
+            if (explicit_rd >= 0 || (P.implicit_rdpcm && intra_1026))
+                rdpcm_mode = P.implicit_rdpcm
+                    ? (pred_mode_intra == 26 ? 1 : 0) : explicit_rd;
+        } else if (transform_skip) {
+            if (explicit_rd >= 0 || (P.ts_rotation && intra_1026))
+                rdpcm_mode = explicit_rd >= 0 ? explicit_rd
+                    : (pred_mode_intra == 26 ? 1 : 0);
+        }
         int flags = (is_dst ? 1 : 0) | (transform_skip ? 2 : 0) |
                     (cu_tqb ? 4 : 0) | (rdpcm_mode >= 0 ? 8 : 0) |
                     (rdpcm_mode == 1 ? 16 : 0) |
@@ -2029,10 +2153,15 @@ int hevc_parse_slice(const uint8_t* rbsp, int64_t size,
     int nss = params->num_substreams;
     unsigned hw = std::thread::hardware_concurrency();
     int T = (int)(hw ? (hw > 4 ? 4 : hw) : 1);
+    if (const char* e = getenv("OPENHEVC_PARSE_THREADS")) {
+        int v = atoi(e);
+        if (v >= 1 && v <= 16) T = v;
+    }
     bool wpp_mode = S.wpp && !S.tiles && nss == S.ctbs_h;
     int ntiles = S.tiles ? params->num_tile_cols * params->num_tile_rows
                          : 1;
     bool tile_mode = S.tiles && !S.wpp && nss == ntiles;
+    if (params->persistent_rice) T = 1;   // serial StatCoeff chain
     if (nss >= 2 && nss <= 128 && T >= 2 && (wpp_mode || tile_mode)) {
         if (T > nss) T = nss;
         if (wpp_mode) {
@@ -2142,7 +2271,7 @@ int hevc_parse_picture(int n_seg, const uint8_t* const* rbsps,
         if (params[i].dependent && prev) {
             // 7.4.7.1: dependent segment continues the slice — CABAC
             // contexts and QP-prediction state carry over
-            memcpy(pr->ctx, prev->ctx, NUM_CONTEXTS);
+            memcpy(pr->ctx, prev->ctx, CTX_STATE_BYTES);
             pr->qp_y = prev->qp_y;
             pr->qPy_pred = prev->qPy_pred;
             pr->cu_qp = pr->qp_y;

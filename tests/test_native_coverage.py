@@ -117,3 +117,79 @@ def test_native_multislice_filters_cuqp():
                                   seed=111, num_slices=2, sao=True,
                                   deblock=True, cu_qp_delta_depth=1)
     check_native(data, 2)
+
+
+# ---- RExt + chroma-format catch-up (round 2) ----------------------------
+
+def _native_exact(data, n):
+    d = Decoder("np")
+    pics = d.decode(data) + d.flush()
+    ref = ref_decode(data)
+    assert len(ref) == len(pics) == n
+    for i, f in enumerate(ref):
+        rp = ref_planes(f)
+        for c in range(3):
+            assert np.array_equal(
+                np.asarray(pics[i].cropped()[c], np.int64),
+                np.asarray(rp[c], np.int64)), (i, c)
+    assert d.stats["python_slices"] == 0, d.stats
+    assert d.stats["native_slices"] == n
+    return d
+
+
+def _frames444(W, H, n, rng):
+    yy, xx = np.mgrid[0:H, 0:W]
+    return [((((xx * 2 + yy * 3 + i * 10) % 256) * 0.7 +
+              rng.integers(0, 60, (H, W))).astype(np.uint8),
+             ((xx + i * 7 + 128) % 256).astype(np.uint8),
+             ((yy * 2 + i * 3) % 256).astype(np.uint8))
+            for i in range(n)]
+
+
+def test_native_444_intra():
+    rng = np.random.default_rng(201)
+    data, _ = encode_intra_stream(_frames444(64, 64, 3, rng), 64, 64,
+                                  qp=32, seed=201, chroma_format_idc=3)
+    _native_exact(data, 3)
+
+
+def test_native_444_inter_b():
+    rng = np.random.default_rng(202)
+    data, _ = encode_lowdelay_stream(_frames444(64, 64, 4, rng), 64, 64,
+                                     qp=32, seed=202,
+                                     chroma_format_idc=3, n_refs=2,
+                                     b_slices=True)
+    _native_exact(data, 4)
+
+
+def test_native_422_intra():
+    rng = np.random.default_rng(203)
+    data, _ = encode_intra_stream(_frames444(64, 64, 3, rng), 64, 64,
+                                  qp=31, seed=203, chroma_format_idc=2)
+    _native_exact(data, 3)
+
+
+def test_native_rext_tools():
+    """rotation / implicit RDPCM / persistent rice through the native
+    core, bit-exact vs the reference oracle."""
+    rng = np.random.default_rng(204)
+    from conftest import make_frames
+    fr = make_frames(64, 64, 3, rng, smooth=False)
+    for kw in (dict(rext_rotation=True, transform_skip=True),
+               dict(rext_implicit_rdpcm=True, transform_skip=True),
+               dict(rext_persistent_rice=True, transform_skip=True,
+                    qp=24)):
+        qp = kw.pop("qp", 32)
+        data, _ = encode_intra_stream(fr, 64, 64, qp=qp, seed=204, **kw)
+        _native_exact(data, 3)
+
+
+def test_native_rext_wpp_persistent_rice():
+    """StatCoeff rides the WPP context snapshots (CTX_STATE_BYTES)."""
+    rng = np.random.default_rng(205)
+    from conftest import make_frames
+    fr = make_frames(96, 64, 2, rng, smooth=False)
+    data, _ = encode_intra_stream(fr, 96, 64, qp=24, seed=205, wpp=True,
+                                  rext_persistent_rice=True,
+                                  transform_skip=True)
+    _native_exact(data, 2)
