@@ -283,8 +283,12 @@ def _parse_native(segments, sps, pps, nal_type, poc, ref_list, ss_starts,
     mv_refidx = np.empty(ng * 2, np.int8)
     sao = np.empty(sps.ctbs_h * sps.ctbs_w * 18, np.int16)
     n_pix = sps.width * sps.height
-    cb_cap = max(1024, ng)
-    lvl_cap = max(1 << 16, 2 * n_pix)
+    # arena capacity scales with the chroma format: luma contributes up
+    # to n_pix coefficient slots / ng 4x4 TBs, chroma another 0.5x (420),
+    # 1x (422) or 2x (444) of that
+    cmul = {0: 1, 1: 2, 2: 3, 3: 4}[sps.chroma_format_idc]
+    cb_cap = max(1024, ng * cmul)
+    lvl_cap = max(1 << 16, cmul * n_pix)
     ij_cap = cb_cap
     pcm_cap = max(256, ng // 4)
     pcm_arena = max(1 << 16, 2 * n_pix)

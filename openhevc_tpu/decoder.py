@@ -367,10 +367,20 @@ class Decoder:
             def job(rbsp=rbsp, sps=sps, pps=pps, sh=sh,
                     nal_type=nal_type, poc=poc, rl=rl,
                     ss_starts=ss_starts, cm=cm):
-                return parse_slice_native(
-                    rbsp, sps, pps, sh, nal_type, poc, ref_list=rl,
-                    ss_starts=ss_starts,
-                    col_motion=cm() if callable(cm) else cm)
+                cmv = cm() if callable(cm) else cm
+                try:
+                    return parse_slice_native(
+                        rbsp, sps, pps, sh, nal_type, poc, ref_list=rl,
+                        ss_starts=ss_starts, col_motion=cmv)
+                except ValueError:
+                    # native core refused (capacity/feature edge):
+                    # decode must survive — Python mirror in-worker
+                    self.stats["python_slices"] += 1
+                    self.stats["native_slices"] -= 1
+                    p = SliceDataParser(rbsp, sps, pps, sh, nal_type,
+                                        poc, ref_list=rl, col_motion=cmv,
+                                        start_ts=0, slice_no=0)
+                    return p.decode()
 
             fut = self._parse_executor.submit(job)
             self.stats["native_slices"] += 1

@@ -369,6 +369,13 @@ class JaxEngine:
         return self._fused_plan(fs) is not None
 
     def reconstruct(self, fs: FrameSymbols, ref_planes=None):
+        if getattr(fs.pps, "cross_component_prediction_enabled", 0):
+            # RExt cross-component prediction couples chroma residuals
+            # to the luma residual (hevc.c:1150); the device residual
+            # assembly does not carry that dependency yet — use the
+            # scalar recon for correctness (device cross-add: ROADMAP)
+            from .recon_np import reconstruct as np_recon
+            return np_recon(fs, ref_planes=ref_planes)
         H, W = fs.sps.height, fs.sps.width
         hs, vs = fs.sps.hshift1, fs.sps.vshift1
         if self._fused_ok(fs):

@@ -131,3 +131,32 @@ def test_jax_device_filters():
         for p, (got, want) in enumerate(zip(mine[i].cropped(),
                                             ref_planes(f))):
             assert np.array_equal(got, want), (i, p)
+
+
+def test_jax_engine_cclm_stream():
+    """Cross-component-prediction streams route through the scalar
+    recon (the device residual assembly lacks the luma->chroma
+    coupling); output must stay bit-exact vs the reference."""
+    import numpy as np
+    from conftest import ref_decode, ref_planes
+    from openhevc_tpu.decoder import Decoder
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    rng = np.random.default_rng(66)
+    yy, xx = np.mgrid[0:64, 0:64]
+    frames = [((((xx * 2 + yy * 3 + i * 10) % 256) * 0.7 +
+                rng.integers(0, 60, (64, 64))).astype(np.uint8),
+               ((xx + i * 7 + 128) % 256).astype(np.uint8),
+               ((yy * 2 + i * 3) % 256).astype(np.uint8))
+              for i in range(2)]
+    data, _ = encode_intra_stream(frames, 64, 64, qp=32, seed=66,
+                                  chroma_format_idc=3,
+                                  cross_component=True)
+    ref = ref_decode(data)
+    d = Decoder("jax")
+    pics = d.decode(data) + d.flush()
+    for i, f in enumerate(ref):
+        rp = ref_planes(f)
+        for c in range(3):
+            assert np.array_equal(
+                np.asarray(pics[i].cropped()[c], np.int64),
+                np.asarray(rp[c], np.int64)), (i, c)
