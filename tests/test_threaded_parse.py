@@ -17,13 +17,13 @@ def _collect(data, forced_serial):
     orig = nat.parse_slice_native
 
     def spy(rbsp, sps, pps, sh, nal_type, poc, ref_list=None,
-            ss_starts=None):
+            ss_starts=None, **kw):
         if forced_serial:
             ss_starts = None
         else:
             assert ss_starts, "expected entry points on this stream"
         fs = orig(rbsp, sps, pps, sh, nal_type, poc, ref_list=ref_list,
-                  ss_starts=ss_starts)
+                  ss_starts=ss_starts, **kw)
         outs.append(fs)
         return fs
 
