@@ -26,7 +26,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-VER = "r2a"          # bump to invalidate cached streams
+VER = "r3a"          # bump to invalidate cached streams
 CACHE = "/tmp/openhevc_tpu_bench"
 
 
@@ -67,7 +67,9 @@ def _frames444(W, H, n, seed=0):
 def gen_i_main():
     from openhevc_tpu.encoder.intra_enc import encode_intra_stream
     W, H = 832, 480
-    data, _ = encode_intra_stream(_frames(W, H, 12), W, H, qp=32,
+    # 32 frames: enough steady state that one-time costs (thread-pool
+    # spin-up, first-dispatch sync) don't dominate the mean
+    data, _ = encode_intra_stream(_frames(W, H, 32), W, H, qp=32,
                                   ctb_log2=6, seed=0, wpp=True)
     return data
 
@@ -76,8 +78,9 @@ def gen_ra_main():
     from openhevc_tpu.encoder.inter_enc import encode_ra_stream
     W, H = 1920, 1080
     # 1080 = 135 x 8: MinCbSizeY must be 8 (spec: pic dims are
-    # multiples of the minimum CB size)
-    data, _ = encode_ra_stream(_frames(W, H, 9), W, H, qp=35, gop=8,
+    # multiples of the minimum CB size); 17 frames = 2 full
+    # hierarchical-B GOPs
+    data, _ = encode_ra_stream(_frames(W, H, 17), W, H, qp=35, gop=8,
                                ctb_log2=6, min_cb_log2=3, seed=0,
                                tmvp=True)
     return data
@@ -181,11 +184,25 @@ def _hash_pics(pics):
     return hs
 
 
+def _wire_stats(dec, n):
+    """H2D/D2H byte counters of the decoder's engine(s) per frame
+    (BASELINE.md: wire bytes are THE budget on the tunneled link)."""
+    try:
+        engines = [dec._jax_engine] if hasattr(dec, "_jax_engine") \
+            else [dec.bl._jax_engine, dec.el._jax_engine]
+        h2d = sum(e.wire.h2d_bytes for e in engines if e is not None)
+        d2h = sum(e.wire.d2h_bytes for e in engines if e is not None)
+        return {"h2d_bytes_per_frame": round(h2d / max(n, 1)),
+                "d2h_bytes_per_frame": round(d2h / max(n, 1))}
+    except Exception:
+        return {}
+
+
 def bench_mine(kind, data, want_hashes, reps=2):
     dec = _mk_dec(kind)                      # warm-up (jit compiles)
     pics = dec.decode(data) + dec.flush()
     ok = _hash_pics(pics) == want_hashes
-    best, stages = 0.0, {}
+    best, stages, wire = 0.0, {}, {}
     for _ in range(reps):
         dec = _mk_dec(kind)
         t0 = time.perf_counter()
@@ -197,7 +214,8 @@ def bench_mine(kind, data, want_hashes, reps=2):
             best = len(pics) / dt
             t = dec.timers if kind != "shvc" else dec.el.timers
             stages = t.summary() if hasattr(t, "summary") else {}
-    return best, ok, stages
+            wire = _wire_stats(dec, len(pics))
+    return best, ok, stages, wire
 
 
 def bench_reference(data):
@@ -228,13 +246,13 @@ def main():
         if gen_only:
             continue
         want = golden(name, data)
-        fps, ok, stages = bench_mine(kind, data, want)
+        fps, ok, stages, wire = bench_mine(kind, data, want)
         ref_fps = bench_reference(data)
         vs = (fps / ref_fps) if ref_fps else 0.0
         results[name] = {"fps": round(fps, 4),
                          "ref_fps": round(ref_fps or 0.0, 4),
                          "vs_baseline": round(vs, 4),
-                         "bit_exact": bool(ok)}
+                         "bit_exact": bool(ok), **wire}
         log(f"[bench] {name}: {fps:.2f} fps (ref {ref_fps or 0:.2f}, "
             f"x{vs:.3f}, exact={ok})")
         if name.startswith("i_main"):

@@ -58,6 +58,8 @@ class OpenHevc:
         self.engine = engine
         self.check_md5 = False
         self.temporal_layer_id = 0
+        self._tl_set = False
+        self.err_recognition = 0
         self.active_decoders = 0
         self.view_layer = 0
         self.no_cropping = False
@@ -76,9 +78,29 @@ class OpenHevc:
             self._dec = ShvcDecoder(self.engine)   # SHVC 2-layer chain
         else:
             self._dec = Decoder(self.engine)
+        self._apply_temporal_layer()
+        self._apply_strict()
         if self._extradata is not None:
             self._dec.set_extradata(self._extradata)
         return 1
+
+    def _each_layer(self):
+        if self._dec is None:
+            return []
+        return [self._dec.bl, self._dec.el] if hasattr(self._dec, "bl") \
+            else [self._dec]
+
+    def _apply_temporal_layer(self):
+        # wrapper semantics (openHevcWrapper.c:450): the decoder keeps
+        # NALs with temporal_id <= val+1 once a layer has been selected;
+        # before any selection everything passes (hevc.c:4307 default 8)
+        v = (self.temporal_layer_id + 1) if self._tl_set else None
+        for d in self._each_layer():
+            d.temporal_layer = v
+
+    def _apply_strict(self):
+        for d in self._each_layer():
+            d.strict = bool(getattr(self, "err_recognition", 0))
 
     def close(self):
         self._dec = None
@@ -93,6 +115,14 @@ class OpenHevc:
 
     def set_temporal_layer_id(self, v: int):
         self.temporal_layer_id = v
+        self._tl_set = True
+        self._apply_temporal_layer()
+
+    def set_error_recognition(self, v: int):
+        """AV_EF_EXPLODE-style strictness: v != 0 raises DecodeError on
+        stream damage the default mode conceals (hevc.c:3497)."""
+        self.err_recognition = int(v)
+        self._apply_strict()
 
     def set_active_decoders(self, v: int):
         self.active_decoders = v
@@ -146,11 +176,18 @@ class OpenHevc:
             planes = pic.cropped() if not self.no_cropping else pic.planes
             if self.check_md5:
                 self._verify_md5(pic)
+            sps = pic.sps
+            # frameRate from VUI timing, SAR from VUI aspect info
+            # (openHevcWrapper.c:171-243 fills both from the codec ctx)
+            fr = (sps.time_scale, sps.num_units_in_tick) \
+                if sps.num_units_in_tick else (0, 1)
             info = FrameInfo(
                 nYPitch=planes[0].shape[1], nUPitch=planes[1].shape[1],
-                nVPitch=planes[2].shape[1], nBitDepth=pic.sps.bit_depth,
+                nVPitch=planes[2].shape[1], nBitDepth=sps.bit_depth,
                 nWidth=planes[0].shape[1], nHeight=planes[0].shape[0],
-                chromat_format=pic.sps.chroma_format_idc - 1,
+                chromat_format=sps.chroma_format_idc - 1,
+                frameRate=fr,
+                sample_aspect_ratio=(sps.sar_num, sps.sar_den),
                 display_picture_number=pic.poc)
             self._out_queue.append(OpenHevcFrame(planes=planes,
                                                  frame_info=info))

@@ -484,6 +484,9 @@ class SPS:
     num_units_in_tick: int = 0
     time_scale: int = 0
     max_sub_layers: int = 1
+    # VUI sample aspect ratio (Table E-1; 0/1 = unspecified)
+    sar_num: int = 0
+    sar_den: int = 1
 
     # ---- derived ----
     @property
@@ -630,12 +633,22 @@ def _parse_sps_common(r: BitReader, s: SPS, max_sub_layers_minus1: int,
     return s
 
 
+_SAR_TABLE = [(0, 1), (1, 1), (12, 11), (10, 11), (16, 11), (40, 33),
+              (24, 11), (20, 11), (32, 11), (80, 33), (18, 11), (15, 11),
+              (64, 33), (160, 99), (4, 3), (3, 2), (2, 1)]
+
+
 def _skip_vui(r: BitReader, s: SPS):
-    """7.3.2.2 VUI — parsed for bit-position correctness, values ignored."""
+    """7.3.2.2 VUI — parsed for bit-position correctness; timing and
+    SAR are retained (the wrapper surfaces them in FrameInfo, matching
+    openHevcWrapper.c:171-243's frameRate/sample_aspect_ratio)."""
     if r.read1():  # aspect_ratio_info_present
         idc = r.read(8)
         if idc == 255:
-            r.read(32)
+            s.sar_num = r.read(16)
+            s.sar_den = r.read(16)
+        elif idc < len(_SAR_TABLE):
+            s.sar_num, s.sar_den = _SAR_TABLE[idc]
     if r.read1():  # overscan_info_present
         r.read1()
     if r.read1():  # video_signal_type_present

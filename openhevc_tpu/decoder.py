@@ -16,6 +16,11 @@ from .bitstream import ps as PS
 from .bitstream.slice import parse_slice_header, is_idr, is_irap, I_SLICE
 from .bitstream.syntax import SliceDataParser
 
+class DecodeError(Exception):
+    """Raised in strict mode where default mode conceals
+    (err_recognition & AV_EF_EXPLODE behavior, hevc.c:3497)."""
+
+
 NAL_VPS, NAL_SPS, NAL_PPS = 32, 33, 34
 NAL_AUD, NAL_EOS, NAL_EOB, NAL_FD = 35, 36, 37, 38
 NAL_SEI_PREFIX, NAL_SEI_SUFFIX = 39, 40
@@ -61,7 +66,8 @@ class DecodedPicture:
 
 class Decoder:
     def __init__(self, engine: str = "np", native_parse: bool | None = None,
-                 layer: int = 0, mesh=None, wave_depth: int | None = None):
+                 layer: int = 0, mesh=None, wave_depth: int | None = None,
+                 temporal_layer: int | None = None, strict: bool = False):
         """engine: 'np' (scalar oracle) or 'jax' (TPU pipeline).
         native_parse: host parse via native/libhevcparse.so (default: auto,
         falls back to the Python parser if the build is unavailable).
@@ -75,6 +81,13 @@ class Decoder:
         self.engine = engine
         self.layer = layer
         self.mesh = mesh
+        # sub-layer selection: VCL NALs with temporal_id above this are
+        # dropped before parse (the AVOption "temporal-layer-id",
+        # openHevcWrapper.c:442 -> hevc.c decode_nal_unit gating)
+        self.temporal_layer = temporal_layer
+        # AV_EF_EXPLODE analogue (hevc.c:3497): raise on damage that the
+        # default mode conceals (missing references, parse fallbacks)
+        self.strict = strict
         self._wave = []                 # [(fs, pic)] parse-done intra pics
         self._wave_depth = wave_depth
         self._mesh_dec = None
@@ -186,6 +199,9 @@ class Decoder:
         elif nal_type in (NAL_SEI_PREFIX, NAL_SEI_SUFFIX):
             self._handle_sei(rbsp)
         elif nal_type <= 31 and layer_id == self.layer:
+            if self.temporal_layer is not None and \
+                    temporal_id > self.temporal_layer:
+                return              # sub-layer dropped before parse
             self._decode_slice(nal_type, temporal_id, rbsp,
                                esc_payload=nal[2:])
 
@@ -329,10 +345,15 @@ class Decoder:
                         del self.ref_pics[q]
             # missing-reference concealment (generate_missing_ref,
             # hevc_refs.c:538): fabricate mid-gray frames so decode
-            # continues deterministically
+            # continues deterministically; strict mode escalates instead
+            # (AV_EF_EXPLODE, hevc.c:3497)
             for lst in acc["ref_list"]:
                 for (p, _lt) in lst:
                     if p not in self.ref_pics:
+                        if self.strict:
+                            raise DecodeError(
+                                f"POC {poc}: reference picture {p} "
+                                f"missing from the DPB")
                         self.ref_pics[p] = self._missing_ref(p, sps)
         elif self._acc is None:
             return                      # RASL continuation segments
@@ -604,11 +625,28 @@ class Decoder:
             self.shvc_bl._flush_wave()
         if bl_pic is None or bl_pic.planes is None:
             return None
-        from .ops.upsample_np import upsample_il_frame, upscale_mv_field
-        planes = upsample_il_frame(bl_pic.planes, el_sps.width,
-                                   el_sps.height,
-                                   bit_depth=el_sps.bit_depth,
-                                   hs=el_sps.hshift1, vs=el_sps.vshift1)
+        from .ops.upsample_np import upscale_mv_field
+        if self.engine == "jax":
+            # production path: upsample the BL picture ON DEVICE from
+            # its device-resident planes and keep the IL reference
+            # device-resident for the EL's MC (no host round trip)
+            from .models.pipeline import JaxEngine, DevicePlanes
+            from .ops.upsample import upsample_il_frame_dev
+            if self._jax_engine is None:
+                self._jax_engine = JaxEngine()
+            bl_dev = [self._jax_engine._ref_plane_dev(bl_pic.planes, c,
+                                                      el_sps.bit_depth)
+                      for c in range(3)]
+            planes = DevicePlanes(upsample_il_frame_dev(
+                bl_dev, el_sps.width, el_sps.height,
+                bit_depth=el_sps.bit_depth,
+                hs=el_sps.hshift1, vs=el_sps.vshift1))
+        else:
+            from .ops.upsample_np import upsample_il_frame
+            planes = upsample_il_frame(bl_pic.planes, el_sps.width,
+                                       el_sps.height,
+                                       bit_depth=el_sps.bit_depth,
+                                       hs=el_sps.hshift1, vs=el_sps.vshift1)
         self._il_planes = {poc: planes}
         self._il_motion = None
         if bl_pic.motion is not None:

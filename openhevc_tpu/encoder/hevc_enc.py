@@ -335,7 +335,8 @@ def _write_vui_timing_hrd(bw: BitWriter):
     """VUI carrying timing info + NAL HRD parameters (7.3.2.11) so the
     decoder's skip-correct HRD parse (bitstream/ps.py _parse_hrd, mirroring
     hevc_ps.c:269-343) is exercised end-to-end."""
-    bw.put(0, 1)            # aspect_ratio_info_present
+    bw.put(1, 1)            # aspect_ratio_info_present
+    bw.put(1, 8)            # aspect_ratio_idc = 1 (square, Table E-1)
     bw.put(0, 1)            # overscan_info_present
     bw.put(0, 1)            # video_signal_type_present
     bw.put(0, 1)            # chroma_loc_info_present

@@ -106,7 +106,8 @@ class PFrameEncoder(IntraFrameEncoder):
                            inter_layer_pred=self.inter_layer_pred,
                            **hdr_kw)
         return wrap_nal(nal_type, bw.getvalue() + data,
-                        layer_id=self.layer_id)
+                        layer_id=self.layer_id,
+                        temporal_id=self.temporal_id)
 
     st_rps_idx = None     # override (SHVC EL uses the empty RPS)
     num_ref_l0 = None     # override for IL-only reference lists
@@ -655,22 +656,23 @@ NAL_RASL_R = 9
 NAL_CRA = 21
 
 
-def _pyramid_order(lo, hi):
+def _pyramid_order(lo, hi, level=1):
     """Decode order of the hierarchical-B pyramid over the open POC
     interval (lo, hi): mid level first, then each half recursively —
-    the HM random-access GOP structure."""
+    the HM random-access GOP structure. level = sub-layer depth (the
+    picture's TemporalId when sub-layers are emitted)."""
     if hi - lo < 2:
         return []
     mid = (lo + hi) // 2
-    return ([(mid, lo, hi)] + _pyramid_order(lo, mid) +
-            _pyramid_order(mid, hi))
+    return ([(mid, lo, hi, level)] + _pyramid_order(lo, mid, level + 1) +
+            _pyramid_order(mid, hi, level + 1))
 
 
 def encode_ra_stream(frames, width, height, qp=32, gop=8, ctb_log2=4,
                      min_cb_log2=3, seed=0, sao=False, deblock=False,
                      intra_period=None, tmvp=False, amp=False,
                      bit_depth=8, wpp=False, n_anchor_refs=2,
-                     chroma_format_idc=1):
+                     chroma_format_idc=1, temporal_ids=False):
     """Random-access stream: IDR + P anchors every `gop` pics with a
     hierarchical-B pyramid between anchors (output reordering,
     num_reorder_pics>0). Anchors at multiples of `intra_period` become
@@ -699,17 +701,18 @@ def encode_ra_stream(frames, width, height, qp=32, gop=8, ctb_log2=4,
     anchors = list(range(0, n, gop))
     if anchors[-1] != n - 1:
         anchors.append(n - 1)
-    order = [(0, NAL_IDR_N_LP, "I")]
+    order = [(0, NAL_IDR_N_LP, "I", 0)]
     last_irap = 0
     for k in range(1, len(anchors)):
         lo, hi = anchors[k - 1], anchors[k]
         is_cra = bool(intra_period) and hi % intra_period == 0
         if is_cra:
-            order.append((hi, NAL_CRA, "I"))
+            order.append((hi, NAL_CRA, "I", 0))
         else:
-            order.append((hi, NAL_TRAIL_R, "P"))
-        for (m, a, b) in _pyramid_order(lo, hi):
-            order.append((m, NAL_RASL_R if is_cra else NAL_TRAIL_R, "B"))
+            order.append((hi, NAL_TRAIL_R, "P", 0))
+        for (m, a, b, lvl) in _pyramid_order(lo, hi):
+            order.append((m, NAL_RASL_R if is_cra else NAL_TRAIL_R, "B",
+                          lvl if temporal_ids else 0))
         if is_cra:
             last_irap = hi
     # ---- per-frame used-reference sets (decode order) ----------------------
@@ -719,7 +722,7 @@ def encode_ra_stream(frames, width, height, qp=32, gop=8, ctb_log2=4,
     irap_at = {}     # poc -> last_irap at that frame's decode position
     li = 0
     banchors = []
-    for (p, nal, kind) in order:
+    for (p, nal, kind, _tid) in order:
         if kind == "I":
             used.append(set())
             if nal == NAL_CRA:
@@ -752,7 +755,7 @@ def encode_ra_stream(frames, width, height, qp=32, gop=8, ctb_log2=4,
     decoded = set()
     rps_key = []
     patterns = {}
-    for i, (p, nal, kind) in enumerate(order):
+    for i, (p, nal, kind, _tid) in enumerate(order):
         if i == 0:
             rps_key.append(None)
             decoded.add(p)
@@ -781,8 +784,9 @@ def encode_ra_stream(frames, width, height, qp=32, gop=8, ctb_log2=4,
         from ..decoder import Decoder
         self_dec = Decoder("np")
         self_dec.decode(headers)
-    for i, (p, nal, kind) in enumerate(order):
+    for i, (p, nal, kind, tid) in enumerate(order):
         y, u, v = frames[p]
+        enc.temporal_id = tid
         enc._parent_chroma = {}
         enc._pu_list = []
         if kind == "I":

@@ -155,6 +155,7 @@ class IntraFrameEncoder:
         return int(self.col_bd[c + 1] - self.col_bd[c])
 
     layer_id = 0          # SHVC: nuh_layer_id of emitted NALs
+    temporal_id = 0       # sub-layer id of emitted VCL NALs
     pps_id = 0
     inter_layer_pred = None   # EL slice-header flag (None: BL, absent)
 
@@ -182,7 +183,8 @@ class IntraFrameEncoder:
                            entry_point_offsets=eps, pps_id=self.pps_id,
                            inter_layer_pred=self.inter_layer_pred)
         return wrap_nal(nal_type, bw.getvalue() + data,
-                        layer_id=self.layer_id)
+                        layer_id=self.layer_id,
+                        temporal_id=self.temporal_id)
 
     def _encode_frame_sliced(self, nal_type, poc, num_st_rps, num_slices,
                              dependent, slice_type, **hdr_kw) -> bytes:
@@ -209,6 +211,7 @@ class IntraFrameEncoder:
                                segment_address=int(self.ts_order[st]),
                                dependent=dep, **hdr_kw)
             out += wrap_nal(nal_type, bw.getvalue() + data,
+                            temporal_id=self.temporal_id,
                             layer_id=self.layer_id)
         return out
 

@@ -274,6 +274,29 @@ def _pack_from_raw(fs: FrameSymbols):
     return res, {"stacked": stacked, "order": order}, n_levels
 
 
+class WireStats:
+    """Host<->device byte accounting (BASELINE.md: the tunneled wire is
+    THE budget). Counts intended payload bytes of the decode path's
+    uploads/downloads; surfaced per config by bench.py."""
+
+    def __init__(self):
+        self.h2d_bytes = 0
+        self.d2h_bytes = 0
+
+    def h2d(self, n):
+        self.h2d_bytes += int(n)
+
+    def d2h(self, n):
+        self.d2h_bytes += int(n)
+
+    def summary(self, frames=None):
+        out = {"h2d_bytes": self.h2d_bytes, "d2h_bytes": self.d2h_bytes}
+        if frames:
+            out["h2d_bytes_per_frame"] = round(self.h2d_bytes / frames)
+            out["d2h_bytes_per_frame"] = round(self.d2h_bytes / frames)
+        return out
+
+
 class JaxEngine:
     """Per-shape jit cache around the packed pipeline."""
 
@@ -285,6 +308,7 @@ class JaxEngine:
     def __init__(self):
         self._cache = {}
         self._fetch_pool = FetchPool()
+        self.wire = WireStats()
         # persistent XLA compile cache: shape buckets are coarse
         # (256-block / 1024-meta), so a production decode hits a handful
         # of programs — cache them across processes like the test suite
@@ -310,27 +334,48 @@ class JaxEngine:
         # that references it (ops/mc.mc_hprefilter).
         self._hf_cache = {}
 
+    def _ref_plane_dev(self, planes_obj, c, bd):
+        """Plane c of a reference picture as a DEVICE int32 array.
+        Device-resident decoded pictures (LazyPlanes keeping their flat
+        output alive, DevicePlanes from the SHVC upsampler) are sliced
+        on device — zero wire bytes; host-only pictures (np engine,
+        concealment frames) upload once."""
+        pd = getattr(planes_obj, "_planes_dev", None)
+        if pd is not None:
+            return pd[c].astype(jnp.int32)
+        flat = getattr(planes_obj, "_dev", None)
+        if flat is not None:
+            H, W, Hc, Wc = planes_obj._dims
+            return _slice_plane(flat, c=c, H=H, W=W, Hc=Hc, Wc=Wc)
+        src = np.asarray(planes_obj[c], np.int32)
+        self.wire.h2d(src.nbytes)
+        return jnp.asarray(src)
+
     def _hf_stack(self, pocs, ref_planes, c, bd):
         """Stage-1 MC prefilter stack [R, P, Hp, wn] for plane c of the
         listed reference pictures, R padded to a power of two to bound
-        jit specializations."""
+        jit specializations. Prefilter results are cached per decoded
+        picture (keyed by the planes object), so a reference is filtered
+        once no matter how many frames read it — and with the
+        device-resident DPB the source plane never crosses the wire."""
         import weakref
         from ..ops.mc import mc_hprefilter
         if not pocs:
             return None
         entries = []
         for p in pocs:
-            src = ref_planes[p][c]
-            key = (id(src), c)
+            obj = ref_planes[p]
+            tgt = obj if hasattr(obj, "_dims") else obj[c]
+            key = (id(tgt), c)
             hit = self._hf_cache.get(key)
             if hit is not None and hit[0] is not None and \
-                    hit[0]() is src:
+                    hit[0]() is tgt:
                 entries.append(hit[1])
                 continue
-            dev = mc_hprefilter(jnp.asarray(np.asarray(src, np.int32)),
+            dev = mc_hprefilter(self._ref_plane_dev(obj, c, bd),
                                 bit_depth=bd, is_luma=(c == 0))
             try:
-                wr = weakref.ref(src)
+                wr = weakref.ref(tgt)
             except TypeError:
                 wr = None
             self._hf_cache[key] = (wr, dev)
@@ -454,12 +499,42 @@ class JaxEngine:
 
         # ---- base planes (PCM prefill; inter prediction if present) -------
         prefill = True
+        dev_arenas = None
         if fs.inter_pbs:
-            pf = pack_frame(fs)
-            pf.inter = self._pack_inter(fs, ref_planes)
-            planes4 = self._run_inter_only(pf)      # [4, H, W] post-inter
-            luma = _embed_luma(planes4, hl, wl, H, W)
-            chroma = _embed_chroma(planes4, hc, wc, Hc, Wc)
+            inter = self._pack_inter(fs, ref_planes)
+            if inter is not None and inter["hf"][0] is not None and \
+                    not fs.pcm_blocks:
+                # all-device prefill: residual from the shared arena +
+                # two-stage MC over the device-resident DPB stacks; no
+                # frame-sized host upload for inter frames
+                dev_arenas = (jnp.asarray(arena4), jnp.asarray(arena16),
+                              jnp.asarray(escs))
+                self.wire.h2d(arena4.nbytes + arena16.nbytes + escs.nbytes)
+                wt = inter.get("wt")
+                wt_dev = None
+                denoms = None
+                if wt is not None:
+                    wt_dev = (jnp.asarray(wt["wg"]), jnp.asarray(wt["og"]))
+                    denoms = tuple(wt["denoms"])
+                    self.wire.h2d(wt["wg"].nbytes + wt["og"].nbytes)
+                self.wire.h2d(inter["pf4"].nbytes + inter["mv"].nbytes +
+                              inter["slot"].nbytes)
+                luma, chroma = _inter_prefill(
+                    dev_arenas[0], dev_arenas[1], dev_arenas[2],
+                    jnp.asarray(inter["pf4"]), jnp.asarray(inter["mv"]),
+                    jnp.asarray(inter["slot"]),
+                    inter["hf"][0], inter["hf"][1], inter["hf"][2],
+                    wt=wt_dev, caps=caps, H=H, W=W, Hc=Hc, Wc=Wc,
+                    hl=hl, wl=wl, hc=hc, wc=wc, bd=bd, hs=hs, vs=vs,
+                    denoms=denoms)
+            else:
+                # PCM+inter mix or no usable reference: legacy packed path
+                pf = pack_frame(fs)
+                pf.inter = inter
+                planes4 = self._run_inter_only(pf)   # [4, H, W] post-inter
+                self.wire.h2d(pf.planes0.nbytes)
+                luma = _embed_luma(planes4, hl, wl, H, W)
+                chroma = _embed_chroma(planes4, hc, wc, Hc, Wc)
         elif fs.pcm_blocks:
             p0 = np.zeros((hl, wl), np.int32)
             c0 = np.zeros((2, hc, wc), np.int32)
@@ -509,6 +584,11 @@ class JaxEngine:
                 fmask = (1 if pff["do_deblock"] else 0) |                         (2 if pff["do_sao"] else 0)
                 from ..ops.filters_jax import fargs_arrays
                 fargs = tuple(jnp.asarray(a) for a in fargs_arrays(pff))
+        if dev_arenas is not None:
+            arena4, arena16, escs = dev_arenas
+        else:
+            self.wire.h2d(arena4.nbytes + arena16.nbytes + escs.nbytes)
+        self.wire.h2d(meta.nbytes)
         flat = _frame_fused(arena4, arena16, escs, meta,
                             np.full((1, 1), n, np.int32),
                             luma, chroma, fargs,
@@ -523,7 +603,8 @@ class JaxEngine:
                             c444=sps.chroma_format_idc == 3,
                             strong=bool(sps.strong_intra_smoothing),
                             banded=banded)
-        lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool)
+        lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool,
+                        wire=self.wire)
         self._fetch_pool.add(lp)
         lp.device_filtered = fmask != 0
         return lp
@@ -549,16 +630,17 @@ class JaxEngine:
                        if p in ref_planes})
         slot_of = {p: i for i, p in enumerate(pocs)}
         h4, w4 = mc.pred_flag.shape
-        pf4 = np.asarray(mc.pred_flag, np.int32)
+        pf4 = np.asarray(mc.pred_flag, np.uint8)
         # drop lists whose referenced picture is unavailable (robustness)
-        slot = np.zeros((2, h4, w4), np.int32)
+        slot = np.zeros((2, h4, w4), np.uint8)
         for lx in range(2):
             pocg = np.asarray(mc.refpoc[:, :, lx])
-            s = np.zeros((h4, w4), np.int32)
+            s = np.zeros((h4, w4), np.uint8)
             for p, i in slot_of.items():
                 s[pocg == p] = i
             slot[lx] = s
-        mv = np.asarray(mc.mv, np.int32)          # [h4,w4,2,2]
+        mv = np.asarray(mc.mv, np.int16)          # [h4,w4,2,2] (qpel MVs
+        # are spec-bounded to +-2^15, hevc.h Mv int16 — exact in int16)
         bd = sps.bit_depth
         hf = {c: self._hf_stack(pocs, ref_planes, c, bd)
               for c in range(3)}
@@ -568,8 +650,8 @@ class JaxEngine:
             # (weighted uni/bi combine, ops/mc.py inter_combine_w)
             wt = fs.weights
             ridx = np.asarray(mc.ref_idx, np.int32)   # [h4,w4,2]
-            wg = np.zeros((2, 3, h4, w4), np.int32)
-            og = np.zeros((2, 3, h4, w4), np.int32)
+            wg = np.zeros((2, 3, h4, w4), np.int16)
+            og = np.zeros((2, 3, h4, w4), np.int16)
             for lx, key in enumerate(("l0", "l1")):
                 entries = wt.get(key)
                 if not entries:
@@ -767,23 +849,56 @@ class FetchPool:
                 p._fail(e)
 
 
+class DevicePlanes:
+    """[Y, Cb, Cr] kept as three device arrays (the SHVC inter-layer
+    reference, ops/upsample.upsample_il_frame_dev). Quacks like the
+    host plane list; host materialization is lazy and cached."""
+
+    def __init__(self, planes_dev):
+        self._planes_dev = planes_dev
+        self._mat = None
+
+    def get(self):
+        if self._mat is None:
+            self._mat = [np.asarray(p).astype(np.int32)
+                         for p in self._planes_dev]
+        return self._mat
+
+    def __getitem__(self, i):
+        return self.get()[i]
+
+    def __iter__(self):
+        return iter(self.get())
+
+    def __len__(self):
+        return 3
+
+
 class LazyPlanes:
     """Deferred device->host frame fetch (see FetchPool). Quacks like the
     [Y, Cb, Cr] list the rest of the decoder expects."""
 
     device_filtered = False
 
-    def __init__(self, flat, H, W, Hc, Wc, pool: FetchPool | None = None):
+    def __init__(self, flat, H, W, Hc, Wc, pool: FetchPool | None = None,
+                 wire: WireStats | None = None):
         import threading
         self._flat = flat
+        # the flat device output stays referenced while this picture
+        # lives: it IS the device-resident DPB entry (hevc_refs.c DPB
+        # planes), read back by later frames' MC with zero wire bytes
+        self._dev = flat
         self._dims = (H, W, Hc, Wc)
         self._mat = None
         self._exc = None
         self._done = threading.Event()
         self._pool = pool
+        self._wire = wire
 
     def _set_host(self, host):
         H, W, Hc, Wc = self._dims
+        if self._wire is not None:
+            self._wire.d2h(host.nbytes)
         host = host.astype(np.int32)
         self._mat = [host[:H * W].reshape(H, W),
                      host[H * W:H * W + Hc * Wc].reshape(Hc, Wc),
@@ -914,26 +1029,14 @@ def _derive_meta16(meta8, sdis, c444, strong):
                       mang, minv, m10, m11, m12, mavhi, z, z])
 
 
-@partial(jax.jit, static_argnames=("caps", "hl", "wl", "hc", "wc", "H", "W",
-                                   "Hc", "Wc", "bd", "npad", "prefill",
-                                   "filters", "cs", "bdc", "sdis", "c444",
-                                   "strong", "banded"))
-def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
-                 bounds=None,
-                 *, caps, hl, wl, hc, wc, H, W, Hc, Wc, bd, npad, prefill,
-                 filters=0, cs=64, bdc=8, sdis=False, c444=False,
-                 strong=False, banded=None):
-    """ONE dispatch for the whole post-parse frame: dequant+IDCT per size
-    bucket, residual scatter, fused Pallas intra wavefront, crop+downcast.
-    Minimal dispatches AND minimal bytes: the tunneled runtime gives a
-    ~55 MB/s SHARED up+down wire, so levels ship as 4-bit nibbles
-    (+escape scatter), the sideband as 3 int16/block, and the intra meta
-    as 8 rows with the derived rows rebuilt here on device."""
-    from ..ops.intra_fused import _build, _build_banded, OY, OX
-    # slot-granular scatter: TUs of size s are s-aligned in their plane,
-    # so each lands in exactly one cell of a [Hg*Wg, s, s] grid — XLA
-    # lowers the slot scatter with whole-(s,s)-window updates instead of
-    # per-element index arithmetic (was ~6 ms/frame, now <1).
+def _residual_acc(arena4, arena16, escs, *, caps, H, W, Hc, Wc, bd):
+    """Dequant+IDCT every residual bucket of the nibble arena and
+    accumulate into whole-plane maps: (acc_l [>=H, >=W] | None,
+    acc_c [2, >=Hc, >=Wc] | None). Slot-granular scatter: TUs of size s
+    are s-aligned in their plane, so each lands in exactly one cell of a
+    [Hg*Wg, s, s] grid — XLA lowers the slot scatter with
+    whole-(s,s)-window updates instead of per-element index arithmetic
+    (was ~6 ms/frame, now <1)."""
     acc_l = None         # [>=H, >=W] luma residual, accumulated per size
     acc_c = None         # [2, >=Hc, >=Wc]
     a8 = _unpack_nibbles(arena4)
@@ -983,6 +1086,100 @@ def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
             .reshape(2, hgc, wgc, s, s).transpose(0, 1, 3, 2, 4) \
             .reshape(2, hgc * s, wgc * s)
         acc_c = gc if acc_c is None else _acc_add2(acc_c, gc)
+    return acc_l, acc_c
+
+
+@partial(jax.jit, static_argnames=("caps", "H", "W", "Hc", "Wc",
+                                   "hl", "wl", "hc", "wc", "bd",
+                                   "hs", "vs", "denoms"))
+def _inter_prefill(arena4, arena16, escs, pf4, mv, slot, hf0, hf1, hf2,
+                   wt=None, *, caps, H, W, Hc, Wc, hl, wl, hc, wc, bd,
+                   hs, vs, denoms=None):
+    """Device-side inter-prediction prefill for the fused frame path:
+    residual assembly from the (shared) nibble arena + two-stage MC from
+    the DEVICE-RESIDENT stage-1 stacks + uni/bi (weighted) combine.
+    Returns (luma [hl, wl], chroma [2, hc, wc]) int32 padded buffers
+    ready to hand to _frame_fused as its prefill — intra pixels are 0.
+    Nothing frame-sized crosses the host wire: uploads are the arenas,
+    the [h4, w4] motion grids and (when weighted) the weight grids.
+
+    Parity: luma_mc_uni/bi + chroma_mc_uni/bi (hevc.c:1641-1949) with
+    put_hevc_qpel/epel + weighted combine (hevcdsp_template.c)."""
+    from ..ops.mc import mc_put_core, combine_plane, combine_plane_w
+    from ..ops.intra_fused import OY, OX
+    acc_l, acc_c = _residual_acc(arena4, arena16, escs, caps=caps,
+                                 H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
+    pf4 = pf4.astype(jnp.int32)
+    outs = []
+    for c in range(3):
+        is_luma = c == 0
+        ph = H if is_luma else Hc
+        pw = W if is_luma else Wc
+        reph = 4 if is_luma else 4 >> hs
+        repv = 4 if is_luma else 4 >> vs
+        hf = (hf0, hf1, hf2)[c]
+        puts = [mc_put_core(hf, mv[:, :, lx], slot[lx], bit_depth=bd,
+                            is_luma=is_luma, hs=hs, vs=vs, H=ph, W=pw)
+                for lx in range(2)]
+        pf = jnp.repeat(jnp.repeat(pf4, repv, 0), reph, 1)[:ph, :pw]
+        if acc_l is None:
+            res = jnp.zeros((ph, pw), jnp.int32)
+        elif is_luma:
+            res = acc_l[:H, :W]
+        else:
+            res = acc_c[c - 1, :Hc, :Wc]
+        if wt is not None:
+            def up(a):
+                return jnp.repeat(jnp.repeat(a.astype(jnp.int32),
+                                             repv, 0), reph, 1)[:ph, :pw]
+            wg, og = wt
+            outs.append(combine_plane_w(
+                puts[0], puts[1], pf, res, up(wg[0, c]), up(og[0, c]),
+                up(wg[1, c]), up(og[1, c]), bit_depth=bd,
+                denom=denoms[0 if is_luma else 1]))
+        else:
+            outs.append(combine_plane(puts[0], puts[1], pf, res,
+                                      bit_depth=bd))
+    luma = jnp.zeros((hl, wl), jnp.int32).at[
+        OY:OY + H, OX:OX + W].set(outs[0])
+    chroma = jnp.zeros((2, hc, wc), jnp.int32)
+    chroma = chroma.at[0, OY:OY + Hc, OX:OX + Wc].set(outs[1])
+    chroma = chroma.at[1, OY:OY + Hc, OX:OX + Wc].set(outs[2])
+    return luma, chroma
+
+
+@partial(jax.jit, static_argnames=("c", "H", "W", "Hc", "Wc"))
+def _slice_plane(flat, *, c, H, W, Hc, Wc):
+    """Plane c of a decoded picture's device-resident flat output
+    (uint8/uint16 concat of Y, Cb, Cr) as an int32 [h, w] array —
+    the device-resident-DPB read path (no host round trip)."""
+    if c == 0:
+        return flat[:H * W].reshape(H, W).astype(jnp.int32)
+    if c == 1:
+        return flat[H * W:H * W + Hc * Wc].reshape(Hc, Wc) \
+            .astype(jnp.int32)
+    return flat[H * W + Hc * Wc:H * W + 2 * Hc * Wc].reshape(Hc, Wc) \
+        .astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("caps", "hl", "wl", "hc", "wc", "H", "W",
+                                   "Hc", "Wc", "bd", "npad", "prefill",
+                                   "filters", "cs", "bdc", "sdis", "c444",
+                                   "strong", "banded"))
+def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
+                 bounds=None,
+                 *, caps, hl, wl, hc, wc, H, W, Hc, Wc, bd, npad, prefill,
+                 filters=0, cs=64, bdc=8, sdis=False, c444=False,
+                 strong=False, banded=None):
+    """ONE dispatch for the whole post-parse frame: dequant+IDCT per size
+    bucket, residual scatter, fused Pallas intra wavefront, crop+downcast.
+    Minimal dispatches AND minimal bytes: the tunneled runtime gives a
+    ~55 MB/s SHARED up+down wire, so levels ship as 4-bit nibbles
+    (+escape scatter), the sideband as 3 int16/block, and the intra meta
+    as 8 rows with the derived rows rebuilt here on device."""
+    from ..ops.intra_fused import _build, _build_banded, OY, OX
+    acc_l, acc_c = _residual_acc(arena4, arena16, escs, caps=caps,
+                                 H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
     res_l = jnp.zeros((hl, wl), jnp.int32)
     res_c = jnp.zeros((2, hc, wc), jnp.int32)
     if acc_l is not None:

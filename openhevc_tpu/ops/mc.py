@@ -63,16 +63,17 @@ def mc_hprefilter(ref, bit_depth: int, is_luma: bool):
     return (acc >> shift1).astype(jnp.int16)
 
 
-@partial(jax.jit,
-         static_argnames=("bit_depth", "is_luma", "hs", "vs", "H", "W"))
-def mc_put(hf, mv4, slot4, bit_depth: int, is_luma: bool, hs: int,
-           vs: int, H: int, W: int):
-    """hf: [R, P, Hp, wn] int16 stage-1 stack. mv4: [h4, w4, 2] int32
+def mc_put_core(hf, mv4, slot4, bit_depth: int, is_luma: bool, hs: int,
+                vs: int, H: int, W: int):
+    """hf: [R, P, Hp, wn] int16 stage-1 stack. mv4: [h4, w4, 2] int
     (this list's luma quarter-pel MVs at 4x4 granularity), slot4:
-    [h4, w4] int32 ref-slot grid. Chroma offset/phase follow
+    [h4, w4] int ref-slot grid. Chroma offset/phase follow
     hevc.c:1807-1813 (offset = mv >> (2+shift), phase =
     (mv & mask) << (1-shift)). Returns the 14-bit 'put' intermediate
-    [H, W] int32 for this plane."""
+    [H, W] int32 for this plane. (Traceable core; mc_put is the jitted
+    wrapper.)"""
+    mv4 = mv4.astype(jnp.int32)
+    slot4 = slot4.astype(jnp.int32)
     R, P, Hp, wn = hf.shape
     taps = 8 if is_luma else 4
     fbx = 2 if is_luma else 2 + hs
@@ -106,6 +107,46 @@ def mc_put(hf, mv4, slot4, bit_depth: int, is_luma: bool, hs: int,
     return acc >> 6
 
 
+mc_put = partial(jax.jit, static_argnames=(
+    "bit_depth", "is_luma", "hs", "vs", "H", "W"))(mc_put_core)
+
+
+def combine_plane(put0, put1, pf, res, bit_depth: int):
+    """Per-plane default (non-weighted) uni/bi combine + residual add:
+    pf is the pixel-granular pred_flag (0 intra, 1 L0, 2 L1, 3 BI);
+    intra pixels return 0 (the caller's prefill base). Mirrors
+    inter_combine without the [4, H, W] stack."""
+    maxv = (1 << bit_depth) - 1
+    shift_u = 14 - bit_depth
+    off_u = 1 << (shift_u - 1)
+    shift_b = 15 - bit_depth
+    off_b = 1 << (shift_b - 1)
+    uni0 = (put0 + off_u) >> shift_u
+    uni1 = (put1 + off_u) >> shift_u
+    bi = (put0 + put1 + off_b) >> shift_b
+    pred = jnp.where(pf == 3, bi, jnp.where(pf == 2, uni1, uni0))
+    pred = jnp.clip(pred, 0, maxv)
+    return jnp.where(pf > 0, jnp.clip(pred + res, 0, maxv), 0)
+
+
+def combine_plane_w(put0, put1, pf, res, w0, o0, w1, o1,
+                    bit_depth: int, denom: int):
+    """Per-plane weighted-prediction combine (put_hevc_*_uni_w/bi_w
+    semantics; see inter_combine_w)."""
+    maxv = (1 << bit_depth) - 1
+    osc = 1 << (bit_depth - 8)
+    shift_u = denom + 14 - bit_depth
+    off_u = 1 << (shift_u - 1) if shift_u > 0 else 0
+    uni0 = ((put0 * w0 + off_u) >> shift_u) + o0 * osc
+    uni1 = ((put1 * w1 + off_u) >> shift_u) + o1 * osc
+    log2wd = denom + (15 - bit_depth) - 1
+    bi = (put1 * w1 + put0 * w0 +
+          ((o0 * osc + o1 * osc + 1) << log2wd)) >> (log2wd + 1)
+    pred = jnp.where(pf == 3, bi, jnp.where(pf == 2, uni1, uni0))
+    pred = jnp.clip(pred, 0, maxv)
+    return jnp.where(pf > 0, jnp.clip(pred + res, 0, maxv), 0)
+
+
 @partial(jax.jit,
          static_argnames=("bit_depth", "denom", "reph", "repv"),
          donate_argnums=(0,))
@@ -119,7 +160,8 @@ def inter_combine_w(planes, res_planes, put0, put1, pf4, w0, o0, w1, o1,
     H, W = put0.shape
 
     def up(a):
-        return jnp.repeat(jnp.repeat(a, repv, 0), reph, 1)[:H, :W]
+        return jnp.repeat(jnp.repeat(a.astype(jnp.int32), repv, 0),
+                          reph, 1)[:H, :W]
 
     pf = up(pf4)
     w0, o0, w1, o1 = up(w0), up(o0), up(w1), up(o1)

@@ -17,14 +17,14 @@ from .upsample_np import UP_FILTER_LUMA, UP_FILTER_CHROMA, scale_add
 
 
 def _axis_plan(n_out, n_in, scale, add, ntaps, filt, left=0, right=0,
-               end_minus1=False):
+               end_minus1=False, off16=0):
     half = (ntaps >> 1) - 1
     end = n_out - right - (1 if end_minus1 else 0)
     idx = np.zeros((n_out, ntaps), np.int32)
     coef = np.zeros((n_out, ntaps), np.int32)
     for i in range(n_out):
         x = min(max(i, left), end)
-        ref16 = ((x - left) * scale + add) >> 12
+        ref16 = (((x - left) * scale + add) >> 12) + off16
         phase = ref16 & 15
         refpos = (ref16 >> 4) - half
         idx[i] = np.clip(np.arange(refpos, refpos + ntaps), 0, n_in - 1)
@@ -45,6 +45,66 @@ def _upsample_kernel(bl, hidx, hcoef, vidx, vcoef, col_map, bit_depth: int):
     nshift = 20 - 8
     return jnp.clip((acc + (1 << (nshift - 1))) >> nshift,
                     0, (1 << bit_depth) - 1)
+
+
+_PLAN_CACHE: dict = {}
+
+
+def _plans(bl_w, bl_h, el_w, el_h, luma, win, off16_y, phase_align=0):
+    """Cached (hidx, hcoef, vidx, vcoef, col_map) device arrays for one
+    (BL dims -> EL dims) plane mapping — computed once per stream."""
+    key = (bl_w, bl_h, el_w, el_h, luma, win, off16_y, phase_align)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    filt = UP_FILTER_LUMA if luma else UP_FILTER_CHROMA
+    ntaps = filt.shape[1]
+    left, right, top, bottom = win
+    if luma:
+        sx, ax = scale_add(bl_w, el_w)
+        sy, ay = scale_add(bl_h, el_h)
+    else:
+        # chroma reuses the luma-derived scales (hevc.c:487); vertical
+        # phase is 1 (+alignment), and the vertical position has the
+        # -4/16 offset (hevcdsp_template.c chroma pass)
+        sx, _ = scale_add(bl_w * 2, el_w * 2)
+        sy, _ = scale_add(bl_h * 2, el_h * 2)
+        ax = ((phase_align * sx + 2) >> 2) + (1 << 11)
+        ay = (((1 + phase_align) * sy + 2) >> 2) + (1 << 11)
+    hidx, hcoef = _axis_plan(el_w, bl_w, sx, ax, ntaps, filt, left, right)
+    vidx, vcoef = _axis_plan(el_h, bl_h, sy, ay, ntaps, filt, top, bottom,
+                             end_minus1=True, off16=off16_y)
+    col_map = np.clip(np.arange(el_w), left,
+                      el_w - right - 1).astype(np.int32)
+    out = (jnp.asarray(hidx), jnp.asarray(hcoef.astype(np.int32)),
+           jnp.asarray(vidx), jnp.asarray(vcoef.astype(np.int32)),
+           jnp.asarray(col_map))
+    if len(_PLAN_CACHE) > 64:
+        _PLAN_CACHE.clear()
+    _PLAN_CACHE[key] = out
+    return out
+
+
+def upsample_il_frame_dev(planes_dev, el_w, el_h, bit_depth=8,
+                          hs=1, vs=1):
+    """Device-resident inter-layer reference: upsample the decoded BL
+    [Y, Cb, Cr] device planes to EL dimensions entirely on device —
+    the production SHVC path (whole-frame variant of ff_upsample_block,
+    hevc_filter.c:1175-1370; scale/phase rules hevc.c:473-487). Returns
+    three device arrays; nothing crosses the host wire."""
+    y = planes_dev[0]
+    bl_h, bl_w = y.shape
+    out = [_upsample_kernel(y, *_plans(bl_w, bl_h, el_w, el_h, True,
+                                       (0, 0, 0, 0), 0),
+                            bit_depth=bit_depth)]
+    for c in (1, 2):
+        p = planes_dev[c]
+        bh, bw = p.shape
+        out.append(_upsample_kernel(
+            p, *_plans(bw, bh, el_w >> hs, el_h >> vs, False,
+                       (0, 0, 0, 0), -4),
+            bit_depth=bit_depth))
+    return out
 
 
 def upsample_plane_jax(bl, el_w, el_h, scale_x, add_x, scale_y, add_y,

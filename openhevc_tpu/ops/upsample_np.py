@@ -151,41 +151,49 @@ def upscale_mv_field(bl_motion, bl_w, bl_h, el_w, el_h, grid_h4, grid_w4,
     for P EL slices (the reference then scales list 0 only but still
     copies the full pred_flag — reproduced). Returns (pred_flag4, mv4,
     refpoc4) grids of [grid_h4, grid_w4] shape."""
-    pf_b, mv_b, poc_b = bl_motion[0], bl_motion[1], bl_motion[2]
-    pf = np.zeros((grid_h4, grid_w4), np.uint8)
-    mv = np.zeros((grid_h4, grid_w4, 2, 2), np.int32)
-    poc = np.zeros((grid_h4, grid_w4, 2), np.int32)
+    pf_b = np.asarray(bl_motion[0])
+    mv_b = np.asarray(bl_motion[1], np.int64)
+    poc_b = np.asarray(bl_motion[2])
     scale_x = ((bl_w << 16) + (el_w >> 1)) // el_w
     scale_y = ((bl_h << 16) + (el_h >> 1)) // el_h
     sf_x = int(np.clip(((el_w << 8) + (bl_w >> 1)) // bl_w, -4096, 4095))
     sf_y = int(np.clip(((el_h << 8) + (bl_h >> 1)) // bl_h, -4096, 4095))
     snr = scale_x == 65536 and scale_y == 65536
-    for y_el in range(0, el_h, 16):
-        for x_el in range(0, el_w, 16):
-            x_bl = (((min(x_el + 8, el_w - 1)) * scale_x +
-                     (1 << 15)) >> 16) + 4
-            y_bl = (((min(y_el + 8, el_h - 1)) * scale_y +
-                     (1 << 15)) >> 16) + 4
-            ys, xs = y_el >> 2, x_el >> 2
-            ye = min(ys + 4, grid_h4)
-            xe = min(xs + 4, grid_w4)
-            if not (x_bl < bl_w and y_bl < bl_h):
-                continue
-            b4y, b4x = (y_bl >> 4) << 2, (x_bl >> 4) << 2
-            pfb = int(pf_b[b4y, b4x])
-            if not pfb:
-                continue
-            pf[ys:ye, xs:xe] = pfb
-            if snr:
-                mv[ys:ye, xs:xe] = mv_b[b4y, b4x]
-                poc[ys:ye, xs:xe] = poc_b[b4y, b4x]
-                continue
-            for lx in range(nb_list):
-                px = sf_x * int(mv_b[b4y, b4x, lx, 0])
-                py = sf_y * int(mv_b[b4y, b4x, lx, 1])
-                mv[ys:ye, xs:xe, lx, 0] = np.clip(
-                    (px + 127 + (1 if px < 0 else 0)) >> 8, -32768, 32767)
-                mv[ys:ye, xs:xe, lx, 1] = np.clip(
-                    (py + 127 + (1 if py < 0 else 0)) >> 8, -32768, 32767)
-                poc[ys:ye, xs:xe, lx] = poc_b[b4y, b4x, lx]
+    # vectorized over the 16x16 EL block grid
+    x_el = np.arange(0, el_w, 16)
+    y_el = np.arange(0, el_h, 16)
+    x_bl = ((np.minimum(x_el + 8, el_w - 1) * scale_x + (1 << 15))
+            >> 16) + 4
+    y_bl = ((np.minimum(y_el + 8, el_h - 1) * scale_y + (1 << 15))
+            >> 16) + 4
+    valid = (y_bl[:, None] < bl_h) & (x_bl[None, :] < bl_w)
+    b4y = np.minimum((y_bl >> 4) << 2, pf_b.shape[0] - 1)
+    b4x = np.minimum((x_bl >> 4) << 2, pf_b.shape[1] - 1)
+    pfb = np.where(valid, pf_b[b4y[:, None], b4x[None, :]], 0)
+    mvb = mv_b[b4y[:, None], b4x[None, :]]        # [ny, nx, 2, 2]
+    pocb = poc_b[b4y[:, None], b4x[None, :]]      # [ny, nx, 2]
+    if snr:
+        mv_blk = mvb.astype(np.int32)
+        poc_blk = pocb
+    else:
+        p = mvb * np.array([sf_x, sf_y], np.int64)     # per-axis product
+        mv_blk = np.clip((p + 127 + (p < 0)) >> 8,
+                         -32768, 32767).astype(np.int32)
+        if nb_list < 2:
+            mv_blk[:, :, 1] = 0
+        poc_blk = pocb.copy()
+        if nb_list < 2:
+            poc_blk[:, :, 1] = 0
+    live = pfb != 0
+    mv_blk = np.where(live[..., None, None], mv_blk, 0)
+    poc_blk = np.where(live[..., None], poc_blk, 0)
+    rep = lambda a: np.repeat(np.repeat(a, 4, 0), 4, 1)  # noqa: E731
+    pf = np.zeros((grid_h4, grid_w4), np.uint8)
+    mv = np.zeros((grid_h4, grid_w4, 2, 2), np.int32)
+    poc = np.zeros((grid_h4, grid_w4, 2), np.int32)
+    h = min(grid_h4, pfb.shape[0] * 4)
+    w = min(grid_w4, pfb.shape[1] * 4)
+    pf[:h, :w] = rep(pfb.astype(np.uint8))[:h, :w]
+    mv[:h, :w] = rep(mv_blk)[:h, :w]
+    poc[:h, :w] = rep(poc_blk)[:h, :w]
     return pf, mv, poc

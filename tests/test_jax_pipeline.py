@@ -160,3 +160,86 @@ def test_jax_engine_cclm_stream():
             assert np.array_equal(
                 np.asarray(pics[i].cropped()[c], np.int64),
                 np.asarray(rp[c], np.int64)), (i, c)
+
+
+def _capture_inter_jobs(data):
+    """Decode with the jax engine on CPU, capturing every inter picture's
+    (fs, ref_planes) reconstruction inputs."""
+    from openhevc_tpu.models.pipeline import JaxEngine
+    jobs = []
+    orig = JaxEngine.reconstruct
+
+    def spy(self, fs, ref_planes=None):
+        if fs.inter_pbs:
+            jobs.append((fs, dict(ref_planes or {})))
+        return orig(self, fs, ref_planes=ref_planes)
+
+    JaxEngine.reconstruct = spy
+    try:
+        d = Decoder("jax")
+        d.decode(data)
+        d.flush()
+    finally:
+        JaxEngine.reconstruct = orig
+    assert jobs
+    return jobs
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_inter_prefill_matches_legacy_path(weighted):
+    """The all-device inter prefill (_inter_prefill: arena residual +
+    two-stage MC + combine, used by the fused TPU path) must equal the
+    legacy packed path (_run_inter_only) on the same picture."""
+    import jax.numpy as jnp
+    from test_inter import moving_frames
+    from openhevc_tpu.encoder.inter_enc import encode_lowdelay_stream
+    from openhevc_tpu.models.pipeline import (
+        JaxEngine, _inter_prefill, _pack_arena, _res_buckets, pack_frame)
+    from openhevc_tpu.ops.intra_fused import padded_dims, OY, OX
+    rng = np.random.default_rng(7)
+    frames = moving_frames(96, 64, 4, rng)
+    data, _ = encode_lowdelay_stream(frames, 96, 64, qp=30, ctb_log2=4,
+                                     seed=7, n_refs=2, b_slices=True,
+                                     weighted=weighted)
+    for fs, refs in _capture_inter_jobs(data):
+        eng = JaxEngine()
+        inter = eng._pack_inter(fs, refs)
+        assert inter["hf"][0] is not None
+        npk = fs.native_pack
+        if npk is not None:
+            arena4, arena16, escs, caps = (npk["arena4"], npk["arena16"],
+                                           npk["esc"], npk["caps"])
+        else:
+            arena4, arena16, escs, caps = _pack_arena(_res_buckets(fs))
+        sps = fs.sps
+        H, W = sps.height, sps.width
+        Hc, Wc = H >> sps.vshift1, W >> sps.hshift1
+        hl, wl = padded_dims(H, W)
+        hc, wc = padded_dims(Hc, Wc)
+        wt = inter.get("wt")
+        wt_dev = None
+        denoms = None
+        if wt is not None:
+            wt_dev = (jnp.asarray(wt["wg"]), jnp.asarray(wt["og"]))
+            denoms = tuple(wt["denoms"])
+        if weighted:
+            assert wt is not None, "expected weighted-pred stream"
+        luma, chroma = _inter_prefill(
+            jnp.asarray(arena4), jnp.asarray(arena16), jnp.asarray(escs),
+            jnp.asarray(inter["pf4"]), jnp.asarray(inter["mv"]),
+            jnp.asarray(inter["slot"]),
+            inter["hf"][0], inter["hf"][1], inter["hf"][2],
+            wt=wt_dev, caps=caps, H=H, W=W, Hc=Hc, Wc=Wc,
+            hl=hl, wl=wl, hc=hc, wc=wc, bd=sps.bit_depth,
+            hs=sps.hshift1, vs=sps.vshift1, denoms=denoms)
+        pf = pack_frame(fs)
+        pf.inter = inter
+        planes4 = np.asarray(eng._run_inter_only(pf))
+        # legacy path leaves intra pixels at planes0 (zeros here); the
+        # prefill leaves them 0 too -> direct equality on the crop
+        got_y = np.asarray(luma)[OY:OY + H, OX:OX + W]
+        got_cb = np.asarray(chroma)[0, OY:OY + Hc, OX:OX + Wc]
+        got_cr = np.asarray(chroma)[1, OY:OY + Hc, OX:OX + Wc]
+        assert np.array_equal(got_y, planes4[0, :H, :W])
+        assert np.array_equal(got_cb, planes4[1, :Hc, :Wc])
+        assert np.array_equal(got_cr, planes4[2, :Hc, :Wc])

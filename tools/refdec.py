@@ -69,7 +69,7 @@ class RefDecoder:
     """One-shot reference decode of an Annex-B bytestream."""
 
     def __init__(self, nb_threads: int = 1, thread_type: int = 1,
-                 check_md5: bool = False, temporal_layer: int = 0,
+                 check_md5: bool = False, temporal_layer: int | None = None,
                  active_decoders: int = 0):
         ensure_built()
         lib = ctypes.CDLL(LIB_PATH)
@@ -93,10 +93,12 @@ class RefDecoder:
             lib.libOpenHevcSetActiveDecoders(self.handle, active_decoders)
             lib.libOpenHevcSetViewLayers(self.handle, active_decoders)
         lib.libOpenHevcSetCheckMD5(self.handle, 1 if check_md5 else 0)
-        if temporal_layer:
-            lib.libOpenHevcSetTemporalLayer_id(self.handle, temporal_layer)
         rc = lib.libOpenHevcStartDecoder(self.handle)
         assert rc == 1, f"libOpenHevcStartDecoder failed: {rc}"
+        if temporal_layer is not None:
+            # must come after StartDecoder: hevc_init_context resets
+            # temporal_layer_id to 8 (hevc.c:4307)
+            lib.libOpenHevcSetTemporalLayer_id(self.handle, temporal_layer)
         self._closed = False
 
     def _get_frame(self, got: int) -> DecodedFrame | None:
