@@ -88,7 +88,7 @@ class Decoder:
         # AV_EF_EXPLODE analogue (hevc.c:3497): raise on damage that the
         # default mode conceals (missing references, parse fallbacks)
         self.strict = strict
-        self._wave = []                 # [(fs, pic)] parse-done intra pics
+        self._wave_sched = None         # WaveScheduler (mesh wave path)
         self._wave_depth = wave_depth
         self._mesh_dec = None
         self.shvc_bl: Decoder | None = None
@@ -515,17 +515,32 @@ class Decoder:
         snapshot pins the reference pictures this picture needs, so
         later IDR resets / evictions cannot invalidate the deferred
         reconstruct."""
-        # mesh wave path: an independent (intra, no-IL) picture joins
-        # the current wave instead of the 1-deep pipeline; anything that
-        # may reference wave members flushes the wave first
+        # mesh wave path (pthread_frame.c:325 analogue): pictures whose
+        # references all lie OUTSIDE the current wave batch into one
+        # sharded dispatch — intra pictures always qualify; inter
+        # pictures qualify until one references a wave member (the
+        # WaveScheduler then flushes and starts a new wave). In a
+        # hierarchical-B GOP the same-level B pictures form waves.
         if self.mesh is not None and self.engine == "jax":
-            if not fs.inter_pbs and not il:
-                if self._wave and (self._wave[0][0].sps is not sps or
-                                   len(self._wave) >= self._wave_max()):
+            if not il and fs.weights is None:
+                if self._wave_sched is None:
+                    from .parallel import WaveScheduler
+                    self._wave_sched = WaveScheduler(self._wave_max())
+                used = (set(fs.ref_poc_l0) | set(fs.ref_poc_l1)) \
+                    if fs.inter_pbs else set()
+                src = self.ref_pics if pins is None else \
+                    {**self.ref_pics, **pins}
+                refs_pin = {p: src[p] for p in used if p in src}
+                w = self._wave_sched
+                if len(w) and w._wave[0][1][0].sps is not sps:
                     self._flush_wave()
-                self._wave.append((fs, pic))
-                if len(self._wave) >= self._wave_max():
-                    self._flush_wave()
+                flushed = w.add(id(pic),
+                                {id(o) for o in refs_pin.values()},
+                                (fs, pic, refs_pin))
+                if flushed:
+                    self._recon_wave(flushed)
+                if len(w) >= self._wave_max():
+                    self._recon_wave(w.flush())
                 return
             self._flush_wave()      # wave members are candidate refs
         src = self.ref_pics if pins is None else \
@@ -558,19 +573,27 @@ class Decoder:
         return int(self.mesh.shape["frame"])
 
     def _flush_wave(self):
-        """Reconstruct the accumulated wave as ONE mesh-sharded batched
-        dispatch (parallel/mesh.py) and bump in decode order."""
-        if not self._wave:
+        if self._wave_sched is not None:
+            self._recon_wave(self._wave_sched.flush())
+
+    def _recon_wave(self, entries):
+        """Reconstruct a flushed wave as ONE mesh-sharded batched
+        dispatch (parallel/mesh.py) and bump in decode order.
+        entries: [(key, (fs, pic, refs_pin))] from the WaveScheduler."""
+        if not entries:
             return
         self._flush_pending()       # pending picture is always older
-        entries, self._wave = self._wave, []
         if self._mesh_dec is None:
             from .parallel import MeshFrameDecoder
             self._mesh_dec = MeshFrameDecoder(self.mesh)
-        fs_list = [fs for fs, _ in entries]
+        fs_list = [fs for _, (fs, _pic, _rp) in entries]
+        refs_list = [{p: o.planes for p, o in rp.items()
+                      if o.planes is not None}
+                     for _, (_fs, _pic, rp) in entries]
         with self.timers.stage("kernel"):
-            outs, fmask = self._mesh_dec.reconstruct_wave(fs_list)
-        for (fs, pic), planes in zip(entries, outs):
+            outs, fmask = self._mesh_dec.reconstruct_wave(fs_list,
+                                                          refs_list)
+        for (_, (fs, pic, _rp)), planes in zip(entries, outs):
             if not fmask and (not fs.deblock_disabled or fs.sao_luma or
                               fs.sao_chroma):
                 from .models.recon_np import apply_loop_filters

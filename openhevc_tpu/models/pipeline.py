@@ -1051,7 +1051,11 @@ def _residual_acc(arena4, arena16, escs, *, caps, H, W, Hc, Wc, bd):
         if n_esc:
             e = esc[eoff:eoff + n_esc]
             eoff += n_esc
-            lvf = lvf.at[e[:, 0]].add(e[:, 1], mode="drop")
+            # padding pairs are (-1, -1): map negative to out-of-range
+            # so mode="drop" really drops them (negative indices WRAP
+            # in jnp indexed updates — they'd corrupt the last level)
+            eidx = jnp.where(e[:, 0] < 0, jnp.int32(1 << 30), e[:, 0])
+            lvf = lvf.at[eidx].add(e[:, 1], mode="drop")
         lv = lvf.reshape(cap, s, s)
         x = a[off:off + cap]
         off += cap

@@ -3,14 +3,23 @@
 One jitted dispatch reconstructs a whole wave of independent pictures
 (parallel/frames.py): input tensors carry a leading `frame` axis that
 shard_map splits across the mesh's `frame` dimension; each device runs
-the complete single-frame XLA program (residual assembly -> intra
-wavefront scan -> in-loop filters) on its shard. Collectives are not
-needed — frames are independent — so scaling rides ICI-free data
-parallelism; the same batching amortizes dispatch overhead on one chip.
+the complete single-frame XLA program (residual assembly -> inter MC ->
+intra wavefront scan -> in-loop filters) on its shard.
+
+INTER pictures join waves too (the pthread_frame.c:325 analogue:
+same-dependency-level pictures of a hierarchical-B GOP are mutually
+independent): the wave's reference pool — the union of the members'
+reference pictures — is prefiltered once (stage-1 MC stacks) and
+REPLICATED across the mesh (in_specs P(None)); per-frame motion grids
+shard with the frame axis and index the pool via per-frame slot maps.
+Collectives are not needed — frames are independent and the pool is
+replicated — so scaling rides ICI-free data parallelism; the same
+batching amortizes dispatch overhead on one chip.
 
 This is the production analogue of the reference's frame-thread pool
 (pthread_frame.c:325): decoder clones become frame shards, progress
-gating becomes wave scheduling (frames.py).
+gating becomes wave scheduling (frames.py WaveScheduler, driven by
+decoder.py's _finish_parsed).
 """
 from __future__ import annotations
 
@@ -37,7 +46,16 @@ class MeshFrameDecoder:
 
     def __init__(self, mesh):
         self.mesh = mesh
-        self.n_frame = int(mesh.shape["frame"])
+        shape = dict(mesh.shape)
+        self.n_frame = int(shape["frame"])
+        # optional 2nd mesh axis: HEVC-tile parallelism within a frame.
+        # Residual assembly splits its block list across the tile axis
+        # (disjoint scatters -> exact psum combine); intra jobs are
+        # grouped by the picture's tile id (cross-tile prediction is
+        # normatively unavailable, hevc.c:2917 tiles decode in
+        # parallel); deblock/SAO then run on the psum-combined frame
+        # (the tiles_filters fix-up, hevc.c:2967, as a collective).
+        self.n_tile = int(shape.get("tile", 1))
         self._progs = {}
 
     # ---- host-side packing ------------------------------------------------
@@ -81,6 +99,165 @@ class MeshFrameDecoder:
             arr["avail"][lv, slot] = iav[sel, :n_ref] != 0
             intra[s] = arr
         return intra, n_levels
+
+    @staticmethod
+    def _inter_fields(fs, slot_of):
+        """Per-frame dense MC fields (the _pack_inter layout) with ref
+        slots mapped into the WAVE's reference pool via slot_of
+        (poc -> pool index)."""
+        mc = fs.motion
+        h4, w4 = mc.pred_flag.shape
+        pf4 = np.asarray(mc.pred_flag, np.uint8)
+        slot = np.zeros((2, h4, w4), np.uint8)
+        for lx in range(2):
+            pocg = np.asarray(mc.refpoc[:, :, lx])
+            s = np.zeros((h4, w4), np.uint8)
+            for p, i in slot_of.items():
+                s[pocg == p] = i
+            slot[lx] = s
+        mv = np.asarray(mc.mv, np.int16)
+        return dict(pf4=pf4, mv=mv, slot=slot)
+
+    def _stack_inter(self, fs_list, refs_list, pfs, npad, sps):
+        """Wave reference pool + stacked per-frame motion tensors.
+        Returns (hf_pool, motion) — hf_pool None when the wave is
+        all-intra. The pool is keyed by picture object identity (POCs
+        can repeat across an in-wave IDR boundary)."""
+        import jax.numpy as jnp
+        from ..ops.mc import mc_hprefilter
+        has_inter = any(fs.inter_pbs for fs in fs_list)
+        if not has_inter:
+            return None, None
+        pool = []                      # [(id, planes_obj)]
+        pool_idx = {}
+        slot_ofs = []
+        for fs, refs in zip(fs_list, refs_list):
+            refs = refs or {}
+            so = {}
+            pocs = sorted({p for p in
+                           set(fs.ref_poc_l0) | set(fs.ref_poc_l1)
+                           if p in refs})
+            for p in pocs:
+                obj = refs[p]
+                k = id(obj)
+                if k not in pool_idx:
+                    pool_idx[k] = len(pool)
+                    pool.append(obj)
+                so[p] = pool_idx[k]
+            slot_ofs.append(so)
+        if not pool:
+            return None, None
+        R = len(pool)
+        rp = 1 << (R - 1).bit_length()
+        pool = pool + [pool[0]] * (rp - R)
+        bd = sps.bit_depth
+        hf_pool = []
+        for c in range(3):
+            planes_c = [jnp.asarray(np.asarray(obj[c], np.int32))
+                        for obj in pool]
+            hf_pool.append(jnp.stack(
+                [mc_hprefilter(p, bit_depth=bd, is_luma=(c == 0))
+                 for p in planes_c]))
+        fields = []
+        h4w4 = None
+        for fs, so in zip(fs_list, slot_ofs):
+            if fs.inter_pbs:
+                f = self._inter_fields(fs, so)
+                h4w4 = f["pf4"].shape
+            else:
+                f = None
+            fields.append(f)
+        zero = dict(pf4=np.zeros(h4w4, np.uint8),
+                    mv=np.zeros(h4w4 + (2, 2), np.int16),
+                    slot=np.zeros((2,) + h4w4, np.uint8))
+        fields = [f or zero for f in fields]
+        fields += [fields[-1]] * (npad - len(fields))
+        motion = dict(
+            pf4=np.stack([f["pf4"] for f in fields]),
+            mv=np.stack([f["mv"] for f in fields]),
+            slot=np.stack([f["slot"] for f in fields]))
+        return hf_pool, motion
+
+    def _tile_group_map(self, fs):
+        """[ch, cw] int32 tile-axis shard index per CTB (tile id modulo
+        the tile-axis size; untiled pictures land on shard 0)."""
+        sps, pps = fs.sps, fs.pps
+        if getattr(pps, "tiles_enabled", 0):
+            from ..bitstream.ps import ctb_tile_maps
+            tile_id = ctb_tile_maps(pps, sps)[2]
+            return (tile_id % self.n_tile).astype(np.int32)
+        return np.zeros((sps.ctbs_h, sps.ctbs_w), np.int32)
+
+    def _group_intra_tiles(self, intra, gmaps, sps):
+        """Regroup stacked intra job arrays {s: {k: [F, L, cap, ...]}}
+        into per-tile-shard arrays {s: {k: [F, T, L, capg, ...]}} by the
+        job's tile group. Cross-tile intra prediction is normatively
+        unavailable, so a shard's jobs read only pixels its own tiles
+        wrote (plus the replicated inter/PCM prefill)."""
+        T = self.n_tile
+        cl = sps.log2_ctb
+        out = {}
+        for s, a in intra.items():
+            F, L, cap = a["x"].shape
+            pl = a["plane"]
+            lx = np.where(pl == 0, a["x"], a["x"] << sps.hshift1)
+            ly = np.where(pl == 0, a["y"], a["y"] << sps.vshift1)
+            ch, cw = gmaps.shape[1:]
+            cy = np.clip(ly >> cl, 0, ch - 1)
+            cx = np.clip(lx >> cl, 0, cw - 1)
+            g = gmaps[np.arange(F)[:, None, None], cy, cx]
+            valid = a["valid"] != 0
+            fields = {}
+            capg = 8
+            sel_masks = []
+            for t in range(T):
+                m = valid & (g == t)
+                sel_masks.append(m)
+                capg = max(capg, int(m.sum(axis=2).max()) if m.size
+                           else 0)
+            capg = _round_up(capg, 8)
+            for k, v in a.items():
+                shp = (F, T, L, capg) + v.shape[3:]
+                fill = 3 if k == "plane" else 0
+                nv = np.full(shp, fill, v.dtype)
+                for t in range(T):
+                    m = sel_masks[t]
+                    order = np.argsort(~m, axis=2, kind="stable")
+                    take = order[:, :, :capg]
+                    gath = np.take_along_axis(
+                        v, take.reshape(take.shape + (1,) *
+                                        (v.ndim - 3)), axis=2)
+                    keep = np.take_along_axis(m, take, axis=2)
+                    nv[:, t] = np.where(
+                        keep.reshape(keep.shape + (1,) * (v.ndim - 3)),
+                        gath, fill)
+                fields[k] = nv
+            fields["valid"] = fields["valid"].astype(np.int32)
+            out[s] = fields
+        return out
+
+    @staticmethod
+    def _split_res_tiles(res, T):
+        """Split each stacked residual bucket's block dim across the
+        tile axis: [F, cap, ...] -> [F, T, cap/T, ...] (scatters are
+        disjoint; the shards' partial residual planes psum exactly)."""
+        out = {}
+        for s, fields in res.items():
+            cap = fields["qp"].shape[1]
+            capT = _round_up(cap, 16 * T)
+            nf = {}
+            for k, v in fields.items():
+                pad = capT - cap
+                if pad:
+                    fill = 3 if k == "plane" else (16 if k == "sm"
+                                                   else 0)
+                    pv = np.full((v.shape[0], pad) + v.shape[2:], fill,
+                                 v.dtype)
+                    v = np.concatenate([v, pv], axis=1)
+                nf[k] = v.reshape(v.shape[0], T, capT // T,
+                                  *v.shape[2:])
+            out[s] = nf
+        return out
 
     def _stack_wave(self, fs_list):
         from ..models.pipeline import pack_frame
@@ -202,16 +379,21 @@ class MeshFrameDecoder:
         return pfs, npad, res, intra, planes0, fstack, fmask, n_levels
 
     # ---- device program ---------------------------------------------------
-    def _program(self, key, sps, sizes, isizes, fmask, has_sm, n_levels):
+    def _program(self, key, sps, sizes, isizes, fmask, has_sm, n_levels,
+                 has_inter=False, tiled=False):
         if key in self._progs:
             return self._progs[key]
         import jax
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
         from ..ops.idct import residual_bucket, scatter_blocks
         from ..models.pipeline import _intra_scan
         from ..ops.filters_jax import apply_filters_device
+        from ..ops.mc import mc_put_core, combine_plane
 
         H, W = sps.height, sps.width
         hs, vs = sps.hshift1, sps.vshift1
@@ -220,7 +402,7 @@ class MeshFrameDecoder:
         cs = 1 << sps.log2_ctb
         strong = bool(sps.strong_intra_smoothing)
 
-        def one_frame(planes0, res, intra, fargs):
+        def one_frame(planes0, res, intra, fargs, mo, hf, gmap):
             res_planes = jnp.zeros_like(planes0)
             for s in sizes:
                 b = res[s]
@@ -231,15 +413,64 @@ class MeshFrameDecoder:
                     sm=b.get("sm"))
                 res_planes = scatter_blocks(res_planes, r, b["plane"],
                                             b["bx"], b["by"], s=s)
+            if tiled:
+                # each tile shard assembled a disjoint share of the
+                # blocks: the partial planes sum exactly over ICI
+                res_planes = jax.lax.psum(res_planes, "tile")
+            planes = planes0
+            if mo is not None:
+                # inter prediction from the replicated wave ref pool
+                # (two-stage MC; hf prefiltered once per pool entry)
+                pf4 = mo["pf4"].astype(jnp.int32)
+                for c in range(3):
+                    is_luma = c == 0
+                    ph = H if is_luma else Hc
+                    pw = W if is_luma else Wc
+                    reph = 4 if is_luma else 4 >> hs
+                    repv = 4 if is_luma else 4 >> vs
+                    puts = [mc_put_core(hf[c], mo["mv"][:, :, lx],
+                                        mo["slot"][lx], bit_depth=bd,
+                                        is_luma=is_luma, hs=hs, vs=vs,
+                                        H=ph, W=pw)
+                            for lx in range(2)]
+                    pf = jnp.repeat(jnp.repeat(pf4, repv, 0),
+                                    reph, 1)[:ph, :pw]
+                    out = combine_plane(puts[0], puts[1], pf,
+                                        res_planes[c, :ph, :pw],
+                                        bit_depth=bd)
+                    cur = planes[c, :ph, :pw]
+                    planes = planes.at[c, :ph, :pw].set(
+                        jnp.where(pf > 0, out, cur))
             xs = {s: intra[s] for s in isizes}
             if isizes and n_levels:
-                planes = _intra_scan(planes0, res_planes, xs, isizes,
+                if tiled:
+                    # intra job arrays vary over the tile axis; mark the
+                    # carried planes tile-varying so the scan types agree
+                    def _vary(x):
+                        try:
+                            return jax.lax.pcast(x, ("tile",),
+                                                 to="varying")
+                        except (AttributeError, TypeError):
+                            return jax.lax.pvary(x, ("tile",))
+                    planes = _vary(planes)
+                    res_planes = _vary(res_planes)
+                planes = _intra_scan(planes, res_planes, xs, isizes,
                                      bd, strong)
-            else:
-                planes = planes0
             y = planes[0, :H, :W]
             cb = planes[1, :Hc, :Wc]
             cr = planes[2, :Hc, :Wc]
+            if tiled:
+                # combine tile shards: every pixel belongs to exactly
+                # one shard's tile set (the tiles_filters handoff,
+                # hevc.c:2967 — here one masked psum over ICI)
+                g = jax.lax.axis_index("tile")
+                ml = jnp.repeat(jnp.repeat(gmap, cs, 0), cs, 1)[:H, :W] \
+                    == g
+                mc_ = jnp.repeat(jnp.repeat(gmap, cs >> vs, 0),
+                                 cs >> hs, 1)[:Hc, :Wc] == g
+                y = jax.lax.psum(jnp.where(ml, y, 0), "tile")
+                cb = jax.lax.psum(jnp.where(mc_, cb, 0), "tile")
+                cr = jax.lax.psum(jnp.where(mc_, cr, 0), "tile")
             if fmask:
                 y, cb, cr = apply_filters_device(
                     y, cb, cr, *fargs, bd=bd, bdc=bdc, cs=cs,
@@ -249,44 +480,67 @@ class MeshFrameDecoder:
                                     cb.astype(dt).reshape(-1),
                                     cr.astype(dt).reshape(-1)])
 
-        def block(planes0, res, intra, fargs):
-            # per-device shard: loop the local frames (static count)
+        def block(planes0, res, intra, fargs, motion, hf, gmaps):
+            # per-device shard: loop the local frames (static count);
+            # with a tile axis the per-shard res/intra carry a local
+            # tile dim of 1 ([Floc, 1, ...]) that is squeezed here
             nloc = planes0.shape[0]
+
+            def sq(v):
+                return v[0] if tiled else v
+
             outs = []
             for i in range(nloc):
                 fa = tuple(f[i] for f in fargs) if fargs is not None \
                     else None
+                mo = {k: v[i] for k, v in motion.items()} \
+                    if motion is not None else None
                 outs.append(one_frame(
                     planes0[i],
-                    {s: {k: v[i] for k, v in res[s].items()}
+                    {s: {k: sq(v[i]) for k, v in res[s].items()}
                      for s in sizes},
-                    {s: {k: v[i] for k, v in intra[s].items()}
+                    {s: {k: sq(v[i]) for k, v in intra[s].items()}
                      for s in isizes},
-                    fa))
+                    fa, mo, hf,
+                    gmaps[i] if tiled else None))
             return jnp.stack(outs)
 
+        res_spec = P("frame", "tile") if tiled else P("frame")
         spec_in = (P("frame"),
-                   {s: {k: P("frame") for k in
+                   {s: {k: res_spec for k in
                         (("levels", "qp", "flags", "plane", "bx", "by") +
                          (("sm",) if has_sm else ()))} for s in sizes},
-                   {s: {k: P("frame") for k in
+                   {s: {k: res_spec for k in
                         ("valid", "plane", "x", "y", "mode", "avail",
                          "filt")} for s in isizes})
-        if fmask:
-            spec_in = spec_in + (tuple(P("frame") for _ in range(22)),)
-            fn = shard_map(block, mesh=self.mesh, in_specs=spec_in,
-                           out_specs=P("frame"))
-        else:
-            fn = shard_map(lambda p, r, i: block(p, r, i, None),
-                           mesh=self.mesh, in_specs=spec_in,
-                           out_specs=P("frame"))
+        spec_f = (tuple(P("frame") for _ in range(22)),) if fmask \
+            else ((),)
+        spec_m = ({k: P("frame") for k in ("pf4", "mv", "slot")},) \
+            if has_inter else ((),)
+        # the hf ref pool is REPLICATED (P() over all axes): every
+        # device holds the wave's reference pictures, as every frame
+        # may read any of them
+        spec_h = ((P(), P(), P()),) if has_inter else ((),)
+        spec_g = (P("frame"),) if tiled else ((),)
+        spec_in = spec_in + spec_f + spec_m + spec_h + spec_g
+
+        def entry(p, r, i, fa, mo, hf, gm):
+            return block(p, r, i, fa if fmask else None,
+                         mo if has_inter else None,
+                         hf if has_inter else None,
+                         gm if tiled else None)
+
+        fn = shard_map(entry, mesh=self.mesh, in_specs=spec_in,
+                       out_specs=P("frame"))
         prog = jax.jit(fn)
         self._progs[key] = prog
         return prog
 
     # ---- public -----------------------------------------------------------
-    def reconstruct_wave(self, fs_list):
-        """All pictures share one SPS and are mutually independent.
+    def reconstruct_wave(self, fs_list, refs_list=None):
+        """All pictures share one SPS and are mutually independent
+        (no member references another member). refs_list: per-picture
+        {poc: [Y,Cb,Cr]-like} reference planes for inter members.
         Returns per-picture [Y, Cb, Cr] int32 host planes (pre- or
         post-filter depending on the device-filter verdict; the caller
         applies host filters when fmask == 0 and filters are wanted)."""
@@ -294,22 +548,43 @@ class MeshFrameDecoder:
         sps = fs_list[0].sps
         (pfs, npad, res, intra, planes0, fstack, fmask,
          n_levels) = self._stack_wave(fs_list)
+        if refs_list is None:
+            refs_list = [None] * len(fs_list)
+        hf_pool, motion = self._stack_inter(fs_list, refs_list, pfs,
+                                            npad, sps)
+        has_inter = motion is not None
+        tiled = self.n_tile > 1
+        gmaps = None
+        if tiled:
+            gm = [self._tile_group_map(fs) for fs in fs_list]
+            gm += [gm[-1]] * (npad - len(gm))
+            gmaps = np.stack(gm)
+            intra = self._group_intra_tiles(intra, gmaps, sps)
+            res = self._split_res_tiles(res, self.n_tile)
         sizes = tuple(sorted(res))
         isizes = tuple(sorted(intra))
         has_sm = any("sm" in res[s] for s in sizes)
         key = (sps.sps_id, sps.width, sps.height, sizes, isizes,
-               tuple(res[s]["qp"].shape[1] for s in sizes),
-               tuple(intra[s]["x"].shape[2] for s in isizes),
-               n_levels, fmask, has_sm, npad)
+               tuple(res[s]["qp"].shape[-1] for s in sizes),
+               tuple(intra[s]["x"].shape[-1] for s in isizes),
+               n_levels, fmask, has_sm, npad,
+               len(hf_pool[0]) if has_inter else 0)
         prog = self._program(key, sps, sizes, isizes, fmask, has_sm,
-                             n_levels)
+                             n_levels, has_inter=has_inter, tiled=tiled)
         args = (jnp.asarray(planes0),
                 {s: {k: jnp.asarray(v) for k, v in res[s].items()}
                  for s in sizes},
                 {s: {k: jnp.asarray(v) for k, v in intra[s].items()}
                  for s in isizes})
-        if fmask:
-            args = args + (tuple(jnp.asarray(f) for f in fstack),)
+        args = args + ((tuple(jnp.asarray(f) for f in fstack),)
+                       if fmask else ((),))
+        if has_inter:
+            args = args + ({k: jnp.asarray(v)
+                            for k, v in motion.items()},
+                           tuple(hf_pool))
+        else:
+            args = args + ((), ())
+        args = args + ((jnp.asarray(gmaps),) if tiled else ((),))
         flat = np.asarray(prog(*args))
         H, W = sps.height, sps.width
         Hc, Wc = H >> sps.vshift1, W >> sps.hshift1

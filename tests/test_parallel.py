@@ -40,7 +40,7 @@ def test_wave_intra_stream():
     frames = make_frames(64, 64, 16, rng)
     data, _ = encode_intra_stream(frames, 64, 64, qp=30, seed=21)
     d = _compare(data, 16)
-    assert not d._wave                    # everything flushed
+    assert not d._wave_sched or len(d._wave_sched) == 0   # flushed
 
 
 def test_wave_intra_filters_pcm():
@@ -54,13 +54,30 @@ def test_wave_intra_filters_pcm():
 
 
 def test_wave_mixed_ra_stream():
-    """RA pyramid: intra anchors wave, inter pictures ride the
-    sequential path; output order and bit-exactness preserved."""
+    """RA pyramid: INTER pictures batch into waves too (the
+    pthread_frame.c:325 analogue) — same-level hierarchical-B pictures
+    are mutually independent. Assert multi-picture inter waves actually
+    form, with output order and bit-exactness preserved."""
+    from openhevc_tpu.parallel import MeshFrameDecoder
     rng = np.random.default_rng(23)
     frames = make_frames(64, 64, 17, rng)
     data, _ = encode_ra_stream(frames, 64, 64, qp=31, gop=8, seed=23,
                                intra_period=8)
-    _compare(data, 17)
+    waves = []
+    orig = MeshFrameDecoder.reconstruct_wave
+
+    def spy(self, fs_list, refs_list=None):
+        waves.append([bool(fs.inter_pbs) for fs in fs_list])
+        return orig(self, fs_list, refs_list)
+
+    MeshFrameDecoder.reconstruct_wave = spy
+    try:
+        _compare(data, 17)
+    finally:
+        MeshFrameDecoder.reconstruct_wave = orig
+    inter_waves = [w for w in waves if any(w)]
+    assert inter_waves, "no inter pictures reached the mesh waves"
+    assert max(len(w) for w in inter_waves) >= 3, waves
 
 
 def test_wave_odd_count_padding():
@@ -70,3 +87,57 @@ def test_wave_odd_count_padding():
     frames = make_frames(48, 32, 5, rng)
     data, _ = encode_intra_stream(frames, 48, 32, qp=30, seed=24)
     _compare(data, 5)
+
+
+def _mesh2d(n_frame=2, n_tile=4):
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices("cpu")
+    need = n_frame * n_tile
+    if len(devs) < need:
+        pytest.skip(f"needs {need} virtual CPU devices")
+    return Mesh(np.array(devs[:need]).reshape(n_frame, n_tile),
+                ("frame", "tile"))
+
+
+def _compare2d(data, n, n_frame=2, n_tile=4):
+    ref = Decoder("np")
+    want = [p.cropped() for p in (ref.decode(data) + ref.flush())]
+    d = Decoder("jax", mesh=_mesh2d(n_frame, n_tile))
+    got = [p.cropped() for p in (d.decode(data) + d.flush())]
+    assert len(got) == len(want) == n
+    for i in range(n):
+        for c in range(3):
+            assert np.array_equal(np.asarray(got[i][c], np.int64),
+                                  np.asarray(want[i][c], np.int64)), (i, c)
+
+
+def test_wave_tile_axis_intra_tiles():
+    """(frame x tile) 2-D mesh: HEVC-tiled pictures shard their
+    residual + intra work over the tile axis (hevc.c:2917), the shards
+    combine via a masked psum (the hevc.c:2967 cross-tile filter
+    fix-up), bit-exact vs the sequential np engine."""
+    rng = np.random.default_rng(31)
+    frames = make_frames(96, 64, 4, rng)
+    data, _ = encode_intra_stream(frames, 96, 64, qp=30, ctb_log2=4,
+                                  seed=31, tile_cols=3, tile_rows=2,
+                                  sao=True, deblock=True)
+    _compare2d(data, 4)
+
+
+def test_wave_tile_axis_untiled_stream():
+    """Untiled pictures on a 2-D mesh still decode (tile shard 0 does
+    the intra work; residual splits across shards; psum combines)."""
+    rng = np.random.default_rng(32)
+    frames = make_frames(64, 64, 4, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=30, seed=32)
+    _compare2d(data, 4)
+
+
+def test_wave_tile_axis_ra_inter():
+    """Inter waves on the 2-D mesh: motion/ref pool replicated over the
+    tile axis, residual tile-split, masked psum combine."""
+    rng = np.random.default_rng(33)
+    frames = make_frames(64, 64, 9, rng)
+    data, _ = encode_ra_stream(frames, 64, 64, qp=31, gop=8, seed=33)
+    _compare2d(data, 9)
