@@ -53,7 +53,10 @@ class _SliceParams(ctypes.Structure):
         "cu_qp_delta_enabled", "diff_cu_qp_delta_depth",
         "start_ts", "slice_no", "dependent",
         "ts_rotation", "explicit_rdpcm", "persistent_rice",
-        "cross_component")]
+        "cross_component", "n_col_bd_in", "n_row_bd_in")] + [
+        ("col_bd_in", ctypes.c_int32 * 25),
+        ("row_bd_in", ctypes.c_int32 * 25),
+    ]
 
 
 class _Outputs(ctypes.Structure):
@@ -224,6 +227,23 @@ def _fill_params(p, sps, pps, sh, poc, ref_list, ss_starts,
     p.tiles_enabled = pps.tiles_enabled
     p.num_tile_cols = pps.num_tile_cols
     p.num_tile_rows = pps.num_tile_rows
+    if pps.tiles_enabled:
+        # explicit boundaries cover non-uniform spacing (6-3/6-4)
+        from .ps import tile_layout
+        cols, rows = tile_layout(pps, sps)
+        if len(cols) <= 24 and len(rows) <= 24:
+            cb = [0]
+            for w in cols:
+                cb.append(cb[-1] + w)
+            rb = [0]
+            for h in rows:
+                rb.append(rb[-1] + h)
+            p.n_col_bd_in = len(cb)
+            p.n_row_bd_in = len(rb)
+            for i, v in enumerate(cb):
+                p.col_bd_in[i] = v
+            for i, v in enumerate(rb):
+                p.row_bd_in[i] = v
     p.entropy_coding_sync = pps.entropy_coding_sync
     p.start_ts = start_ts
     p.slice_no = slice_no

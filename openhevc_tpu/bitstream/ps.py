@@ -630,6 +630,12 @@ def _parse_sps_common(r: BitReader, s: SPS, max_sub_layers_minus1: int,
             s.high_precision_offsets = r.read1()
             s.persistent_rice_adaptation = r.read1()
             s.cabac_bypass_alignment = r.read1()
+            if s.cabac_bypass_alignment:
+                from ..utils.log import log, WARNING
+                # parity: the reference decoder does not implement the
+                # aligned-bypass engine either (hevc_ps.c:1955-1959)
+                log(WARNING, "cabac_bypass_alignment_enabled_flag not "
+                    "implemented (matches reference)")
     return s
 
 

@@ -314,6 +314,12 @@ class SliceDataParser:
         self.qPy_pred = sh.qp
         self.first_qp_group = dep_ctx is None      # !dependent
         self.is_qp_coded = 0
+        # cu_chroma_qp_offset state (lc->tu.cu_qp_offset_cb/cr,
+        # hevc.c:1091-1092, reset per slice; coded-flag resets per
+        # chroma QG, hevc.c:2531-2534)
+        self.is_cqo_coded = 0
+        self.cu_qp_offset_cb = 0
+        self.cu_qp_offset_cr = 0
         self.qg_delta = 0
         self.qg_mask = 0
         if pps.cu_qp_delta_enabled:
@@ -506,6 +512,10 @@ class SliceDataParser:
             # new quantization group (hevc.c:2527)
             self.is_qp_coded = 0
             self.qg_delta = 0
+        if self.sh.cu_chroma_qp_offset_enabled and \
+                log2_cb >= sps.log2_ctb - \
+                self.pps.diff_cu_chroma_qp_offset_depth:
+            self.is_cqo_coded = 0        # hevc.c:2531-2534
         if split:
             h = cb >> 1
             for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
@@ -988,6 +998,27 @@ class SliceDataParser:
             self.qg_delta = d
             self.is_qp_coded = 1
             self._set_qPy(self.cu_x0, self.cu_y0)
+        cbf_chroma = (cbf_cb[0] or cbf_cr[0] or
+                      (is422 and (cbf_cb[1] or cbf_cr[1])))
+        if self.sh.cu_chroma_qp_offset_enabled and cbf_chroma and \
+                not self.cu_tqb and not self.is_cqo_coded:
+            # cu_chroma_qp_offset_flag/_idx (hevc.c:1247-1263)
+            flag = self.bin("cu_chroma_qp_offset_flag", 0)
+            idx = 0
+            if flag and len(self.pps.cb_qp_offset_list) > 1:
+                # TR-coded idx, all bins on context 0; cMax is
+                # max(5, len-1) — the reference's exact behavior
+                # (ff_hevc_cu_chroma_qp_offset_idx, hevc_cabac.c:768)
+                n = max(5, len(self.pps.cb_qp_offset_list) - 1)
+                while idx < n and self.bin("cu_chroma_qp_offset_idx", 0):
+                    idx += 1
+            if flag:
+                self.cu_qp_offset_cb = self.pps.cb_qp_offset_list[idx]
+                self.cu_qp_offset_cr = self.pps.cr_qp_offset_list[idx]
+            else:
+                self.cu_qp_offset_cb = 0
+                self.cu_qp_offset_cr = 0
+            self.is_cqo_coded = 1
         n4 = 1 << max(0, log2_tr - 2)
         x4, y4 = x0 >> 2, y0 >> 2
         fs.bounds_v[y4:y4 + n4, x4] = 1
@@ -1297,8 +1328,10 @@ class SliceDataParser:
         if c_idx == 0:
             qp = self.cu_qp + sps.qp_bd_offset
         else:
-            offset = (pps.cb_qp_offset + self.sh.cb_qp_offset if c_idx == 1
-                      else pps.cr_qp_offset + self.sh.cr_qp_offset)
+            offset = (pps.cb_qp_offset + self.sh.cb_qp_offset +
+                      self.cu_qp_offset_cb if c_idx == 1
+                      else pps.cr_qp_offset + self.sh.cr_qp_offset +
+                      self.cu_qp_offset_cr)
             cat = 0 if sps.chroma_format_idc == 0 else \
                 (1 if sps.chroma_format_idc == 1 else sps.chroma_format_idc)
             qp = chroma_qp(self.cu_qp, offset, cat, sps.qp_bd_offset) + \

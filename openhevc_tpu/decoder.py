@@ -358,16 +358,16 @@ class Decoder:
         elif self._acc is None:
             return                      # RASL continuation segments
         single_slice = sh.first_slice and not self._next_vcl_continues
-        # native core supports uniform tiles + WPP, TMVP, weighted pred,
-        # cu_qp_delta, multi-slice pictures; non-uniform tile spacing,
-        # 4:2:2/4:4:4 chroma and RExt residual tools fall back to Python
-        # native core covers 4:2:0/4:2:2/4:4:4 + every RExt tool except
-        # cross-component prediction; non-uniform tile spacing and CCLM
-        # fall back to the Python mirror
-        native_caps = self.native_parse and not (
-            pps.tiles_enabled and not pps.uniform_spacing) and \
+        # native core covers 4:2:0/4:2:2/4:4:4, uniform AND non-uniform
+        # tiles + WPP, TMVP, weighted pred, cu_qp_delta, multi-slice
+        # pictures, and every RExt tool except cross-component
+        # prediction and chroma QP offset lists (Python mirror)
+        native_caps = self.native_parse and \
             sps.chroma_format_idc in (1, 2, 3) and \
-            not getattr(pps, "cross_component_prediction_enabled", 0)
+            not getattr(pps, "cross_component_prediction_enabled", 0) and \
+            not getattr(pps, "chroma_qp_offset_list_enabled", 0) and \
+            not (pps.tiles_enabled and
+                 (pps.num_tile_cols > 24 or pps.num_tile_rows > 24))
         use_native = single_slice and native_caps
         if use_native:
             from .bitstream.native import parse_slice_native

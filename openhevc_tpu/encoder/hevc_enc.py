@@ -58,6 +58,9 @@ class EncoderConfig:
     wpp: bool = False
     tile_cols: int = 1
     tile_rows: int = 1
+    # explicit per-tile CTB spans (non-uniform spacing); None = uniform
+    tile_widths: tuple | None = None
+    tile_heights: tuple | None = None
     log2_max_poc_lsb: int = 8
     max_num_ref: int = 1
     max_merge_cand: int = 5
@@ -80,13 +83,17 @@ class EncoderConfig:
     rext_explicit_rdpcm: bool = False
     rext_persistent_rice: bool = False
     cross_component: bool = False         # PPS RExt (4:4:4 only)
+    # PPS RExt chroma QP offset lists: None off, else list of (cb, cr)
+    chroma_qp_offset_list: tuple | None = None
+    diff_cu_chroma_qp_offset_depth: int = 0
     vui_timing: bool = False              # write VUI timing + HRD params
 
     @property
     def any_rext(self) -> bool:
         return (self.rext_rotation or self.rext_implicit_rdpcm or
                 self.rext_explicit_rdpcm or self.rext_persistent_rice or
-                self.cross_component)
+                self.cross_component or
+                bool(self.chroma_qp_offset_list))
 
     @property
     def ctb_size(self) -> int:
@@ -99,6 +106,19 @@ class EncoderConfig:
     @property
     def ctbs_h(self) -> int:
         return -(-self.height // self.ctb_size)
+
+    def eff_tile_widths(self):
+        """Per-tile-column CTB spans (explicit or 6-3 uniform)."""
+        if self.tile_widths:
+            return list(self.tile_widths)
+        nc, cw = self.tile_cols, self.ctbs_w
+        return [(i + 1) * cw // nc - i * cw // nc for i in range(nc)]
+
+    def eff_tile_heights(self):
+        if self.tile_heights:
+            return list(self.tile_heights)
+        nr, ch = self.tile_rows, self.ctbs_h
+        return [(i + 1) * ch // nr - i * ch // nr for i in range(nr)]
 
     @property
     def hshift1(self) -> int:
@@ -429,7 +449,14 @@ def write_pps(cfg: EncoderConfig, pps_id: int = 0, sps_id: int = 0,
     if tiles:
         bw.ue(cfg.tile_cols - 1)
         bw.ue(cfg.tile_rows - 1)
-        bw.put(1, 1)                   # uniform_spacing_flag
+        if cfg.tile_widths or cfg.tile_heights:
+            bw.put(0, 1)               # uniform_spacing_flag
+            for w in cfg.eff_tile_widths()[:-1]:
+                bw.ue(w - 1)           # column_width_minus1
+            for h in cfg.eff_tile_heights()[:-1]:
+                bw.ue(h - 1)           # row_height_minus1
+        else:
+            bw.put(1, 1)               # uniform_spacing_flag
         bw.put(1, 1)                   # loop_filter_across_tiles_enabled_flag
     bw.put(1, 1)            # pps_loop_filter_across_slices_enabled_flag
     bw.put(1, 1)            # deblocking_filter_control_present_flag
@@ -448,14 +475,22 @@ def write_pps(cfg: EncoderConfig, pps_id: int = 0, sps_id: int = 0,
     bw.put(0, 1)            # lists_modification_present_flag
     bw.ue(0)                # log2_parallel_merge_level_minus2
     bw.put(0, 1)            # slice_segment_header_extension_present_flag
-    if cfg.cross_component:
+    if cfg.cross_component or cfg.chroma_qp_offset_list:
         bw.put(1, 1)        # pps_extension_present_flag
         bw.put(1, 1)        # pps_range_extensions_flag
         bw.put(0, 7)        # pps_extension_7bits
         if cfg.transform_skip:
             bw.ue(0)        # log2_max_transform_skip_block_size_minus2
-        bw.put(1, 1)        # cross_component_prediction_enabled_flag
-        bw.put(0, 1)        # chroma_qp_offset_list_enabled_flag
+        bw.put(1 if cfg.cross_component else 0, 1)  # cross_component_
+        if cfg.chroma_qp_offset_list:
+            bw.put(1, 1)    # chroma_qp_offset_list_enabled_flag
+            bw.ue(cfg.diff_cu_chroma_qp_offset_depth)
+            bw.ue(len(cfg.chroma_qp_offset_list) - 1)
+            for (cb, cr) in cfg.chroma_qp_offset_list:
+                bw.se(cb)   # cb_qp_offset_list[i]
+                bw.se(cr)   # cr_qp_offset_list[i]
+        else:
+            bw.put(0, 1)    # chroma_qp_offset_list_enabled_flag
         bw.ue(0)            # log2_sao_offset_scale_luma
         bw.ue(0)            # log2_sao_offset_scale_chroma
     else:
@@ -583,6 +618,8 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
             _write_pred_weight_table(bw, cfg, weight_table, slice_type)
         bw.ue(5 - cfg.max_merge_cand)  # five_minus_max_num_merge_cand
     bw.se(0)                # slice_qp_delta
+    if cfg.chroma_qp_offset_list:
+        bw.put(1, 1)        # cu_chroma_qp_offset_enabled_flag
     if cfg.sao_enabled or not cfg.deblock_disabled:
         bw.put(1, 1)        # slice_loop_filter_across_slices_enabled_flag
     if cfg.wpp or cfg.tile_cols > 1 or cfg.tile_rows > 1:

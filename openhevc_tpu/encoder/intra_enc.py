@@ -52,9 +52,10 @@ class IntraFrameEncoder:
                 tiles_enabled = 1
                 num_tile_cols = cfg.tile_cols
                 num_tile_rows = cfg.tile_rows
-                uniform_spacing = 1
-                col_widths = []
-                row_heights = []
+                uniform_spacing = 0 if (cfg.tile_widths or
+                                        cfg.tile_heights) else 1
+                col_widths = cfg.eff_tile_widths()[:-1]
+                row_heights = cfg.eff_tile_heights()[:-1]
             rs_to_ts, ts_order, tile_id, col_bd, row_bd = \
                 ctb_tile_maps(_PpsShim(), _Sps(cfg))
             self.ts_order = ts_order
@@ -76,6 +77,11 @@ class IntraFrameEncoder:
     # ---- cu_qp_delta (mirrors SliceDataParser's state machine) ----------
     def _qp_reset_slice(self, dependent=False):
         cfg = self.cfg
+        # cu_chroma_qp_offset state (reset per slice, hevc.c:1091-1092)
+        self.cqo_on = bool(getattr(cfg, "chroma_qp_offset_list", None))
+        self.cqo_cb = self.cqo_cr = 0
+        self.cqo_sel = (0, 0)
+        self.cqo_emitted = True
         self.qpd_on = cfg.cu_qp_delta_depth is not None
         if not self.qpd_on:
             return
@@ -442,6 +448,19 @@ class IntraFrameEncoder:
             self.qg_delta = 0
             self.emit_delta_value = None
             self.qg_target = int(self.rng.integers(-8, 9))
+        if self.cqo_on and log2_cb >= cfg.ctb_log2 - \
+                cfg.diff_cu_chroma_qp_offset_depth:
+            # new chroma QG: pick this QG's cu_chroma_qp_offset
+            # (emitted at its first chroma-cbf TU, hevc.c:1247-1263)
+            n = len(cfg.chroma_qp_offset_list)
+            if self.rng.random() < 0.75:
+                idx = int(self.rng.integers(0, n))
+                self.cqo_sel = (1, idx)
+                self.cqo_cb, self.cqo_cr = cfg.chroma_qp_offset_list[idx]
+            else:
+                self.cqo_sel = (0, 0)
+                self.cqo_cb = self.cqo_cr = 0
+            self.cqo_emitted = False
         if split:
             h = cb >> 1
             for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
@@ -777,7 +796,10 @@ class IntraFrameEncoder:
         base = self.qp_try if self.qpd_on else cfg.qp
         if plane == 0:
             return base
-        return chroma_qp(base, 0, cfg.chroma_format_idc, 0)
+        off = 0
+        if getattr(self, "cqo_on", False):
+            off = self.cqo_cb if plane == 1 else self.cqo_cr
+        return chroma_qp(base, off, cfg.chroma_format_idc, 0)
 
     def _process_tree(self, node, x_base, y_base, log2_cb, depth, blk_idx):
         """Decode-order closed loop, storing levels on the plan nodes."""
@@ -864,15 +886,29 @@ class IntraFrameEncoder:
         else:
             assert cbf_luma, "inferred cbf_luma=1 requires nonzero levels"
         # transform_unit emission
+        eff_cb = cbf_cb if (log2_tr > 2 or
+                            cfg.chroma_format_idc == 3) else cbf_cb_p
+        eff_cr = cbf_cr if (log2_tr > 2 or
+                            cfg.chroma_format_idc == 3) else cbf_cr_p
+        cbf_chroma = (eff_cb[0] or eff_cr[0] or
+                      (is422 and (eff_cb[1] or eff_cr[1])))
         if self.qpd_on and self.emit_delta_value is not None:
-            eff_cb = cbf_cb if (log2_tr > 2 or
-                                cfg.chroma_format_idc == 3) else cbf_cb_p
-            eff_cr = cbf_cr if (log2_tr > 2 or
-                                cfg.chroma_format_idc == 3) else cbf_cr_p
-            if cbf_luma or eff_cb[0] or eff_cr[0] or \
-                    (is422 and (eff_cb[1] or eff_cr[1])):
+            if cbf_luma or cbf_chroma:
                 self._emit_cu_qp_delta(self.emit_delta_value)
                 self.emit_delta_value = None
+        if getattr(self, "cqo_on", False) and not self.cqo_emitted and \
+                cbf_chroma and not node.get("tqb", False):
+            # cu_chroma_qp_offset_flag/_idx (hevc.c:1247-1263)
+            flag, idx = self.cqo_sel
+            self.enc.bin("cu_chroma_qp_offset_flag", 0, flag)
+            if flag and len(cfg.chroma_qp_offset_list) > 1:
+                # cMax = max(5, len-1): hevc_cabac.c:768 quirk
+                n = max(5, len(cfg.chroma_qp_offset_list) - 1)
+                for _ in range(idx):
+                    self.enc.bin("cu_chroma_qp_offset_idx", 0, 1)
+                if idx < n:
+                    self.enc.bin("cu_chroma_qp_offset_idx", 0, 0)
+            self.cqo_emitted = True
         mode = node["luma_mode"]
         if cbf_luma:
             scan = self._scan_for(log2_tr, 0, mode)
@@ -1192,13 +1228,16 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         pcm_loop_filter_disabled=None, bit_depth=8,
                         transform_skip=False, transquant_bypass=False,
                         md5_sei=False, wpp=False, tile_cols=1,
-                        tile_rows=1, chroma_format_idc=1,
+                        tile_rows=1, tile_widths=None, tile_heights=None,
+                        chroma_format_idc=1,
                         scaling_list=None, num_slices=1,
                         dependent_slices=False,
                         cu_qp_delta_depth=None, rext_rotation=False,
                         rext_implicit_rdpcm=False,
                         rext_persistent_rice=False,
-                        cross_component=False, vui_timing=False) -> bytes:
+                        cross_component=False, vui_timing=False,
+                        chroma_qp_offset_list=None,
+                        diff_cu_chroma_qp_offset_depth=0) -> bytes:
     # NOTE: the reference decoder never clears its is_pcm no-filter map
     # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
     # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
@@ -1223,7 +1262,9 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         tc_offset_div2=tc_offset_div2,
                         transform_skip=transform_skip,
                         transquant_bypass=transquant_bypass,
-                        wpp=wpp, tile_cols=tile_cols, tile_rows=tile_rows,
+                        wpp=wpp, tile_cols=tile_cols,
+                        tile_widths=tile_widths,
+                        tile_heights=tile_heights, tile_rows=tile_rows,
                         scaling_list=scaling_list,
                         dependent_slices=dependent_slices,
                         cu_qp_delta_depth=cu_qp_delta_depth,
@@ -1231,6 +1272,9 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         rext_implicit_rdpcm=rext_implicit_rdpcm,
                         rext_persistent_rice=rext_persistent_rice,
                         cross_component=cross_component,
+                        chroma_qp_offset_list=chroma_qp_offset_list,
+                        diff_cu_chroma_qp_offset_depth=(
+                            diff_cu_chroma_qp_offset_depth),
                         vui_timing=vui_timing)
     rng = np.random.default_rng(seed)
     out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)

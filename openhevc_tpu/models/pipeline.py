@@ -46,6 +46,7 @@ class PackedFrame:
     inter: dict | None = None    # dense MC fields (see _pack_inter)
     hshift: int = 1              # chroma subsampling shifts (sps)
     vshift: int = 1
+    ccp: np.ndarray | None = None  # [2, Hc, Wc] int8 res_scale_val map
 
 
 def pack_frame(fs: FrameSymbols) -> PackedFrame:
@@ -414,17 +415,11 @@ class JaxEngine:
         return self._fused_plan(fs) is not None
 
     def reconstruct(self, fs: FrameSymbols, ref_planes=None):
-        if getattr(fs.pps, "cross_component_prediction_enabled", 0):
-            # RExt cross-component prediction couples chroma residuals
-            # to the luma residual (hevc.c:1150); the device residual
-            # assembly does not carry that dependency yet — use the
-            # scalar recon for correctness (device cross-add: ROADMAP)
-            from .recon_np import reconstruct as np_recon
-            return np_recon(fs, ref_planes=ref_planes)
         H, W = fs.sps.height, fs.sps.width
         hs, vs = fs.sps.hshift1, fs.sps.vshift1
         if self._fused_ok(fs):
             lazy = self._run_fused(fs, ref_planes or {})
+
             if lazy.device_filtered or (
                     fs.deblock_disabled and
                     not (fs.sao_luma or fs.sao_chroma)):
@@ -435,6 +430,7 @@ class JaxEngine:
             y, u, v = lazy.get()
         else:
             pf = pack_frame(fs)
+            pf.ccp = ccp_scale_map(fs)
             if fs.inter_pbs:
                 pf.inter = self._pack_inter(fs, ref_planes or {})
             planes = self._run(pf)
@@ -485,6 +481,11 @@ class JaxEngine:
         hs, vs = sps.hshift1, sps.vshift1
         Hc, Wc = H >> vs, W >> hs
         bd = sps.bit_depth
+        smap = ccp_scale_map(fs)
+        ccp_dev = None
+        if smap is not None:
+            ccp_dev = jnp.asarray(smap)
+            self.wire.h2d(smap.nbytes)
         plan = self._fused_plan(fs)
         hl, wl, hc, wc = plan[1]
         banded = None if plan[0] == "whole" else (plan[2], plan[3])
@@ -524,13 +525,14 @@ class JaxEngine:
                     jnp.asarray(inter["pf4"]), jnp.asarray(inter["mv"]),
                     jnp.asarray(inter["slot"]),
                     inter["hf"][0], inter["hf"][1], inter["hf"][2],
-                    wt=wt_dev, caps=caps, H=H, W=W, Hc=Hc, Wc=Wc,
-                    hl=hl, wl=wl, hc=hc, wc=wc, bd=bd, hs=hs, vs=vs,
-                    denoms=denoms)
+                    wt=wt_dev, ccp=ccp_dev, caps=caps, H=H, W=W,
+                    Hc=Hc, Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc, bd=bd,
+                    hs=hs, vs=vs, denoms=denoms)
             else:
                 # PCM+inter mix or no usable reference: legacy packed path
                 pf = pack_frame(fs)
                 pf.inter = inter
+                pf.ccp = smap
                 planes4 = self._run_inter_only(pf)   # [4, H, W] post-inter
                 self.wire.h2d(pf.planes0.nbytes)
                 luma = _embed_luma(planes4, hl, wl, H, W)
@@ -593,6 +595,7 @@ class JaxEngine:
                             np.full((1, 1), n, np.int32),
                             luma, chroma, fargs,
                             None if bounds is None else jnp.asarray(bounds),
+                            ccp_dev,
                             caps=caps, hl=hl, wl=wl,
                             hc=hc, wc=wc, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd,
                             npad=npad, prefill=prefill, filters=fmask,
@@ -617,7 +620,8 @@ class JaxEngine:
                           strong_smoothing=pf.strong_smoothing,
                           planes0=pf.planes0, res=pf.res,
                           intra={}, n_levels=0, inter=pf.inter,
-                          hshift=pf.hshift, vshift=pf.vshift)
+                          hshift=pf.hshift, vshift=pf.vshift,
+                          ccp=pf.ccp)
         return self._run(pf2)
 
     def _pack_inter(self, fs: FrameSymbols, ref_planes):
@@ -690,6 +694,17 @@ class JaxEngine:
                                         jnp.asarray(b["plane"]),
                                         jnp.asarray(b["bx"]),
                                         jnp.asarray(b["by"]), s=s)
+        if getattr(pf, "ccp", None) is not None:
+            # RExt cross-component prediction (hevc.c:1295-1362)
+            Hc_ = pf.height >> pf.vshift
+            Wc_ = pf.width >> pf.hshift
+            smap = jnp.asarray(pf.ccp).astype(jnp.int32)
+            rl = res_planes[0, :Hc_, :Wc_]
+            rc = res_planes[1:3, :Hc_, :Wc_]
+            tot = rc + ((smap * rl[None]) >> 3)
+            wrapped = ((tot + (1 << 15)) & 0xFFFF) - (1 << 15)
+            out = jnp.where(smap != 0, wrapped, rc)
+            res_planes = res_planes.at[1:3, :Hc_, :Wc_].set(out)
         # inter prediction (two-stage dense device MC) before the intra
         # scan: stage-1 hf stacks were prefiltered/cached per reference
         # picture; stage 2 + combine here, all grid upsampling on device
@@ -1029,6 +1044,41 @@ def _derive_meta16(meta8, sdis, c444, strong):
                       mang, minv, m10, m11, m12, mavhi, z, z])
 
 
+def ccp_scale_map(fs):
+    """RExt cross-component prediction: per-pixel res_scale_val map
+    [2, Hc, Wc] int8 over the chroma planes (0 where CCP is off for a
+    TU), built from the parsed blocks. None when the PPS flag is off or
+    nothing uses it. 4:4:4 only (the only chroma format CCP allows)."""
+    if not getattr(fs.pps, "cross_component_prediction_enabled", 0):
+        return None
+    fs.ensure_objects()
+    sps = fs.sps
+    Hc, Wc = sps.height >> sps.vshift1, sps.width >> sps.hshift1
+    smap = np.zeros((2, Hc, Wc), np.int8)
+    any_ = False
+    for cb in fs.coeff_blocks:
+        if cb.plane and cb.cross_scale:
+            s = 1 << cb.log2_size
+            smap[cb.plane - 1, cb.y:cb.y + s, cb.x:cb.x + s] = \
+                cb.cross_scale
+            any_ = True
+    return smap if any_ else None
+
+
+def _apply_ccp(acc_l, acc_c, smap, Hc, Wc):
+    """Couple the chroma residual to the co-located luma residual:
+    r_c += (res_scale_val * r_l) >> 3, accumulated with the reference's
+    int16 coeffs-buffer wraparound (hevc.c:1295-1362). acc_l/acc_c are
+    the (possibly over-sized) whole-plane residual maps."""
+    rl = acc_l[:Hc, :Wc]
+    rc = acc_c[:, :Hc, :Wc]
+    s32 = smap.astype(jnp.int32)
+    tot = rc + ((s32 * rl[None]) >> 3)
+    wrapped = ((tot + (1 << 15)) & 0xFFFF) - (1 << 15)
+    out = jnp.where(s32 != 0, wrapped, rc)
+    return acc_c.at[:, :Hc, :Wc].set(out)
+
+
 def _residual_acc(arena4, arena16, escs, *, caps, H, W, Hc, Wc, bd):
     """Dequant+IDCT every residual bucket of the nibble arena and
     accumulate into whole-plane maps: (acc_l [>=H, >=W] | None,
@@ -1097,8 +1147,8 @@ def _residual_acc(arena4, arena16, escs, *, caps, H, W, Hc, Wc, bd):
                                    "hl", "wl", "hc", "wc", "bd",
                                    "hs", "vs", "denoms"))
 def _inter_prefill(arena4, arena16, escs, pf4, mv, slot, hf0, hf1, hf2,
-                   wt=None, *, caps, H, W, Hc, Wc, hl, wl, hc, wc, bd,
-                   hs, vs, denoms=None):
+                   wt=None, ccp=None, *, caps, H, W, Hc, Wc, hl, wl, hc,
+                   wc, bd, hs, vs, denoms=None):
     """Device-side inter-prediction prefill for the fused frame path:
     residual assembly from the (shared) nibble arena + two-stage MC from
     the DEVICE-RESIDENT stage-1 stacks + uni/bi (weighted) combine.
@@ -1113,6 +1163,8 @@ def _inter_prefill(arena4, arena16, escs, pf4, mv, slot, hf0, hf1, hf2,
     from ..ops.intra_fused import OY, OX
     acc_l, acc_c = _residual_acc(arena4, arena16, escs, caps=caps,
                                  H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
+    if ccp is not None and acc_l is not None:
+        acc_c = _apply_ccp(acc_l, acc_c, ccp, Hc, Wc)
     pf4 = pf4.astype(jnp.int32)
     outs = []
     for c in range(3):
@@ -1171,7 +1223,7 @@ def _slice_plane(flat, *, c, H, W, Hc, Wc):
                                    "filters", "cs", "bdc", "sdis", "c444",
                                    "strong", "banded"))
 def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
-                 bounds=None,
+                 bounds=None, ccp=None,
                  *, caps, hl, wl, hc, wc, H, W, Hc, Wc, bd, npad, prefill,
                  filters=0, cs=64, bdc=8, sdis=False, c444=False,
                  strong=False, banded=None):
@@ -1184,6 +1236,9 @@ def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
     from ..ops.intra_fused import _build, _build_banded, OY, OX
     acc_l, acc_c = _residual_acc(arena4, arena16, escs, caps=caps,
                                  H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
+    if ccp is not None and acc_l is not None:
+        # RExt cross-component prediction on device (hevc.c:1295-1362)
+        acc_c = _apply_ccp(acc_l, acc_c, ccp, Hc, Wc)
     res_l = jnp.zeros((hl, wl), jnp.int32)
     res_c = jnp.zeros((2, hc, wc), jnp.int32)
     if acc_l is not None:

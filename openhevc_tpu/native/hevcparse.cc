@@ -211,6 +211,11 @@ struct SliceParams {
     int32_t start_ts, slice_no, dependent;
     // RExt tool set (SPS range extension; python mirror syntax.py)
     int32_t ts_rotation, explicit_rdpcm, persistent_rice, cross_component;
+    // explicit tile boundaries in CTBs (non-uniform spacing,
+    // hevc_ps.c:2305-2341 derivation done host-side); 0 = derive
+    // uniform boundaries internally
+    int32_t n_col_bd_in, n_row_bd_in;
+    int32_t col_bd_in[25], row_bd_in[25];
 };
 
 struct Outputs {
@@ -303,8 +308,13 @@ struct Shared {
         int nrows = tiles ? P->num_tile_rows : 1;
         col_bd.resize(ncols + 1);
         std::vector<int32_t> row_bd(nrows + 1);
-        for (int c = 0; c <= ncols; c++) col_bd[c] = c * ctbs_w / ncols;
-        for (int r = 0; r <= nrows; r++) row_bd[r] = r * ctbs_h / nrows;
+        if (P->n_col_bd_in == ncols + 1 && P->n_row_bd_in == nrows + 1) {
+            for (int c = 0; c <= ncols; c++) col_bd[c] = P->col_bd_in[c];
+            for (int r = 0; r <= nrows; r++) row_bd[r] = P->row_bd_in[r];
+        } else {
+            for (int c = 0; c <= ncols; c++) col_bd[c] = c * ctbs_w / ncols;
+            for (int r = 0; r <= nrows; r++) row_bd[r] = r * ctbs_h / nrows;
+        }
         tile_id.assign(ctbs_w * ctbs_h, 0);
         ts_order.clear();
         int tid = 0;

@@ -2,7 +2,7 @@
 import numpy as np
 import pytest
 
-from conftest import ref_decode, ref_planes
+from conftest import ref_decode, ref_planes, make_frames
 
 from openhevc_tpu.encoder.intra_enc import encode_intra_stream
 from openhevc_tpu.encoder.inter_enc import encode_lowdelay_stream
@@ -425,3 +425,98 @@ def test_vui_timing_hrd():
     assert sps is not None and sps.time_scale == 60000
     assert sps.num_units_in_tick == 1000
     check(data, 2, 64, 64)
+
+
+def test_chroma_qp_offset_list(rng):
+    """PPS RExt chroma QP offset lists end-to-end: encoder emits the
+    list + cu_chroma_qp_offset_flag/_idx per chroma QG, decode is
+    bit-exact vs the reference oracle (hevc.c:1247-1263)."""
+    from conftest import ref_decode, ref_planes, make_frames
+    from openhevc_tpu.decoder import Decoder
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    W, H = 96, 64
+    fr = make_frames(W, H, 2, rng)
+    data, _ = encode_intra_stream(
+        fr, W, H, qp=30, ctb_log2=4, seed=41,
+        chroma_qp_offset_list=((3, -2), (-5, 5), (0, 1)),
+        sao=True, deblock=True)
+    ref = ref_decode(data)
+    for engine in ("np", "jax"):
+        d = Decoder(engine)
+        pics = d.decode(data) + d.flush()
+        assert len(pics) == len(ref)
+        for i, f in enumerate(ref):
+            rp = ref_planes(f)
+            for c in range(3):
+                assert np.array_equal(
+                    np.asarray(pics[i].cropped()[c], np.int64),
+                    np.asarray(rp[c], np.int64)), (engine, i, c)
+
+
+def test_chroma_qp_offset_list_with_cu_qp_delta(rng):
+    """chroma offset list + cu_qp_delta together (both QG state
+    machines active)."""
+    from conftest import ref_decode, ref_planes, make_frames
+    from openhevc_tpu.decoder import Decoder
+    from openhevc_tpu.encoder.intra_enc import encode_intra_stream
+    W, H = 64, 64
+    fr = make_frames(W, H, 2, rng)
+    data, _ = encode_intra_stream(
+        fr, W, H, qp=30, ctb_log2=4, seed=43,
+        chroma_qp_offset_list=((4, -4),), cu_qp_delta_depth=0)
+    ref = ref_decode(data)
+    d = Decoder("np")
+    pics = d.decode(data) + d.flush()
+    for i, f in enumerate(ref):
+        rp = ref_planes(f)
+        for c in range(3):
+            assert np.array_equal(
+                np.asarray(pics[i].cropped()[c], np.int64),
+                np.asarray(rp[c], np.int64)), (i, c)
+
+
+def test_non_uniform_tiles_native(rng):
+    """Non-uniform tile spacing parses through the NATIVE core
+    (explicit col/row boundaries; hevc_ps.c:2305-2341 derivation) and
+    decodes bit-exact vs the reference oracle."""
+    W, H = 160, 96   # 10x6 CTBs at ctb_log2=4
+    fr = make_frames(W, H, 2, rng)
+    data, _ = encode_intra_stream(fr, W, H, qp=30, ctb_log2=4, seed=51,
+                                  tile_cols=3, tile_rows=2,
+                                  tile_widths=(5, 2, 3),
+                                  tile_heights=(4, 2),
+                                  sao=True, deblock=True)
+    ref = ref_decode(data)
+    d = Decoder("np")
+    pics = d.decode(data) + d.flush()
+    assert d.stats["python_slices"] == 0, d.stats
+    assert d.stats["native_slices"] > 0
+    assert len(pics) == len(ref)
+    for i, f in enumerate(ref):
+        rp = ref_planes(f)
+        for c in range(3):
+            assert np.array_equal(
+                np.asarray(pics[i].cropped()[c], np.int64),
+                np.asarray(rp[c], np.int64)), (i, c)
+
+
+def test_non_uniform_tiles_wpp_parity(rng):
+    """Non-uniform tiles with threaded substream parse matches the
+    serial path (native threaded-parse invariance)."""
+    from openhevc_tpu.decoder import Decoder as D
+    W, H = 128, 64
+    fr = make_frames(W, H, 2, rng)
+    data, _ = encode_intra_stream(fr, W, H, qp=30, ctb_log2=4, seed=52,
+                                  tile_cols=2, tile_rows=2,
+                                  tile_widths=(3, 5),
+                                  tile_heights=(1, 3))
+    ref = ref_decode(data)
+    d = D("np")
+    pics = d.decode(data) + d.flush()
+    assert d.stats["python_slices"] == 0, d.stats
+    for i, f in enumerate(ref):
+        rp = ref_planes(f)
+        for c in range(3):
+            assert np.array_equal(
+                np.asarray(pics[i].cropped()[c], np.int64),
+                np.asarray(rp[c], np.int64)), (i, c)
