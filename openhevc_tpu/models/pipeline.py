@@ -33,6 +33,19 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def _round_bucket(n, base):
+    """Geometric shape bucket (pow2 / 1.5*pow2) — mirrors the native
+    packer's round_bucket; bounds jit-signature churn."""
+    if n <= base:
+        return base
+    p = base
+    while p < n:
+        p <<= 1
+    half = p >> 1
+    mid = half + (half >> 1)
+    return mid if n <= mid else p
+
+
 @dataclass
 class PackedFrame:
     width: int
@@ -305,6 +318,9 @@ class JaxEngine:
     # recon+residual buffers; beyond this fall back to the per-level path
     # until the banded variant lands)
     FUSED_VMEM_BUDGET = 12 * 2 ** 20
+    # plane-size gate for the all-phase-pair MC prefilter (~140 MB/ref
+    # at 1080p 4:2:0; 4K would be ~540 MB/ref -> tap path instead)
+    MC_PAIRS_MAX_PIXELS = 2_600_000
 
     def __init__(self):
         self._cache = {}
@@ -352,29 +368,32 @@ class JaxEngine:
         self.wire.h2d(src.nbytes)
         return jnp.asarray(src)
 
-    def _hf_stack(self, pocs, ref_planes, c, bd):
-        """Stage-1 MC prefilter stack [R, P, Hp, wn] for plane c of the
-        listed reference pictures, R padded to a power of two to bound
-        jit specializations. Prefilter results are cached per decoded
-        picture (keyed by the planes object), so a reference is filtered
-        once no matter how many frames read it — and with the
-        device-resident DPB the source plane never crosses the wire."""
+    def _hf_stack(self, pocs, ref_planes, c, bd, pairs=False):
+        """Stage-1 MC prefilter stack for plane c of the listed
+        reference pictures, R padded to a power of two to bound jit
+        specializations: [R, P, Hp, wn] (tap mode) or
+        [R, Py, Px, hn, wn] (all-phase-pair mode). Prefilter results
+        are cached per decoded picture (keyed by the planes object), so
+        a reference is filtered once no matter how many frames read
+        it — and with the device-resident DPB the source plane never
+        crosses the wire."""
         import weakref
-        from ..ops.mc import mc_hprefilter
+        from ..ops.mc import mc_hprefilter, mc_prefilter_pairs
         if not pocs:
             return None
         entries = []
         for p in pocs:
             obj = ref_planes[p]
             tgt = obj if hasattr(obj, "_dims") else obj[c]
-            key = (id(tgt), c)
+            key = (id(tgt), c, pairs)
             hit = self._hf_cache.get(key)
             if hit is not None and hit[0] is not None and \
                     hit[0]() is tgt:
                 entries.append(hit[1])
                 continue
-            dev = mc_hprefilter(self._ref_plane_dev(obj, c, bd),
-                                bit_depth=bd, is_luma=(c == 0))
+            fn = mc_prefilter_pairs if pairs else mc_hprefilter
+            dev = fn(self._ref_plane_dev(obj, c, bd),
+                     bit_depth=bd, is_luma=(c == 0))
             try:
                 wr = weakref.ref(tgt)
             except TypeError:
@@ -501,33 +520,35 @@ class JaxEngine:
         # ---- base planes (PCM prefill; inter prediction if present) -------
         prefill = True
         dev_arenas = None
+        inter_args = None
+        iwt_dev = None
+        idenoms = None
+        ipairs = False
         if fs.inter_pbs:
             inter = self._pack_inter(fs, ref_planes)
             if inter is not None and inter["hf"][0] is not None and \
                     not fs.pcm_blocks:
-                # all-device prefill: residual from the shared arena +
-                # two-stage MC over the device-resident DPB stacks; no
-                # frame-sized host upload for inter frames
+                # single-dispatch inter frame: the MC prefill runs
+                # INSIDE _frame_fused from the shared residual maps; no
+                # frame-sized host upload, no separate prefill dispatch
                 dev_arenas = (jnp.asarray(arena4), jnp.asarray(arena16),
                               jnp.asarray(escs))
                 self.wire.h2d(arena4.nbytes + arena16.nbytes + escs.nbytes)
                 wt = inter.get("wt")
-                wt_dev = None
-                denoms = None
                 if wt is not None:
-                    wt_dev = (jnp.asarray(wt["wg"]), jnp.asarray(wt["og"]))
-                    denoms = tuple(wt["denoms"])
+                    iwt_dev = (jnp.asarray(wt["wg"]),
+                               jnp.asarray(wt["og"]))
+                    idenoms = tuple(wt["denoms"])
                     self.wire.h2d(wt["wg"].nbytes + wt["og"].nbytes)
                 self.wire.h2d(inter["pf4"].nbytes + inter["mv"].nbytes +
                               inter["slot"].nbytes)
-                luma, chroma = _inter_prefill(
-                    dev_arenas[0], dev_arenas[1], dev_arenas[2],
-                    jnp.asarray(inter["pf4"]), jnp.asarray(inter["mv"]),
-                    jnp.asarray(inter["slot"]),
-                    inter["hf"][0], inter["hf"][1], inter["hf"][2],
-                    wt=wt_dev, ccp=ccp_dev, caps=caps, H=H, W=W,
-                    Hc=Hc, Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc, bd=bd,
-                    hs=hs, vs=vs, denoms=denoms)
+                ipairs = inter.get("pairs", False)
+                inter_args = (jnp.asarray(inter["pf4"]),
+                              jnp.asarray(inter["mv"]),
+                              jnp.asarray(inter["slot"]),
+                              inter["hf"][0], inter["hf"][1],
+                              inter["hf"][2])
+                luma = chroma = None
             else:
                 # PCM+inter mix or no usable reference: legacy packed path
                 pf = pack_frame(fs)
@@ -595,7 +616,7 @@ class JaxEngine:
                             np.full((1, 1), n, np.int32),
                             luma, chroma, fargs,
                             None if bounds is None else jnp.asarray(bounds),
-                            ccp_dev,
+                            ccp_dev, inter_args, iwt_dev,
                             caps=caps, hl=hl, wl=wl,
                             hc=hc, wc=wc, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd,
                             npad=npad, prefill=prefill, filters=fmask,
@@ -605,7 +626,8 @@ class JaxEngine:
                                               0)),
                             c444=sps.chroma_format_idc == 3,
                             strong=bool(sps.strong_intra_smoothing),
-                            banded=banded)
+                            banded=banded, hs=hs, vs=vs, denoms=idenoms,
+                            pairs=ipairs)
         lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool,
                         wire=self.wire)
         self._fetch_pool.add(lp)
@@ -646,9 +668,12 @@ class JaxEngine:
         mv = np.asarray(mc.mv, np.int16)          # [h4,w4,2,2] (qpel MVs
         # are spec-bounded to +-2^15, hevc.h Mv int16 — exact in int16)
         bd = sps.bit_depth
-        hf = {c: self._hf_stack(pocs, ref_planes, c, bd)
+        # all-phase-pair prefilter where the per-ref memory is sane
+        # (<= ~1080p); 4K stays on the 8x-leaner tap path
+        pairs = sps.height * sps.width <= self.MC_PAIRS_MAX_PIXELS
+        hf = {c: self._hf_stack(pocs, ref_planes, c, bd, pairs=pairs)
               for c in range(3)}
-        out = dict(pf4=pf4, mv=mv, slot=slot, hf=hf)
+        out = dict(pf4=pf4, mv=mv, slot=slot, hf=hf, pairs=pairs)
         if fs.weights is not None:
             # per-4x4 weight/offset grids per list+plane from ref_idx
             # (weighted uni/bi combine, ops/mc.py inter_combine_w)
@@ -710,7 +735,8 @@ class JaxEngine:
         # picture; stage 2 + combine here, all grid upsampling on device
         inter = getattr(pf, "inter", None)
         if inter is not None and inter["hf"][0] is not None:
-            from ..ops.mc import mc_put, inter_combine, inter_combine_w
+            from ..ops.mc import (mc_put, mc_put_pairs,
+                                  inter_combine, inter_combine_w)
             H, W = pf.height, pf.width
             pf4 = jnp.asarray(inter["pf4"])
             mv_dev = jnp.asarray(inter["mv"])       # [h4,w4,2,2]
@@ -721,10 +747,11 @@ class JaxEngine:
                 sv = 0 if is_luma else pf.vshift
                 ph, pw = H >> sv, W >> sh
                 reph, repv = 4 >> sh, 4 >> sv
-                puts = [mc_put(inter["hf"][c], mv_dev[:, :, lx],
-                               slot_dev[lx], bit_depth=bd,
-                               is_luma=is_luma, hs=pf.hshift,
-                               vs=pf.vshift, H=ph, W=pw)
+                putf = mc_put_pairs if inter.get("pairs") else mc_put
+                puts = [putf(inter["hf"][c], mv_dev[:, :, lx],
+                             slot_dev[lx], bit_depth=bd,
+                             is_luma=is_luma, hs=pf.hshift,
+                             vs=pf.vshift, H=ph, W=pw)
                         for lx in range(2)]
                 wt = inter.get("wt")
                 if wt is not None:
@@ -969,7 +996,9 @@ def _pack_arena(buckets):
         lv = b["levels"].reshape(-1)
         lv4 = np.clip(lv, -8, 7)
         esc = np.nonzero(lv != lv4)[0]
-        n_esc = max(8, -(-len(esc) // 64) * 64) if len(esc) else 0
+        n_esc = 0
+        if len(esc):
+            n_esc = 8 if len(esc) <= 8 else _round_bucket(len(esc), 64)
         caps.append((s, cap, 0 if sm is None else 1, n_esc))
         lvb = (lv4 + 8).astype(np.uint8)     # biased nibble, 0..15
         p4.append(lvb[0::2] | (lvb[1::2] << 4))
@@ -1145,10 +1174,10 @@ def _residual_acc(arena4, arena16, escs, *, caps, H, W, Hc, Wc, bd):
 
 @partial(jax.jit, static_argnames=("caps", "H", "W", "Hc", "Wc",
                                    "hl", "wl", "hc", "wc", "bd",
-                                   "hs", "vs", "denoms"))
+                                   "hs", "vs", "denoms", "pairs"))
 def _inter_prefill(arena4, arena16, escs, pf4, mv, slot, hf0, hf1, hf2,
                    wt=None, ccp=None, *, caps, H, W, Hc, Wc, hl, wl, hc,
-                   wc, bd, hs, vs, denoms=None):
+                   wc, bd, hs, vs, denoms=None, pairs=False):
     """Device-side inter-prediction prefill for the fused frame path:
     residual assembly from the (shared) nibble arena + two-stage MC from
     the DEVICE-RESIDENT stage-1 stacks + uni/bi (weighted) combine.
@@ -1159,12 +1188,26 @@ def _inter_prefill(arena4, arena16, escs, pf4, mv, slot, hf0, hf1, hf2,
 
     Parity: luma_mc_uni/bi + chroma_mc_uni/bi (hevc.c:1641-1949) with
     put_hevc_qpel/epel + weighted combine (hevcdsp_template.c)."""
-    from ..ops.mc import mc_put_core, combine_plane, combine_plane_w
-    from ..ops.intra_fused import OY, OX
     acc_l, acc_c = _residual_acc(arena4, arena16, escs, caps=caps,
                                  H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
     if ccp is not None and acc_l is not None:
         acc_c = _apply_ccp(acc_l, acc_c, ccp, Hc, Wc)
+    return _prefill_from_acc(acc_l, acc_c, pf4, mv, slot,
+                             (hf0, hf1, hf2), wt, H=H, W=W, Hc=Hc,
+                             Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc, bd=bd,
+                             hs=hs, vs=vs, denoms=denoms, pairs=pairs)
+
+
+def _prefill_from_acc(acc_l, acc_c, pf4, mv, slot, hfs, wt, *, H, W,
+                      Hc, Wc, hl, wl, hc, wc, bd, hs, vs, denoms,
+                      pairs):
+    """Two-stage MC + (weighted) uni/bi combine + residual add over
+    already-assembled residual maps; returns embedded prefill buffers.
+    Shared by _inter_prefill and _frame_fused (single-dispatch inter
+    frames)."""
+    from ..ops.mc import (mc_put_core, mc_put_pairs_core, combine_plane,
+                          combine_plane_w)
+    from ..ops.intra_fused import OY, OX
     pf4 = pf4.astype(jnp.int32)
     outs = []
     for c in range(3):
@@ -1173,9 +1216,10 @@ def _inter_prefill(arena4, arena16, escs, pf4, mv, slot, hf0, hf1, hf2,
         pw = W if is_luma else Wc
         reph = 4 if is_luma else 4 >> hs
         repv = 4 if is_luma else 4 >> vs
-        hf = (hf0, hf1, hf2)[c]
-        puts = [mc_put_core(hf, mv[:, :, lx], slot[lx], bit_depth=bd,
-                            is_luma=is_luma, hs=hs, vs=vs, H=ph, W=pw)
+        hf = hfs[c]
+        put_fn = mc_put_pairs_core if pairs else mc_put_core
+        puts = [put_fn(hf, mv[:, :, lx], slot[lx], bit_depth=bd,
+                       is_luma=is_luma, hs=hs, vs=vs, H=ph, W=pw)
                 for lx in range(2)]
         pf = jnp.repeat(jnp.repeat(pf4, repv, 0), reph, 1)[:ph, :pw]
         if acc_l is None:
@@ -1221,12 +1265,14 @@ def _slice_plane(flat, *, c, H, W, Hc, Wc):
 @partial(jax.jit, static_argnames=("caps", "hl", "wl", "hc", "wc", "H", "W",
                                    "Hc", "Wc", "bd", "npad", "prefill",
                                    "filters", "cs", "bdc", "sdis", "c444",
-                                   "strong", "banded"))
+                                   "strong", "banded", "hs", "vs",
+                                   "denoms", "pairs"))
 def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
-                 bounds=None, ccp=None,
+                 bounds=None, ccp=None, inter=None, iwt=None,
                  *, caps, hl, wl, hc, wc, H, W, Hc, Wc, bd, npad, prefill,
                  filters=0, cs=64, bdc=8, sdis=False, c444=False,
-                 strong=False, banded=None):
+                 strong=False, banded=None, hs=1, vs=1, denoms=None,
+                 pairs=False):
     """ONE dispatch for the whole post-parse frame: dequant+IDCT per size
     bucket, residual scatter, fused Pallas intra wavefront, crop+downcast.
     Minimal dispatches AND minimal bytes: the tunneled runtime gives a
@@ -1245,7 +1291,16 @@ def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
         res_l = res_l.at[OY:OY + H, OX:OX + W].set(acc_l[:H, :W])
         res_c = res_c.at[:, OY:OY + Hc, OX:OX + Wc].set(
             acc_c[:, :Hc, :Wc])
-    if prefill:
+    if inter is not None:
+        # single-dispatch inter frame: MC prefill computed here from
+        # the SAME residual maps (no second residual pass, no separate
+        # prefill dispatch)
+        pf4, mv, slot, hf_0, hf_1, hf_2 = inter
+        luma, chroma = _prefill_from_acc(
+            acc_l, acc_c, pf4, mv, slot, (hf_0, hf_1, hf_2), iwt,
+            H=H, W=W, Hc=Hc, Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc, bd=bd,
+            hs=hs, vs=vs, denoms=denoms, pairs=pairs)
+    elif prefill:
         luma, chroma = pre_l, pre_c
     else:
         luma = jnp.zeros((hl, wl), jnp.int32)
@@ -1294,7 +1349,7 @@ def _res_buckets(fs: FrameSymbols):
             if not len(sel):
                 continue
             n = len(sel)
-            cap = max(16, -(-n // 256) * 256)
+            cap = _round_bucket(n, 256)
             offs = cm[sel, 6]
             gather = offs[:, None] + np.arange(s * s)[None, :]
             levels = np.zeros((cap, s, s), np.int32)
@@ -1327,7 +1382,7 @@ def _res_buckets(fs: FrameSymbols):
         if not blocks:
             continue
         n = len(blocks)
-        cap = max(16, -(-n // 256) * 256)
+        cap = _round_bucket(n, 256)
         levels = np.zeros((cap, s, s), np.int32)
         qp = np.zeros(cap, np.int32)
         flags = np.zeros((cap, 5), bool)

@@ -2331,6 +2331,18 @@ const int PACK_OY = 8, PACK_OX = 128;
 // Returns 0 on success, -1 if any output buffer is too small (caller
 // reallocates and retries). caps_out: 4 x (s, cap, has_sm, n_esc);
 // used_out: {arena8_used, arena16_used, esc_used, npad}.
+// geometric shape bucket (pow2 and 1.5*pow2 steps): bounds the jit
+// signature count of the device programs to ~2 per octave while
+// wasting <= 33% padded rows (padding is nibble-cheap on the wire)
+static int32_t round_bucket(int32_t n, int32_t base) {
+    if (n <= base) return base;
+    int32_t p = base;
+    while (p < n) p <<= 1;
+    int32_t half = p >> 1;
+    int32_t mid = half + (half >> 1);
+    return (n <= mid) ? mid : p;
+}
+
 int hevc_pack_frame(
         const int32_t* cb_meta, int32_t n_cb, const int16_t* cb_levels,
         const int32_t* ij_meta, const uint8_t* ij_avail, int32_t n_ij,
@@ -2356,7 +2368,7 @@ int hevc_pack_frame(
             caps_out[si * 4 + 3] = 0;
             continue;
         }
-        const int cap = ((n + 255) / 256) * 256;   // min 256, 256-aligned
+        const int cap = round_bucket(n, 256);
         if ((o4 + cap * ss) / 2 > arena4_cap || o16 + 3 * cap > arena16_cap)
             return -1;
         uint8_t* lv4 = arena4 + o4 / 2;
@@ -2422,8 +2434,7 @@ int hevc_pack_frame(
         int n_pairs = (oe - esc_start) / 2;
         int n_esc = 0;
         if (n_pairs) {
-            n_esc = (n_pairs + 63) / 64 * 64;
-            if (n_esc < 8) n_esc = 8;
+            n_esc = n_pairs <= 8 ? 8 : round_bucket(n_pairs, 64);
             if (esc_start + 2 * n_esc > esc_cap) return -1;
             for (int k = n_pairs; k < n_esc; k++) {
                 esc[esc_start + 2 * k] = -1;
@@ -2439,7 +2450,7 @@ int hevc_pack_frame(
         o16 += 3 * cap;
     }
     // ---- intra meta [8, npad] (ops/intra_fused.py pack_meta) -----------
-    const int npad = n_ij <= 1024 ? 1024 : ((n_ij + 1023) / 1024) * 1024;
+    const int npad = round_bucket(n_ij, 1024);
     if (8 * npad > meta_cap) return -1;
     memset(meta, 0, (size_t)8 * npad * sizeof(int16_t));
     for (int i = 0; i < n_ij; i++) {

@@ -649,7 +649,14 @@ def _build_banded(hl, wl, hc, wc, npad, bd, band_h, vs, nbands):
 
 
 def _bucket(n: int) -> int:
-    return max(1024, -(-n // 1024) * 1024)
+    if n <= 1024:
+        return 1024
+    p = 1024
+    while p < n:
+        p <<= 1
+    half = p >> 1
+    mid = half + (half >> 1)
+    return mid if n <= mid else p
 
 
 def intra_reconstruct_fused(luma, chroma, res_l, res_c, meta: np.ndarray,

@@ -111,6 +111,68 @@ mc_put = partial(jax.jit, static_argnames=(
     "bit_depth", "is_luma", "hs", "vs", "H", "W"))(mc_put_core)
 
 
+@partial(jax.jit, static_argnames=("bit_depth", "is_luma"))
+def mc_prefilter_pairs(ref, bit_depth: int, is_luma: bool):
+    """All-phase-PAIR prefilter: [Py, Px, hn, wn] int16 — the fully
+    filtered 'put' intermediate at every (y-phase, x-phase). Cached per
+    decoded picture, this turns stage 2 into a single per-pixel gather
+    (TPU gathers cost ~the same per element regardless of arity, so
+    8 tap-gathers -> 1 gather is ~4-8x; the vertical filtering here is
+    dense VPU work). Memory: 16 planes (luma) / 64 (chroma) of the
+    frame in int16 — used for plane sizes where that fits comfortably
+    (JaxEngine gates by pixel count; 4K falls back to the two-stage
+    tap path)."""
+    taps = 8 if is_luma else 4
+    filt = _QPEL_ALL if is_luma else _EPEL_ALL
+    nphase = filt.shape[0]
+    hf = mc_hprefilter(ref, bit_depth=bit_depth, is_luma=is_luma)
+    P, Hp, wn = hf.shape
+    hn = Hp - taps + 1
+    hf32 = hf.astype(jnp.int32)
+    out = []
+    for py in range(nphase):
+        acc = jnp.zeros((P, hn, wn), jnp.int32)
+        for t in range(taps):
+            acc = acc + hf32[:, t:t + hn, :] * int(filt[py, t])
+        out.append((acc >> 6).astype(jnp.int16))
+    return jnp.stack(out, axis=0)          # [Py, Px, hn, wn]
+
+
+def mc_put_pairs_core(pp, mv4, slot4, bit_depth: int, is_luma: bool,
+                      hs: int, vs: int, H: int, W: int):
+    """Stage 2 over the all-pair stack: ONE linearized gather per
+    pixel. pp: [R, Py, Px, hn, wn] int16. Identical output to
+    mc_put_core (the >>6 already happened inside the phase planes;
+    both shift after the full 2-D filter sum)."""
+    mv4 = mv4.astype(jnp.int32)
+    slot4 = slot4.astype(jnp.int32)
+    R, Py, Px, hn, wn = pp.shape
+    fbx = 2 if is_luma else 2 + hs
+    fby = 2 if is_luma else 2 + vs
+    pmx = 1 if is_luma else 1 << (1 - hs)
+    pmy = 1 if is_luma else 1 << (1 - vs)
+    center = 3 if is_luma else 1
+    reph = 4 if is_luma else 4 >> hs
+    repv = 4 if is_luma else 4 >> vs
+    mvx = jnp.repeat(jnp.repeat(mv4[:, :, 0], repv, 0), reph, 1)[:H, :W]
+    mvy = jnp.repeat(jnp.repeat(mv4[:, :, 1], repv, 0), reph, 1)[:H, :W]
+    slot = jnp.repeat(jnp.repeat(slot4, repv, 0), reph, 1)[:H, :W]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    sx = xs + (mvx >> fbx)
+    sy = ys + (mvy >> fby)
+    fx = ((mvx & ((1 << fbx) - 1)) * pmx).astype(jnp.int32)
+    fy = ((mvy & ((1 << fby) - 1)) * pmy).astype(jnp.int32)
+    gi = jnp.clip(sx + PAD - center, 0, wn - 1)
+    gj = jnp.clip(sy + PAD - center, 0, hn - 1)
+    idx = (((slot * Py + fy) * Px + fx) * hn + gj) * wn + gi
+    return pp.reshape(-1)[idx].astype(jnp.int32)
+
+
+mc_put_pairs = partial(jax.jit, static_argnames=(
+    "bit_depth", "is_luma", "hs", "vs", "H", "W"))(mc_put_pairs_core)
+
+
 def combine_plane(put0, put1, pf, res, bit_depth: int):
     """Per-plane default (non-weighted) uni/bi combine + residual add:
     pf is the pixel-granular pred_flag (0 intra, 1 L0, 2 L1, 3 BI);

@@ -231,7 +231,8 @@ def test_inter_prefill_matches_legacy_path(weighted):
             inter["hf"][0], inter["hf"][1], inter["hf"][2],
             wt=wt_dev, caps=caps, H=H, W=W, Hc=Hc, Wc=Wc,
             hl=hl, wl=wl, hc=hc, wc=wc, bd=sps.bit_depth,
-            hs=sps.hshift1, vs=sps.vshift1, denoms=denoms)
+            hs=sps.hshift1, vs=sps.vshift1, denoms=denoms,
+            pairs=inter.get("pairs", False))
         pf = pack_frame(fs)
         pf.inter = inter
         planes4 = np.asarray(eng._run_inter_only(pf))
