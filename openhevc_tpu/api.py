@@ -75,9 +75,12 @@ class OpenHevc:
     def start(self):
         if self.active_decoders >= 1:
             from .decoder import ShvcDecoder
-            self._dec = ShvcDecoder(self.engine)   # SHVC 2-layer chain
+            self._dec = ShvcDecoder(self.engine,
+                                    nb_threads=self.nb_threads,
+                                    thread_type=self.thread_type)
         else:
-            self._dec = Decoder(self.engine)
+            self._dec = Decoder(self.engine, nb_threads=self.nb_threads,
+                                thread_type=self.thread_type)
         self._apply_temporal_layer()
         self._apply_strict()
         if self._extradata is not None:

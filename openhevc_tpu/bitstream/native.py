@@ -123,10 +123,18 @@ def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
     """Call hevc_pack_frame: per-size residual arenas (4-bit nibble
     levels, 3-int16-per-block sideband) + [8, npad] intra meta in the
     exact _frame_fused upload layout (no scaling lists)."""
-    a4 = np.empty((o.lvl_used + 255 * (16 + 64 + 256 + 1024)) // 2 + 64,
-                  np.uint8)
-    a16 = np.empty(3 * o.n_cb + 3 * 4 * 272 + 16, np.int16)
-    npad = max(1024, -(-o.n_ij // 1024) * 1024)
+    # geometric buckets pad caps by up to 50% (+ the 256-block base per
+    # size class) — size the arenas for that worst case
+    a4 = np.empty((o.lvl_used + o.lvl_used // 2 +
+                   512 * (16 + 64 + 256 + 1024)) // 2 + 64, np.uint8)
+    a16 = np.empty(3 * (o.n_cb + o.n_cb // 2) + 3 * 4 * 528 + 16,
+                   np.int16)
+    npad = 1024
+    while npad < o.n_ij:
+        npad <<= 1
+    half = npad >> 1
+    mid = half + (half >> 1)
+    npad = mid if 1024 < o.n_ij <= mid else npad
     meta = np.empty(8 * npad, np.int16)
     caps = np.zeros(16, np.int32)
     used = np.zeros(4, np.int32)

@@ -67,7 +67,8 @@ class DecodedPicture:
 class Decoder:
     def __init__(self, engine: str = "np", native_parse: bool | None = None,
                  layer: int = 0, mesh=None, wave_depth: int | None = None,
-                 temporal_layer: int | None = None, strict: bool = False):
+                 temporal_layer: int | None = None, strict: bool = False,
+                 nb_threads: int | None = None, thread_type: int = 3):
         """engine: 'np' (scalar oracle) or 'jax' (TPU pipeline).
         native_parse: host parse via native/libhevcparse.so (default: auto,
         falls back to the Python parser if the build is unavailable).
@@ -131,6 +132,21 @@ class Decoder:
         self._parse_futs = {}
         self._parse_depth = max(1, int(_os.environ.get(
             "OPENHEVC_PARSE_AHEAD", "2")))
+        # threading knobs (openHevcWrapper.c:80-87: 1=frame 2=slice/wpp
+        # else frameslice): "frame" threading maps to the parse-ahead
+        # pipeline depth, "slice" to the native substream worker count
+        # (threaded WPP/tile parse)
+        if nb_threads is not None and nb_threads >= 1:
+            n = int(min(nb_threads, 8))
+            if thread_type == 1:          # frame only
+                self._parse_depth = max(1, n)
+                _os.environ["OPENHEVC_PARSE_THREADS"] = "1"
+            elif thread_type == 2:        # slice/wpp only
+                self._parse_depth = 1
+                _os.environ["OPENHEVC_PARSE_THREADS"] = str(n)
+            else:                         # frameslice: both
+                self._parse_depth = max(2, min(n, 4))
+                _os.environ["OPENHEVC_PARSE_THREADS"] = str(n)
         from .utils.log import StageTimers
         self.timers = StageTimers()   # per-frame parse/pack/… tracing
         # parse-path accounting: how many slice segments took the native
@@ -830,9 +846,12 @@ class ShvcDecoder:
     the EL builds its inter-layer reference from the BL's decoded
     picture of the same POC."""
 
-    def __init__(self, engine: str = "np"):
-        self.bl = Decoder(engine)
-        self.el = Decoder(engine, layer=1)
+    def __init__(self, engine: str = "np", nb_threads: int | None = None,
+                 thread_type: int = 3):
+        self.bl = Decoder(engine, nb_threads=nb_threads,
+                          thread_type=thread_type)
+        self.el = Decoder(engine, layer=1, nb_threads=nb_threads,
+                          thread_type=thread_type)
         self.el.shvc_bl = self.bl
 
     def set_extradata(self, data: bytes):

@@ -318,14 +318,20 @@ class JaxEngine:
     # recon+residual buffers; beyond this fall back to the per-level path
     # until the banded variant lands)
     FUSED_VMEM_BUDGET = 12 * 2 ** 20
-    # plane-size gate for the all-phase-pair MC prefilter (~140 MB/ref
-    # at 1080p 4:2:0; 4K would be ~540 MB/ref -> tap path instead)
+    # plane-size gate for the all-phase-pair MC prefilter (~200 MB/ref
+    # at 1080p 4:2:0; 4K would be ~2 GB/ref -> tap path instead)
     MC_PAIRS_MAX_PIXELS = 2_600_000
+    # LRU byte budget for the per-reference prefilter cache
+    HF_CACHE_BUDGET = 1600 * 2 ** 20
 
     def __init__(self):
         self._cache = {}
         self._fetch_pool = FetchPool()
         self.wire = WireStats()
+        import os as _osd
+        # debug: block after each device stage and record wall times
+        self._sync_debug = _osd.environ.get("OPENHEVC_SYNC_TIMERS") == "1"
+        self.sync_times = {}
         # persistent XLA compile cache: shape buckets are coarse
         # (256-block / 1024-meta), so a production decode hits a handful
         # of programs — cache them across processes like the test suite
@@ -345,11 +351,26 @@ class JaxEngine:
                     "jax_persistent_cache_min_entry_size_bytes", 0)
             except Exception:
                 pass
-        # per-reference-plane MC prefilter cache: id(host plane) ->
-        # (weakref(host plane), [P,Hp,wn] int16 device hf). A reference
-        # picture's stage-1 filtering runs ONCE, not once per frame
-        # that references it (ops/mc.mc_hprefilter).
-        self._hf_cache = {}
+        # per-reference-plane MC prefilter cache: planes-object ->
+        # (weakref, device prefilter stack). A reference picture's
+        # prefiltering runs ONCE, not once per frame that references
+        # it; LRU-evicted under a byte budget (see _hf_stack).
+        from collections import OrderedDict
+        self._hf_cache = OrderedDict()
+
+    def _dbg(self, name, x):
+        """When OPENHEVC_SYNC_TIMERS=1: block on the device value and
+        accumulate wall time per stage (pipeline stall diagnosis)."""
+        if self._sync_debug:
+            import time as _t
+            import jax as _jax
+            t0 = _t.perf_counter()
+            _jax.block_until_ready(x)
+            self.sync_times[name] = self.sync_times.get(name, 0.0) + \
+                (_t.perf_counter() - t0)
+            self.sync_times[name + "_n"] = \
+                self.sync_times.get(name + "_n", 0) + 1
+        return x
 
     def _ref_plane_dev(self, planes_obj, c, bd):
         """Plane c of a reference picture as a DEVICE int32 array.
@@ -389,6 +410,7 @@ class JaxEngine:
             hit = self._hf_cache.get(key)
             if hit is not None and hit[0] is not None and \
                     hit[0]() is tgt:
+                self._hf_cache.move_to_end(key)     # LRU refresh
                 entries.append(hit[1])
                 continue
             fn = mc_prefilter_pairs if pairs else mc_hprefilter
@@ -400,10 +422,16 @@ class JaxEngine:
                 wr = None
             self._hf_cache[key] = (wr, dev)
             entries.append(dev)
-        if len(self._hf_cache) > 96:     # prune dead entries
-            self._hf_cache = {
-                k: v for k, v in self._hf_cache.items()
-                if v[0] is not None and v[0]() is not None}
+        # eviction is LRU + byte-budgeted: the all-pair stacks are
+        # ~200 MB per 1080p picture, and callers (benchmarks, batch
+        # consumers) may keep every decoded picture alive, so weakref
+        # liveness alone cannot bound HBM here
+        budget = self.HF_CACHE_BUDGET
+        total = sum(int(np.prod(v[1].shape)) * v[1].dtype.itemsize
+                    for v in self._hf_cache.values())
+        while total > budget and len(self._hf_cache) > len(pocs) * 3:
+            _, v = self._hf_cache.popitem(last=False)
+            total -= int(np.prod(v[1].shape)) * v[1].dtype.itemsize
         R = len(entries)
         rp = 1 << (R - 1).bit_length()
         entries = entries + [entries[0]] * (rp - R)
@@ -520,35 +548,39 @@ class JaxEngine:
         # ---- base planes (PCM prefill; inter prediction if present) -------
         prefill = True
         dev_arenas = None
-        inter_args = None
-        iwt_dev = None
-        idenoms = None
-        ipairs = False
         if fs.inter_pbs:
             inter = self._pack_inter(fs, ref_planes)
             if inter is not None and inter["hf"][0] is not None and \
                     not fs.pcm_blocks:
-                # single-dispatch inter frame: the MC prefill runs
-                # INSIDE _frame_fused from the shared residual maps; no
-                # frame-sized host upload, no separate prefill dispatch
+                # all-device prefill: residual from the shared arena +
+                # two-stage MC over the device-resident DPB stacks; no
+                # frame-sized host upload for inter frames. Kept as a
+                # SEPARATE dispatch from _frame_fused: merging the MC
+                # gather into the same XLA program as the Pallas banded
+                # kernel measured ~12x slower on device (XLA scheduling
+                # pathology), vs ~166ms+81ms split.
                 dev_arenas = (jnp.asarray(arena4), jnp.asarray(arena16),
                               jnp.asarray(escs))
                 self.wire.h2d(arena4.nbytes + arena16.nbytes + escs.nbytes)
                 wt = inter.get("wt")
+                wt_dev = None
+                denoms = None
                 if wt is not None:
-                    iwt_dev = (jnp.asarray(wt["wg"]),
-                               jnp.asarray(wt["og"]))
-                    idenoms = tuple(wt["denoms"])
+                    wt_dev = (jnp.asarray(wt["wg"]), jnp.asarray(wt["og"]))
+                    denoms = tuple(wt["denoms"])
                     self.wire.h2d(wt["wg"].nbytes + wt["og"].nbytes)
                 self.wire.h2d(inter["pf4"].nbytes + inter["mv"].nbytes +
                               inter["slot"].nbytes)
-                ipairs = inter.get("pairs", False)
-                inter_args = (jnp.asarray(inter["pf4"]),
-                              jnp.asarray(inter["mv"]),
-                              jnp.asarray(inter["slot"]),
-                              inter["hf"][0], inter["hf"][1],
-                              inter["hf"][2])
-                luma = chroma = None
+                luma, chroma = _inter_prefill(
+                    dev_arenas[0], dev_arenas[1], dev_arenas[2],
+                    jnp.asarray(inter["pf4"]), jnp.asarray(inter["mv"]),
+                    jnp.asarray(inter["slot"]),
+                    inter["hf"][0], inter["hf"][1], inter["hf"][2],
+                    wt=wt_dev, ccp=ccp_dev, caps=caps, H=H, W=W,
+                    Hc=Hc, Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc, bd=bd,
+                    hs=hs, vs=vs, denoms=denoms,
+                    pairs=inter.get("pairs", False))
+                self._dbg("inter_prefill", (luma, chroma))
             else:
                 # PCM+inter mix or no usable reference: legacy packed path
                 pf = pack_frame(fs)
@@ -616,7 +648,7 @@ class JaxEngine:
                             np.full((1, 1), n, np.int32),
                             luma, chroma, fargs,
                             None if bounds is None else jnp.asarray(bounds),
-                            ccp_dev, inter_args, iwt_dev,
+                            ccp_dev,
                             caps=caps, hl=hl, wl=wl,
                             hc=hc, wc=wc, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd,
                             npad=npad, prefill=prefill, filters=fmask,
@@ -626,8 +658,8 @@ class JaxEngine:
                                               0)),
                             c444=sps.chroma_format_idc == 3,
                             strong=bool(sps.strong_intra_smoothing),
-                            banded=banded, hs=hs, vs=vs, denoms=idenoms,
-                            pairs=ipairs)
+                            banded=banded)
+        self._dbg("frame_fused", flat)
         lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool,
                         wire=self.wire)
         self._fetch_pool.add(lp)
@@ -1265,14 +1297,12 @@ def _slice_plane(flat, *, c, H, W, Hc, Wc):
 @partial(jax.jit, static_argnames=("caps", "hl", "wl", "hc", "wc", "H", "W",
                                    "Hc", "Wc", "bd", "npad", "prefill",
                                    "filters", "cs", "bdc", "sdis", "c444",
-                                   "strong", "banded", "hs", "vs",
-                                   "denoms", "pairs"))
+                                   "strong", "banded"))
 def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
-                 bounds=None, ccp=None, inter=None, iwt=None,
+                 bounds=None, ccp=None,
                  *, caps, hl, wl, hc, wc, H, W, Hc, Wc, bd, npad, prefill,
                  filters=0, cs=64, bdc=8, sdis=False, c444=False,
-                 strong=False, banded=None, hs=1, vs=1, denoms=None,
-                 pairs=False):
+                 strong=False, banded=None):
     """ONE dispatch for the whole post-parse frame: dequant+IDCT per size
     bucket, residual scatter, fused Pallas intra wavefront, crop+downcast.
     Minimal dispatches AND minimal bytes: the tunneled runtime gives a
@@ -1291,16 +1321,7 @@ def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
         res_l = res_l.at[OY:OY + H, OX:OX + W].set(acc_l[:H, :W])
         res_c = res_c.at[:, OY:OY + Hc, OX:OX + Wc].set(
             acc_c[:, :Hc, :Wc])
-    if inter is not None:
-        # single-dispatch inter frame: MC prefill computed here from
-        # the SAME residual maps (no second residual pass, no separate
-        # prefill dispatch)
-        pf4, mv, slot, hf_0, hf_1, hf_2 = inter
-        luma, chroma = _prefill_from_acc(
-            acc_l, acc_c, pf4, mv, slot, (hf_0, hf_1, hf_2), iwt,
-            H=H, W=W, Hc=Hc, Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc, bd=bd,
-            hs=hs, vs=vs, denoms=denoms, pairs=pairs)
-    elif prefill:
+    if prefill:
         luma, chroma = pre_l, pre_c
     else:
         luma = jnp.zeros((hl, wl), jnp.int32)

@@ -46,6 +46,11 @@ def main():
         print(f"rep{r}: {dt:.3f}s = {len(pics)/dt:.2f} fps  "
               f"stages={t.summary() if hasattr(t, 'summary') else {}}",
               flush=True)
+        eng = d._jax_engine if kind != "shvc" else d.el._jax_engine
+        if eng is not None and getattr(eng, "sync_times", None):
+            print("  sync:", {k: round(v, 3)
+                              for k, v in eng.sync_times.items()},
+                  flush=True)
 
 
 if __name__ == "__main__":
