@@ -34,7 +34,9 @@ def main(argv=None):
                     help="host parse threads")
     ap.add_argument("-f", "--thread-type", type=int, default=1,
                     help="1 frame / 2 slice(wpp) / 4 frameslice (parity)")
-    ap.add_argument("-t", "--temporal-layer", type=int, default=0)
+    ap.add_argument("-t", "--temporal-layer", type=int, default=None,
+                    help="max sub-layer to decode (wrapper semantics: "
+                         "keeps temporal_id <= N+1)")
     ap.add_argument("-l", "--layer", type=int, default=0,
                     help="SHVC output layer")
     ap.add_argument("-e", "--engine", default="jax", choices=("np", "jax"))
@@ -45,7 +47,8 @@ def main(argv=None):
         data = f.read()
     dec = OpenHevc(args.threads, args.thread_type, engine=args.engine)
     dec.set_check_md5(not args.no_check_md5)
-    dec.set_temporal_layer_id(args.temporal_layer)
+    if args.temporal_layer is not None:
+        dec.set_temporal_layer_id(args.temporal_layer)
     dec.set_active_decoders(args.layer)
     dec.set_view_layers(args.layer)
     dec.start()
