@@ -56,6 +56,11 @@ class _SliceParams(ctypes.Structure):
         "cross_component", "n_col_bd_in", "n_row_bd_in")] + [
         ("col_bd_in", ctypes.c_int32 * 25),
         ("row_bd_in", ctypes.c_int32 * 25),
+    ] + [(n, ctypes.c_int32) for n in (
+        "cu_chroma_qp_offset_enabled", "diff_cu_chroma_qp_offset_depth",
+        "n_cqo_list")] + [
+        ("cqo_cb", ctypes.c_int32 * 6),
+        ("cqo_cr", ctypes.c_int32 * 6),
     ]
 
 
@@ -215,6 +220,17 @@ def _fill_params(p, sps, pps, sh, poc, ref_list, ss_starts,
     p.persistent_rice = getattr(sps, "persistent_rice_adaptation", 0)
     p.cross_component = getattr(
         pps, "cross_component_prediction_enabled", 0)
+    p.cu_chroma_qp_offset_enabled = getattr(
+        sh, "cu_chroma_qp_offset_enabled", 0)
+    p.diff_cu_chroma_qp_offset_depth = getattr(
+        pps, "diff_cu_chroma_qp_offset_depth", 0)
+    cbl = tuple(getattr(pps, "cb_qp_offset_list", ()) or ())
+    crl = tuple(getattr(pps, "cr_qp_offset_list", ()) or ())
+    p.n_cqo_list = len(cbl)
+    for i, v in enumerate(cbl[:6]):
+        p.cqo_cb[i] = int(v)
+    for i, v in enumerate(crl[:6]):
+        p.cqo_cr[i] = int(v)
     p.slice_type = sh.slice_type
     p.slice_qp = sh.qp
     p.cabac_init_flag = sh.cabac_init_flag

@@ -376,12 +376,10 @@ class Decoder:
         single_slice = sh.first_slice and not self._next_vcl_continues
         # native core covers 4:2:0/4:2:2/4:4:4, uniform AND non-uniform
         # tiles + WPP, TMVP, weighted pred, cu_qp_delta, multi-slice
-        # pictures, and every RExt tool except cross-component
-        # prediction and chroma QP offset lists (Python mirror)
+        # pictures, and the full RExt tool set incl. cross-component
+        # prediction and chroma QP offset lists
         native_caps = self.native_parse and \
             sps.chroma_format_idc in (1, 2, 3) and \
-            not getattr(pps, "cross_component_prediction_enabled", 0) and \
-            not getattr(pps, "chroma_qp_offset_list_enabled", 0) and \
             not (pps.tiles_enabled and
                  (pps.num_tile_cols > 24 or pps.num_tile_rows > 24))
         use_native = single_slice and native_caps

@@ -216,6 +216,11 @@ struct SliceParams {
     // uniform boundaries internally
     int32_t n_col_bd_in, n_row_bd_in;
     int32_t col_bd_in[25], row_bd_in[25];
+    // cu_chroma_qp_offset (RExt PPS offset lists, slice-level gate;
+    // hevc.c:1247-1263, python mirror syntax.py:1003-1021)
+    int32_t cu_chroma_qp_offset_enabled, diff_cu_chroma_qp_offset_depth;
+    int32_t n_cqo_list;
+    int32_t cqo_cb[6], cqo_cr[6];
 };
 
 struct Outputs {
@@ -416,6 +421,12 @@ struct Parser {
     bool first_qp_group = true;
     int is_qp_coded = 0, qg_delta = 0, qg_mask = 0;
     int cu_x0 = 0, cu_y0 = 0;
+    // cu_chroma_qp_offset state (lc->tu.cu_qp_offset_cb/cr; syntax.py:317)
+    int is_cqo_coded = 0, cu_qp_off_cb = 0, cu_qp_off_cr = 0;
+    // coded intra_chroma_pred_mode was "derived" (idx 4, DM) per PU —
+    // the cross-component-prediction gate (hevc.c:1465-1474)
+    int pu_cderived[4] = {1, 1, 1, 1};
+    int cderived0 = 1;
     // TMVP state (bind)
     const uint8_t* col_pf = nullptr;
     const int32_t* col_mv = nullptr;
@@ -452,6 +463,8 @@ struct Parser {
         first_qp_group = true;
         is_qp_coded = 0;
         qg_delta = 0;
+        is_cqo_coded = 0;
+        cu_qp_off_cb = cu_qp_off_cr = 0;
         qg_mask = P.cu_qp_delta_enabled
             ? (1 << (P.log2_ctb - P.diff_cu_qp_delta_depth)) - 1 : 0;
         col_pf = sh.col_pf;
@@ -730,6 +743,9 @@ struct Parser {
             is_qp_coded = 0;
             qg_delta = 0;
         }
+        if (P.cu_chroma_qp_offset_enabled &&
+            log2_cb >= P.log2_ctb - P.diff_cu_chroma_qp_offset_depth)
+            is_cqo_coded = 0;            // hevc.c:2531-2534
         if (split) {
             int h = cb >> 1;
             static const int dxy[4][2] = {{0,0},{1,0},{0,1},{1,1}};
@@ -935,14 +951,16 @@ struct Parser {
         // chroma mode: per PU for 4:4:4, single otherwise (7.3.8.5;
         // syntax.py:876); 4:2:2 maps through Table 8-3 (hevc.c:2310)
         int n_cpu = P.chroma_format_idc == 3 ? n_pu : 1;
-        int cmodes[4];
+        int cmodes[4], cder[4];
         for (int i = 0; i < n_cpu; i++) {
             if (!bin(CTX_INTRA_CHROMA_PRED_MODE)) {
                 cmodes[i] = modes[i];
+                cder[i] = 1;               // coded idx 4 (derived, DM)
             } else {
                 static const int table[4] = {0, 26, 10, 1};
                 int m = table[cab.bypass_bits(2)];
                 cmodes[i] = (m == modes[i]) ? 34 : m;
+                cder[i] = 0;
             }
         }
         if (P.chroma_format_idc == 2) {
@@ -954,8 +972,28 @@ struct Parser {
                 cmodes[i] = tab422[cmodes[i]];
         }
         intra_mode_c = cmodes[0];
-        for (int i = 0; i < 4; i++) pu_cmode[i] = cmodes[i % n_cpu];
-        if (n_cpu == 4) for (int i = 0; i < 4; i++) pu_cmode[i] = cmodes[i];
+        cderived0 = cder[0];
+        for (int i = 0; i < 4; i++) {
+            pu_cmode[i] = cmodes[i % n_cpu];
+            pu_cderived[i] = cder[i % n_cpu];
+        }
+        if (n_cpu == 4)
+            for (int i = 0; i < 4; i++) {
+                pu_cmode[i] = cmodes[i];
+                pu_cderived[i] = cder[i];
+            }
+    }
+
+    int chroma_derived_at(int x0, int y0) {
+        // coded intra_chroma_pred_mode idx == 4 for the PU containing
+        // this TB (lc->tu.chroma_mode_c, hevc.c:1465-1474)
+        if (P.chroma_format_idc == 3 && cu_part_mode == PART_NxN) {
+            int half = 1 << (cu_log2_cb - 1);
+            int bi = ((y0 - cu_y0) >= half ? 2 : 0) +
+                     ((x0 - cu_x0) >= half ? 1 : 0);
+            return pu_cderived[bi];
+        }
+        return cderived0;
     }
 
     int chroma_mode_at(int x0, int y0) {
@@ -1635,6 +1673,24 @@ struct Parser {
             is_qp_coded = 1;
             set_qPy(cu_x0, cu_y0);
         }
+        int cbf_chroma = cbf_cb[0] || cbf_cr[0] ||
+            (is422 && (cbf_cb[1] || cbf_cr[1]));
+        if (P.cu_chroma_qp_offset_enabled && cbf_chroma && !cu_tqb &&
+            !is_cqo_coded) {
+            // cu_chroma_qp_offset_flag/_idx (hevc.c:1247-1263)
+            int flag = bin(CTX_CU_CHROMA_QP_OFFSET_FLAG);
+            int idx = 0;
+            if (flag && P.n_cqo_list > 1) {
+                // TR-coded idx, all bins on context 0; cMax is
+                // max(5, len-1) — the reference's exact behavior
+                // (ff_hevc_cu_chroma_qp_offset_idx, hevc_cabac.c:768)
+                int n = imax(5, P.n_cqo_list - 1);
+                while (idx < n && bin(CTX_CU_CHROMA_QP_OFFSET_IDX)) idx++;
+            }
+            cu_qp_off_cb = flag ? P.cqo_cb[idx] : 0;
+            cu_qp_off_cr = flag ? P.cqo_cr[idx] : 0;
+            is_cqo_coded = 1;
+        }
         int n4 = 1 << imax(0, log2_tr - 2);
         int x4 = x0 >> 2, y4 = y0 >> 2;
         for (int j = 0; j < n4; j++) O->bounds_v[(y4 + j) * w4 + x4] = 1;
@@ -1661,13 +1717,22 @@ struct Parser {
             int clog2 = log2_tr - hs;
             int csz = 1 << clog2;
             int cx = x0 >> hs, cy0 = y0 >> vs;
+            // cross-component prediction (RExt, hevc.c:1295): active for
+            // 4:4:4 when luma has residual and the CU is inter or the
+            // chroma mode is derived-from-luma (python syntax.py:1049)
+            int cross_pf = P.cross_component && cbf_luma &&
+                (cu_pred_mode == MODE_INTER || chroma_derived_at(x0, y0));
             for (int pl = 1; pl <= 2; pl++) {
                 const int* cbf = pl == 1 ? cbf_cb : cbf_cr;
+                int scale = cross_pf ? res_scale(pl - 1) : 0;
                 for (int i = 0; i < n_c; i++) {
                     int cy = cy0 + (i << clog2);
                     if (cu_pred_mode == MODE_INTRA)
                         emit_intra_job(pl, cx, cy, csz, mode_c);
-                    if (cbf[i]) residual(cx, cy, clog2, pl, mode_c);
+                    if (cbf[i])
+                        residual(cx, cy, clog2, pl, mode_c, scale);
+                    else if (scale)
+                        emit_zero_ccp(cx, cy, clog2, pl, scale);
                 }
             }
         } else if (blk_idx == 3) {
@@ -1747,8 +1812,37 @@ struct Parser {
     }
 
     // ---------------- residual coding ----------------
+    int res_scale(int idx) {
+        // log2_res_scale_abs_plus1 + sign -> res_scale_val
+        // (hls_cross_component_pred, hevc.c:1150; 4 TU ctx per comp)
+        int i = 0;
+        while (i < 4 && bin(CTX_LOG2_RES_SCALE_ABS, 4 * idx + i)) i++;
+        if (i == 0) return 0;
+        int sign = bin(CTX_RES_SCALE_SIGN_FLAG, idx);
+        return (1 << (i - 1)) * (1 - 2 * sign);
+    }
+
+    void emit_zero_ccp(int x0, int y0, int log2_tr, int c_idx, int scale) {
+        // zero-cbf chroma still receives the scaled luma residual
+        // (hevc.c:1315-1329): a zero-level bypass block carrying only
+        // cross_scale (python mirror syntax.py:1068-1074)
+        int size = 1 << log2_tr;
+        if (O->n_cb >= O->cb_cap ||
+            O->lvl_used + size * size > O->lvl_cap) { err = true; return; }
+        memset(O->cb_levels + O->lvl_used, 0,
+               (size_t)size * size * sizeof(int16_t));
+        int32_t* meta = O->cb_meta + O->n_cb * 8;
+        meta[0] = c_idx; meta[1] = x0; meta[2] = y0; meta[3] = log2_tr;
+        meta[4] = 0;
+        meta[5] = 4 | ((scale + 9) << 6);    // tqb | biased cross_scale
+        meta[6] = O->lvl_used;
+        meta[7] = 0;
+        O->lvl_used += size * size;
+        O->n_cb++;
+    }
+
     void residual(int x0, int y0, int log2_tr, int c_idx,
-                  int pred_mode_intra) {
+                  int pred_mode_intra, int cross_scale = 0) {
         if (err) return;
         int size = 1 << log2_tr;
         if (O->n_cb >= O->cb_cap ||
@@ -1960,8 +2054,9 @@ struct Parser {
         int qp;
         if (c_idx == 0) qp = cu_qp + P.qp_bd_offset;
         else {
-            int off = c_idx == 1 ? P.cb_qp_offset + P.slice_cb_qp_offset
-                                 : P.cr_qp_offset + P.slice_cr_qp_offset;
+            int off = c_idx == 1
+                ? P.cb_qp_offset + P.slice_cb_qp_offset + cu_qp_off_cb
+                : P.cr_qp_offset + P.slice_cr_qp_offset + cu_qp_off_cr;
             int qpi = iclip(cu_qp + off, -P.qp_bd_offset, 57);
             int q;
             if (P.chroma_format_idc == 1) {
@@ -2000,7 +2095,10 @@ struct Parser {
         int flags = (is_dst ? 1 : 0) | (transform_skip ? 2 : 0) |
                     (cu_tqb ? 4 : 0) | (rdpcm_mode >= 0 ? 8 : 0) |
                     (rdpcm_mode == 1 ? 16 : 0) |
-                    (cu_pred_mode != MODE_INTRA ? 32 : 0);
+                    (cu_pred_mode != MODE_INTRA ? 32 : 0) |
+                    // cross_scale biased by 9 so 0 strictly means "no
+                    // CCP" (scale itself spans [-8, 8]; 0 not emitted)
+                    (cross_scale ? (cross_scale + 9) << 6 : 0);
         int32_t* meta = O->cb_meta + O->n_cb * 8;
         meta[0] = c_idx; meta[1] = x0; meta[2] = y0; meta[3] = log2_tr;
         meta[4] = qp; meta[5] = flags; meta[6] = O->lvl_used;

@@ -129,7 +129,9 @@ class FrameSymbols:
                 transform_skip=bool(fl & 2), transquant_bypass=bool(fl & 4),
                 rdpcm_mode=(-1 if not fl & 8 else (1 if fl & 16 else 0)),
                 levels=lv.reshape(size, size),
-                matrix_id=3 * bool(fl & 32) + int(m[0])))
+                matrix_id=3 * bool(fl & 32) + int(m[0]),
+                # RExt cross_scale in bits 6-10, biased by 9 (0 = none)
+                cross_scale=((fl >> 6) & 31) - 9 if fl >> 6 else 0))
         im, iav = raw["ij_meta"], raw["ij_avail"]
         for i, m in enumerate(im):
             size = int(m[3])

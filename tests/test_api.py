@@ -177,3 +177,42 @@ def test_mp4_roundtrip(tmp_path):
     want = b"".join(np.asarray(pl, np.uint8).tobytes()
                     for rec in recons for pl in rec)
     assert out.read_bytes() == want
+
+
+def test_ts_roundtrip(tmp_path):
+    """MPEG-TS mux/demux (container/ts.py, the mpegts.c role): packetize
+    an encoded stream into 188-byte TS with PAT/PMT/PES, demux the
+    elementary stream back bit-exact, decode it, and drive the CLI on
+    the .ts file."""
+    from openhevc_tpu.container import mux_ts, demux_ts, is_ts
+    from openhevc_tpu.bitstream.au_parser import AuParser
+    from openhevc_tpu.decoder import Decoder
+    rng = np.random.default_rng(171)
+    W, H = 64, 64
+    frames = make_frames(W, H, 3, rng)
+    data, recons = encode_intra_stream(frames, W, H, qp=30, ctb_log2=4,
+                                       seed=171)
+    p = AuParser()
+    aus = p.feed(data) + p.flush()
+    ts = mux_ts(aus)
+    assert is_ts(ts) and len(ts) % 188 == 0
+    assert not is_ts(data)
+    es = demux_ts(ts)
+    assert es == b"".join(aus)
+    d = Decoder("np")
+    pics = d.decode(es) + d.flush()
+    assert len(pics) == 3
+    for i, pic in enumerate(pics):
+        for p_, (got, want) in enumerate(zip(pic.cropped(), recons[i])):
+            assert np.array_equal(got, want), (i, p_)
+    # CLI end-to-end on the .ts
+    f = tmp_path / "t.ts"
+    f.write_bytes(ts)
+    out = tmp_path / "o.yuv"
+    r = subprocess.run([sys.executable, "-m", "openhevc_tpu", "-i", str(f),
+                        "-o", str(out), "-e", "np", "-c"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    want = b"".join(np.asarray(pl, np.uint8).tobytes()
+                    for rec in recons for pl in rec)
+    assert out.read_bytes() == want
