@@ -520,3 +520,65 @@ def test_non_uniform_tiles_wpp_parity(rng):
             assert np.array_equal(
                 np.asarray(pics[i].cropped()[c], np.int64),
                 np.asarray(rp[c], np.int64)), (i, c)
+
+
+def frames12(W, H, n, rng, chroma_full=False):
+    yy, xx = np.mgrid[0:H, 0:W]
+    cs = slice(None) if chroma_full else slice(None, None, 2)
+    fr = []
+    for i in range(n):
+        y = ((xx * 32 + yy * 48 + i * 160) % 4096 * 0.7 +
+             rng.integers(0, 960, (H, W))).astype(np.uint16)
+        u = ((xx[cs, cs] * 16 + 2048) % 4096).astype(np.uint16)
+        v = ((yy[cs, cs] * 32) % 4096).astype(np.uint16)
+        fr.append((y, u, v))
+    return fr
+
+
+def test_main12_intra():
+    """RExt 12-bit (Main 12 profile): decode bit-exact vs the
+    reference at qp_bd_offset 24 (hevc.h:460 SPSRext bit-depth range;
+    transform shift 20-bd, hevcdsp_template.c:210)."""
+    rng = np.random.default_rng(181)
+    frames = frames12(64, 64, 2, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                  seed=181, bit_depth=12)
+    check(data, 2, 64, 64)
+
+
+def test_main12_intra_filters():
+    """12-bit deblock + SAO: the saturated SAO offsets scale by
+    bd-10 (hevc.c sao_offset_val << (bd - min(bd,10)))."""
+    rng = np.random.default_rng(182)
+    frames = frames12(64, 64, 2, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=26, ctb_log2=5,
+                                  seed=182, bit_depth=12, sao=True,
+                                  deblock=True)
+    check(data, 2, 64, 64)
+
+
+def test_main444_12_intra():
+    """4:4:4 12-bit (Main 4:4:4 12 profile tier)."""
+    rng = np.random.default_rng(183)
+    frames = frames12(64, 64, 2, rng, chroma_full=True)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                  seed=183, bit_depth=12,
+                                  chroma_format_idc=3)
+    check(data, 2, 64, 64)
+
+
+def test_main12_jax_engine():
+    """12-bit through the device pipeline (uint16 output planes)."""
+    rng = np.random.default_rng(184)
+    frames = frames12(64, 64, 2, rng)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=30, ctb_log2=4,
+                                  seed=184, bit_depth=12)
+    ref = ref_decode(data)
+    d = Decoder("jax")
+    mine = d.decode(data) + d.flush()
+    assert len(ref) == len(mine) == 2
+    for i, f in enumerate(ref):
+        for p, (got, want) in enumerate(zip(mine[i].cropped(),
+                                            ref_planes(f))):
+            assert np.array_equal(np.asarray(got, np.int64),
+                                  np.asarray(want, np.int64)), (i, p)
