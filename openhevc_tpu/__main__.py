@@ -53,14 +53,20 @@ def main(argv=None):
     dec.set_view_layers(args.layer)
     dec.start()
     # MP4/MOV input: extract the HEVC track (mov.c role); MPEG-TS:
-    # PAT/PMT/PES walk (mpegts.c role)
-    from openhevc_tpu.container import is_mp4, demux_mp4, is_ts, demux_ts
+    # PAT/PMT/PES walk (mpegts.c role); Matroska: EBML track walk
+    # (matroskadec.c role)
+    from openhevc_tpu.container import (is_mp4, demux_mp4, is_ts,
+                                        demux_ts, is_mkv, demux_mkv)
     if is_mp4(data):
         hvcc, samples, _nls = demux_mp4(data)
         dec.copy_extradata(hvcc)
         data = b"".join(samples)
     elif is_ts(data):
         data = demux_ts(data)
+    elif is_mkv(data):
+        hvcc, samples, _nls = demux_mkv(data)
+        dec.copy_extradata(hvcc)
+        data = b"".join(samples)
 
     out_f = open(args.output, "wb") if args.output else None
     n_frames = 0

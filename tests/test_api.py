@@ -216,3 +216,50 @@ def test_ts_roundtrip(tmp_path):
     want = b"".join(np.asarray(pl, np.uint8).tobytes()
                     for rec in recons for pl in rec)
     assert out.read_bytes() == want
+
+
+def test_mkv_roundtrip(tmp_path):
+    """Matroska mux/demux (container/mkv.py, the matroskadec.c role):
+    wrap length-prefixed HEVC samples + hvcC into an EBML Segment,
+    demux back bit-exact, decode via extradata, and drive the CLI."""
+    from openhevc_tpu.container import mux_mkv, demux_mkv, is_mkv
+    from openhevc_tpu.container.mp4 import (make_hvcc,
+                                            annexb_to_length_prefixed)
+    from openhevc_tpu.bitstream.au_parser import AuParser
+    from openhevc_tpu.decoder import Decoder, split_nals
+    rng = np.random.default_rng(191)
+    W, H = 64, 64
+    frames = make_frames(W, H, 3, rng)
+    data, recons = encode_intra_stream(frames, W, H, qp=30, ctb_log2=4,
+                                       seed=191)
+    p = AuParser()
+    aus = p.feed(data) + p.flush()
+    ps = {t: n for n in split_nals(aus[0]) if
+          (t := (n[0] >> 1) & 0x3F) in (32, 33, 34)}
+    hvcc = make_hvcc(ps[32], ps[33], ps[34])
+    samples = [annexb_to_length_prefixed(au) for au in aus]
+    mkv = mux_mkv(samples, hvcc, W, H)
+    assert is_mkv(mkv) and not is_mkv(data)
+    hvcc2, samples2, nls = demux_mkv(mkv)
+    assert hvcc2 == hvcc and samples2 == samples and nls == 4
+    d = Decoder("np")
+    d.set_extradata(hvcc2)
+    pics = []
+    for s in samples2:
+        pics += d.decode(s)
+    pics += d.flush()
+    assert len(pics) == 3
+    for i, pic in enumerate(pics):
+        for p_, (got, want) in enumerate(zip(pic.cropped(), recons[i])):
+            assert np.array_equal(got, want), (i, p_)
+    # CLI end-to-end on the .mkv
+    f = tmp_path / "t.mkv"
+    f.write_bytes(mkv)
+    out = tmp_path / "o.yuv"
+    r = subprocess.run([sys.executable, "-m", "openhevc_tpu", "-i", str(f),
+                        "-o", str(out), "-e", "np", "-c"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    want = b"".join(np.asarray(pl, np.uint8).tobytes()
+                    for rec in recons for pl in rec)
+    assert out.read_bytes() == want
