@@ -15,6 +15,7 @@ gather/scatter indexes any plane.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -660,8 +661,15 @@ class JaxEngine:
                             strong=bool(sps.strong_intra_smoothing),
                             banded=banded)
         self._dbg("frame_fused", flat)
+        # >8-bit outputs cross the wire bit-packed (10-bit: 1.25 B/sample
+        # vs the uint16 2.0) — on the shared host<->device link the D2H
+        # of a 4K Main10 frame is ~25 MB and THE fps ceiling; the packed
+        # form is a separate device array so `flat` stays the
+        # device-resident DPB entry. OPENHEVC_PACK_OUTPUT=0 disables
+        # (PCIe hosts where the unpack CPU cost outweighs wire savings).
+        packed = _maybe_pack_out(flat, bd)
         lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool,
-                        wire=self.wire)
+                        wire=self.wire, packed=packed, bd=bd)
         self._fetch_pool.add(lp)
         lp.device_filtered = fmask != 0
         return lp
@@ -913,14 +921,58 @@ class FetchPool:
         # frames pays ~one window + wire, with no stacking compile.
         for p in ps:
             try:
-                p._flat.copy_to_host_async()
+                p._wire_arr.copy_to_host_async()
             except BaseException:
                 pass                       # surfaced by np.asarray below
         for p in ps:
             try:
-                p._set_host(np.asarray(p._flat))
+                p._set_host(np.asarray(p._wire_arr))
             except BaseException as e:     # propagate into consumers
                 p._fail(e)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _pack_bits_dev(flat, k):
+    """uint16 samples -> tight wire form: low-8-bit plane followed by
+    the high (bd-8 = k) bits packed 8//k per byte. 10-bit output drops
+    from 2.0 to 1.25 B/sample on the D2H wire."""
+    per = 8 // k
+    n = flat.shape[0]
+    pad = (-n) % per
+    x = flat.astype(jnp.uint16)
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), jnp.uint16)])
+    lo = (x & 0xFF).astype(jnp.uint8)
+    hi = (x >> 8).astype(jnp.uint8).reshape(-1, per)
+    acc = hi[:, 0]
+    for j in range(1, per):
+        acc = acc | (hi[:, j] << (k * j))
+    return jnp.concatenate([lo, acc])
+
+
+def _maybe_pack_out(flat, bd):
+    """Device bit-packed wire form of a >8-bit flat output, or None
+    when packing is off / not applicable."""
+    k = bd - 8
+    if k not in (1, 2, 4) or flat.dtype != jnp.uint16:
+        return None
+    if os.environ.get("OPENHEVC_PACK_OUTPUT", "1") != "1":
+        return None
+    return _pack_bits_dev(flat, k)
+
+
+def _unpack_out(buf, n, bd):
+    """Host-side inverse of _pack_bits_dev -> uint16 [n]."""
+    k = bd - 8
+    per = 8 // k
+    npad = n + ((-n) % per)
+    lo, hib = buf[:npad], buf[npad:]
+    x = lo.astype(np.uint16)
+    hi = np.empty(npad, np.uint8)
+    for j in range(per):
+        hi[j::per] = (hib >> (k * j)) & ((1 << k) - 1)
+    x |= hi.astype(np.uint16) << 8
+    return x[:n]
 
 
 class DevicePlanes:
@@ -955,13 +1007,17 @@ class LazyPlanes:
     device_filtered = False
 
     def __init__(self, flat, H, W, Hc, Wc, pool: FetchPool | None = None,
-                 wire: WireStats | None = None):
+                 wire: WireStats | None = None, packed=None, bd=8):
         import threading
         self._flat = flat
         # the flat device output stays referenced while this picture
         # lives: it IS the device-resident DPB entry (hevc_refs.c DPB
         # planes), read back by later frames' MC with zero wire bytes
         self._dev = flat
+        # optional bit-packed wire form of the same samples (>8-bit
+        # streams): fetched instead of `flat`, unpacked host-side
+        self._packed = packed
+        self._bd = bd
         self._dims = (H, W, Hc, Wc)
         self._mat = None
         self._exc = None
@@ -969,10 +1025,18 @@ class LazyPlanes:
         self._pool = pool
         self._wire = wire
 
+    @property
+    def _wire_arr(self):
+        """The device array that crosses the wire at fetch time."""
+        return self._flat if self._packed is None else self._packed
+
     def _set_host(self, host):
         H, W, Hc, Wc = self._dims
         if self._wire is not None:
             self._wire.d2h(host.nbytes)
+        if self._packed is not None:
+            host = _unpack_out(host, H * W + 2 * Hc * Wc, self._bd)
+            self._packed = None
         host = host.astype(np.int32)
         self._mat = [host[:H * W].reshape(H, W),
                      host[H * W:H * W + Hc * Wc].reshape(Hc, Wc),
@@ -990,7 +1054,7 @@ class LazyPlanes:
                 self._pool.urgent(self)
                 self._done.wait()
             else:
-                self._set_host(np.asarray(self._flat))
+                self._set_host(np.asarray(self._wire_arr))
             if self._exc is not None:
                 raise self._exc
         return self._mat
