@@ -514,7 +514,7 @@ class JaxEngine:
             planes[0, :H, :W], planes[1, :Hc, :Wc], planes[2, :Hc, :Wc],
             *fargs, bd=sps.bit_depth, bdc=sps.bit_depth_chroma,
             cs=1 << sps.log2_ctb, do_deblock=pff["do_deblock"],
-            do_sao=pff["do_sao"])
+            do_sao=pff["do_sao"], hs=sps.hshift1, vs=sps.vshift1)
 
     def _run_fused(self, fs: FrameSymbols, ref_planes):
         """Whole-frame path around the fused Pallas intra kernel: residual
@@ -1411,7 +1411,8 @@ def _frame_fused(arena4, arena16, escs, meta, nn, pre_l, pre_c, fargs=None,
     yv, cbv, crv = apply_filters_device(
         yv, cbv, crv, *fargs,
         bd=bd, bdc=bdc, cs=cs, do_deblock=bool(filters & 1),
-        do_sao=bool(filters & 2))
+        do_sao=bool(filters & 2),
+        hs=0 if Wc == W else 1, vs=0 if Hc == H else 1)
     dt = jnp.uint8 if bd <= 8 else jnp.uint16
     return jnp.concatenate([yv.astype(dt).reshape(-1),
                             cbv.astype(dt).reshape(-1),

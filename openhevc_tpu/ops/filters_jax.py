@@ -139,18 +139,33 @@ def device_filters_ok(fs) -> bool:
     schedule including PCM/transquant-bypass no-filter blocks (per-edge
     write suppression + post-SAO restore, restore_tqb_pixels behavior)
     and the 16x16-CTB SAO chroma-halo timing (vertical-stage sourcing,
-    sao_np.py docstring). 4:2:0 only for now."""
+    sao_np.py docstring). Chroma-format-generic (4:2:0/4:2:2/4:4:4,
+    hevc_filter.c:345's 8*h / 8*v edge spacing); the 16x16-CTB halo
+    simulation is 4:2:0-only, so those streams fall back via
+    prep_filters returning None."""
     sps = fs.sps
-    return sps.chroma_format_idc == 1
+    if sps.chroma_format_idc not in (1, 2, 3):
+        return False
+    if sps.log2_ctb == 4 and sps.chroma_format_idc != 1:
+        # _chroma_stale_reads models the 16x16-CTB SAO halo for 4:2:0
+        # geometry only; other formats take the scalar schedule
+        return not (not fs.deblock_disabled and
+                    (fs.sao_luma or fs.sao_chroma))
+    return True
 
 
 def _nofilter_grids(fs, nf, H, W):
     """Per-edge-segment write-suppression flags for the device deblock
     (granularity mirror of filters_sched._deblock_ctb's get_nf calls)
-    plus the per-4x4 restore mask. nf: [h4, w4] bool."""
+    plus the per-4x4 restore mask. nf: [h4, w4] bool.
+    Chroma-format-generic: chroma edges sit every 8 chroma samples;
+    the luma-grid sampling positions scale by the hs/vs shifts."""
+    sps = fs.sps
+    hs, vs = sps.hshift1, sps.vshift1
     h4, w4, h8, w8 = H >> 2, W >> 2, H >> 3, W >> 3
-    hc4, wc8 = (H >> 1) >> 2, (W >> 1) >> 3
-    hc8, wc4 = (H >> 1) >> 3, (W >> 1) >> 2
+    Hc, Wc = H >> vs, W >> hs
+    hc4, wc8 = Hc >> 2, Wc >> 3
+    hc8, wc4 = Hc >> 3, Wc >> 2
     g = {}
     nop_v = np.zeros((h4, w8), np.int16)
     noq_v = np.zeros((h4, w8), np.int16)
@@ -166,28 +181,27 @@ def _nofilter_grids(fs, nf, H, W):
     noq_cv = np.zeros((hc4, wc8), np.int16)
     if wc8 > 1:
         cy4, cx8 = np.mgrid[0:hc4, 1:wc8]
-        nop_cv[:, 1:] = nf[cy4 * 2, cx8 * 4 - 1]
-        noq_cv[:, 1:] = nf[cy4 * 2, cx8 * 4]
+        nop_cv[:, 1:] = nf[cy4 << vs, (cx8 << hs) * 2 - 1]
+        noq_cv[:, 1:] = nf[cy4 << vs, (cx8 << hs) * 2]
     nop_ch = np.zeros((hc8, wc4), np.int16)
     noq_ch = np.zeros((hc8, wc4), np.int16)
     if hc8 > 1:
         cy8, cx4 = np.mgrid[1:hc8, 0:wc4]
-        nop_ch[1:] = nf[cy8 * 4 - 1, cx4 * 2]
-        noq_ch[1:] = nf[cy8 * 4, cx4 * 2]
+        nop_ch[1:] = nf[(cy8 << vs) * 2 - 1, cx4 << hs]
+        noq_ch[1:] = nf[(cy8 << vs) * 2, cx4 << hs]
     nf4 = nf[:h4, :w4].astype(np.int16)
-    # chroma restore covers only the top-left CTB quadrant: the
-    # reference passes plane-unit width/height with LUMA x/y into
-    # restore_tqb_pixels (hevc_filter.c:163) — reproduced faithfully
+    # chroma restore covers only the top-left (ctb>>hs, ctb>>vs)
+    # plane-unit region of each CTB: the reference passes plane-unit
+    # width/height with LUMA x/y into restore_tqb_pixels
+    # (hevc_filter.c:163) — reproduced faithfully
     # (see filters_sched._restore_ctb)
-    sps = fs.sps
     ctb = 1 << sps.log2_ctb
-    Wc, Hc = W >> 1, H >> 1
     xl = np.arange(w4) * 4
     yl = np.arange(h4) * 4
     cx0 = (xl // ctb) * ctb
     cy0 = (yl // ctb) * ctb
-    qw = np.minimum(ctb >> 1, Wc - (cx0 >> 1))
-    qh = np.minimum(ctb >> 1, Hc - (cy0 >> 1))
+    qw = np.minimum(ctb >> hs, Wc - (cx0 >> hs))
+    qh = np.minimum(ctb >> vs, Hc - (cy0 >> vs))
     quad = ((yl - cy0 < qh)[:, None] & (xl - cx0 < qw)[None, :])
     g.update(nop_v=nop_v, noq_v=noq_v, nop_h=nop_h, noq_h=noq_h,
              nop_cv=nop_cv, noq_cv=noq_cv, nop_ch=nop_ch, noq_ch=noq_ch,
@@ -332,9 +346,12 @@ def prep_filters(fs):
                 hbs[1:], qp4[1:h4 - 1:2], qp4[2::2])
         out.update(beta_v=beta_v, tc_v=tc_v, beta_h=beta_h, tc_h=tc_h)
 
-        # chroma edges: every 16 luma samples, bs==2 only (4:2:0)
-        wc8, hc8 = (W >> 1) >> 3, (H >> 1) >> 3
-        hc4, wc4 = (H >> 1) >> 2, (W >> 1) >> 2
+        # chroma edges: every 8 chroma samples (= 8*h / 8*v luma,
+        # hevc_filter.c:423), bs==2 only; format-generic via hs/vs
+        hs, vs = sps.hshift1, sps.vshift1
+        Hc, Wc = H >> vs, W >> hs
+        wc8, hc8 = Wc >> 3, Hc >> 3
+        hc4, wc4 = Hc >> 2, Wc >> 2
         for c_idx in (1, 2):
             off = fs.pps.cb_qp_offset if c_idx == 1 else fs.pps.cr_qp_offset
             if c_idx == 1:
@@ -343,11 +360,11 @@ def prep_filters(fs):
                 off += getattr(fs, "slice_cr_qp_offset", 0)
             tcv = np.zeros((hc4, wc8), np.int16)
             if wc8 > 1:
-                # chroma seg (cy4, cx8): luma edge x=16*cx8, y4=cy4*2
+                # chroma seg (cy4, cx8): luma edge x8=cx8<<hs, y4=cy4<<vs
                 cy4, cx8 = np.mgrid[0:hc4, 1:wc8]
-                bs = vbs[cy4 * 2, cx8 * 2]
-                qp_l = (qp4[cy4 * 2, cx8 * 4 - 1] +
-                        qp4[cy4 * 2, cx8 * 4] + 1) >> 1
+                bs = vbs[cy4 << vs, cx8 << hs]
+                qp_l = (qp4[cy4 << vs, (cx8 << hs) * 2 - 1] +
+                        qp4[cy4 << vs, (cx8 << hs) * 2] + 1) >> 1
                 qpc = np.vectorize(
                     lambda q: chroma_qp(int(q), off,
                                         sps.chroma_format_idc, 0))(qp_l)
@@ -356,9 +373,9 @@ def prep_filters(fs):
             tch = np.zeros((hc8, wc4), np.int16)
             if hc8 > 1:
                 cy8, cx4 = np.mgrid[1:hc8, 0:wc4]
-                bs = hbs[cy8 * 2, cx4 * 2]
-                qp_l = (qp4[cy8 * 4 - 1, cx4 * 2] +
-                        qp4[cy8 * 4, cx4 * 2] + 1) >> 1
+                bs = hbs[cy8 << vs, cx4 << hs]
+                qp_l = (qp4[(cy8 << vs) * 2 - 1, cx4 << hs] +
+                        qp4[(cy8 << vs) * 2, cx4 << hs] + 1) >> 1
                 qpc = np.vectorize(
                     lambda q: chroma_qp(int(q), off,
                                         sps.chroma_format_idc, 0))(qp_l)
@@ -498,14 +515,16 @@ def _deblock_chroma_dir(pl, tc_e, bd: int, nop_e=None, noq_e=None):
     return jnp.roll(new.transpose(0, 2, 1, 3).reshape(H, W), 6, axis=1)
 
 
-def _expand_ctb(a, cs: int, H: int, W: int):
-    """Per-CTB values -> per-pixel grid, gather-free (broadcast+reshape)."""
+def _expand_ctb(a, cs, H: int, W: int):
+    """Per-CTB values -> per-pixel grid, gather-free (broadcast+reshape).
+    cs: int (square) or (csy, csx) for non-square chroma CTBs (4:2:2)."""
+    csy, csx = (cs, cs) if isinstance(cs, int) else cs
     cH, cW = a.shape
-    g = jnp.broadcast_to(a[:, None, :, None], (cH, cs, cW, cs))
-    return g.reshape(cH * cs, cW * cs)[:H, :W]
+    g = jnp.broadcast_to(a[:, None, :, None], (cH, csy, cW, csx))
+    return g.reshape(cH * csy, cW * csx)[:H, :W]
 
 
-def _sao_component(pl, typ, second, offs, cs: int, bd: int,
+def _sao_component(pl, typ, second, offs, cs, bd: int,
                    vstage=None, st_b0=None, st_b2=None, st_a3=None):
     """SAO one component. pl [H, W] int32 (deblocked input); typ/second
     [cH, cW]; offs [cH, cW, 4]. vstage/stale: 16x16-CTB chroma halo
@@ -565,17 +584,19 @@ def _sao_component(pl, typ, second, offs, cs: int, bd: int,
 
 
 @partial(jax.jit, static_argnames=("bd", "bdc", "cs", "do_deblock",
-                                   "do_sao"))
+                                   "do_sao", "hs", "vs"))
 def apply_filters_device(y, cb, cr, beta_v, tc_v, beta_h, tc_h,
                          tc_cv1, tc_ch1, tc_cv2, tc_ch2, sao,
                          nop_v, noq_v, nop_h, noq_h,
                          nop_cv, noq_cv, nop_ch, noq_ch, nf4, nf4c,
                          st_b0, st_b2, st_a3,
-                         *, bd, bdc, cs, do_deblock, do_sao):
+                         *, bd, bdc, cs, do_deblock, do_sao,
+                         hs=1, vs=1):
     """Whole-frame deblock (vertical then horizontal, luma + chroma)
     followed by SAO. y [H, W], cb/cr [Hc, Wc] int32. nop*/noq*/nf4:
     PCM/tqb no-filter suppression + restore ((1,1) placeholders when
-    absent); stale: 16x16-CTB SAO chroma halo positions."""
+    absent); stale: 16x16-CTB SAO chroma halo positions. hs/vs: chroma
+    subsampling shifts (1,1=4:2:0; 1,0=4:2:2; 0,0=4:4:4)."""
     vst_cb = vst_cr = None
     if do_deblock:
         y = _deblock_luma_dir(y, beta_v, tc_v, bd, nop_v, noq_v)
@@ -591,24 +612,27 @@ def apply_filters_device(y, cb, cr, beta_v, tc_v, beta_h, tc_h,
                                  nop_ch.T, noq_ch.T).T
     if do_sao:
         pre_y, pre_cb, pre_cr = y, cb, cr
+        csc = (cs >> vs, cs >> hs)     # chroma CTB (rows, cols)
         y = _sao_component(y, sao[:, :, 0, 0].astype(jnp.int32),
                            sao[:, :, 0, 1].astype(jnp.int32),
                            sao[:, :, 0, 2:6].astype(jnp.int32), cs, bd)
         cb = _sao_component(cb, sao[:, :, 1, 0].astype(jnp.int32),
                             sao[:, :, 1, 1].astype(jnp.int32),
                             sao[:, :, 1, 2:6].astype(jnp.int32),
-                            cs >> 1, bdc, vst_cb, st_b0, st_b2, st_a3)
+                            csc, bdc, vst_cb, st_b0, st_b2, st_a3)
         cr = _sao_component(cr, sao[:, :, 2, 0].astype(jnp.int32),
                             sao[:, :, 2, 1].astype(jnp.int32),
                             sao[:, :, 2, 2:6].astype(jnp.int32),
-                            cs >> 1, bdc, vst_cr, st_b0, st_b2, st_a3)
+                            csc, bdc, vst_cr, st_b0, st_b2, st_a3)
         if nf4.shape != (1, 1):
             # restore_tqb_pixels: SAO writes to no-filter blocks revert
-            # to the deblocked input (4x4 luma / 2x2 chroma per block)
+            # to the deblocked input (4x4 luma / (4>>vs)x(4>>hs) chroma
+            # per block)
             H, W = y.shape
             Hc, Wc = cb.shape
             m = jnp.repeat(jnp.repeat(nf4 > 0, 4, 0), 4, 1)[:H, :W]
-            mc = jnp.repeat(jnp.repeat(nf4c > 0, 2, 0), 2, 1)[:Hc, :Wc]
+            mc = jnp.repeat(jnp.repeat(nf4c > 0, 4 >> vs, 0),
+                            4 >> hs, 1)[:Hc, :Wc]
             y = jnp.where(m, pre_y, y)
             cb = jnp.where(mc, pre_cb, cb)
             cr = jnp.where(mc, pre_cr, cr)

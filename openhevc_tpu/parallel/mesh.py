@@ -474,7 +474,8 @@ class MeshFrameDecoder:
             if fmask:
                 y, cb, cr = apply_filters_device(
                     y, cb, cr, *fargs, bd=bd, bdc=bdc, cs=cs,
-                    do_deblock=bool(fmask & 1), do_sao=bool(fmask & 2))
+                    do_deblock=bool(fmask & 1), do_sao=bool(fmask & 2),
+                    hs=hs, vs=vs)
             dt = jnp.uint8 if bd <= 8 else jnp.uint16
             return jnp.concatenate([y.astype(dt).reshape(-1),
                                     cb.astype(dt).reshape(-1),

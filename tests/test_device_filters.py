@@ -55,7 +55,8 @@ def _device_filter(pre, fs):
     yo, cbo, cro = apply_filters_device(
         y, cb, cr, *fargs, bd=sps.bit_depth, bdc=sps.bit_depth_chroma,
         cs=1 << sps.log2_ctb,
-        do_deblock=pff["do_deblock"], do_sao=pff["do_sao"])
+        do_deblock=pff["do_deblock"], do_sao=pff["do_sao"],
+        hs=sps.hshift1, vs=sps.vshift1)
     return [np.asarray(yo), np.asarray(cbo), np.asarray(cro)]
 
 
@@ -83,3 +84,56 @@ def test_device_filters_match_schedule(W, H, ctb, seed, pcm, tqb,
         for c in range(3):
             assert np.array_equal(got[c].astype(np.int64), truth[c]), \
                 (c, np.argwhere(got[c].astype(np.int64) != truth[c])[:5])
+
+
+# ---- chroma-format-generic device filters (4:2:2 / 4:4:4) ----------------
+# hevc_filter.c:345's chroma edge spacing is 8*h / 8*v luma samples; the
+# device formulation generalizes via the hs/vs shifts.
+
+def _frames_fmt(W, H, n, rng, fmt):
+    cw = W if fmt == 3 else W // 2
+    ch = H if fmt >= 2 else H // 2
+    return [(rng.integers(0, 256, (H, W)).astype(np.uint8),
+             rng.integers(0, 256, (ch, cw)).astype(np.uint8),
+             rng.integers(0, 256, (ch, cw)).astype(np.uint8))
+            for _ in range(n)]
+
+
+@pytest.mark.parametrize("fmt,W,H,ctb,seed,pcm,tqb,sao,dbk", [
+    (2, 64, 64, 5, 31, False, False, True, True),   # 4:2:2 baseline
+    (2, 96, 64, 5, 32, True, False, True, True),    # 4:2:2 + PCM
+    (2, 64, 64, 5, 33, False, True, True, True),    # 4:2:2 + tqb
+    (2, 64, 64, 5, 34, False, False, False, True),  # 4:2:2 deblock only
+    (3, 64, 64, 5, 35, False, False, True, True),   # 4:4:4 baseline
+    (3, 96, 64, 5, 36, True, False, True, True),    # 4:4:4 + PCM
+    (3, 64, 64, 5, 37, False, True, True, True),    # 4:4:4 + tqb
+    (3, 64, 64, 5, 38, False, False, True, False),  # 4:4:4 SAO only
+    (2, 64, 64, 4, 39, False, False, False, True),  # 4:2:2 ctb16 dbk-only
+])
+def test_device_filters_chroma_formats(fmt, W, H, ctb, seed, pcm, tqb,
+                                       sao, dbk):
+    rng = np.random.default_rng(seed)
+    frames = _frames_fmt(W, H, 2, rng, fmt)
+    kw = dict(qp=34, ctb_log2=ctb, seed=seed, pcm=pcm, sao=sao,
+              deblock=dbk, chroma_format_idc=fmt, min_cb_log2=3)
+    if tqb:
+        kw["transquant_bypass"] = True
+    data, _ = encode_intra_stream(frames, W, H, **kw)
+    for pre, fs, truth in _capture_frames(data):
+        got = _device_filter(pre, fs)
+        for c in range(3):
+            assert np.array_equal(got[c].astype(np.int64), truth[c]), \
+                (c, np.argwhere(got[c].astype(np.int64) != truth[c])[:5])
+
+
+def test_device_filters_ok_gates():
+    """ctb16 + SAO + deblock stays host-side for non-4:2:0 (the stale
+    halo simulation is 4:2:0 geometry)."""
+    from openhevc_tpu.ops.filters_jax import device_filters_ok
+    rng = np.random.default_rng(40)
+    frames = _frames_fmt(64, 64, 1, rng, 2)
+    data, _ = encode_intra_stream(frames, 64, 64, qp=34, ctb_log2=4,
+                                  seed=40, sao=True, deblock=True,
+                                  chroma_format_idc=2, min_cb_log2=3)
+    for pre, fs, _truth in _capture_frames(data):
+        assert not device_filters_ok(fs)
