@@ -30,6 +30,8 @@ PIXEL_H = 0xBA
 CLUSTER = 0x1F43B675
 TIMESTAMP = 0xE7
 SIMPLE_BLOCK = 0xA3
+BLOCK_GROUP = 0xA0
+BLOCK = 0xA1
 TIMESTAMP_SCALE = 0x2AD7B1
 MUX_APP = 0x4D80
 WRITE_APP = 0x5741
@@ -137,17 +139,70 @@ def demux_mkv(data: bytes):
                     break
         elif eid == CLUSTER and track_no is not None:
             for cid, cb, ce in _elements(data, b, e):
-                if cid != SIMPLE_BLOCK:
+                if cid == SIMPLE_BLOCK:
+                    spans = [(cb, ce)]
+                elif cid == BLOCK_GROUP:
+                    # frames wrapped in BlockGroup/Block (mkvmerge,
+                    # ffmpeg blocks carrying duration/references)
+                    spans = [(ib, ie) for iid, ib, ie
+                             in _elements(data, cb, ce) if iid == BLOCK]
+                else:
                     continue
-                tn, i = _read_vint(data, cb, keep_marker=False)
-                if tn != track_no:
-                    continue
-                # 2-byte relative timestamp + 1 flags byte
-                samples.append(data[i + 3:ce])
+                for bb, be in spans:
+                    tn, i = _read_vint(data, bb, keep_marker=False)
+                    if tn != track_no:
+                        continue
+                    # 2-byte relative timestamp + 1 flags byte
+                    flags = data[i + 2]
+                    body = data[i + 3:be]
+                    lacing = (flags >> 1) & 3
+                    if lacing == 0:
+                        samples.append(body)
+                    else:
+                        samples.extend(_delace(body, lacing))
     if hvcc is None:
         raise ValueError("no HEVC (V_MPEGH/ISO/HEVC) track in Matroska")
     nls = (hvcc[21] & 3) + 1 if len(hvcc) > 21 else 4
     return hvcc, samples, nls
+
+
+def _delace(body: bytes, lacing: int):
+    """Split a laced block body into frames (Matroska lacing: 1=Xiph,
+    2=fixed-size, 3=EBML; matroskadec.c matroska_parse_laces role)."""
+    nframes = body[0] + 1
+    i = 1
+    sizes = []
+    if lacing == 1:                     # Xiph: 255-continued bytes
+        for _ in range(nframes - 1):
+            sz = 0
+            while True:
+                sz += body[i]
+                last = body[i] != 255
+                i += 1
+                if last:
+                    break
+            sizes.append(sz)
+    elif lacing == 2:                   # fixed: equal split
+        if (len(body) - 1) % nframes:
+            raise ValueError("mkv: fixed lacing size mismatch")
+        sizes = [(len(body) - 1) // nframes] * (nframes - 1)
+    else:                               # EBML: first vint, then deltas
+        first, i = _read_vint(body, i, keep_marker=False)
+        sizes.append(first)
+        prev = first
+        for _ in range(nframes - 2):
+            raw, j = _read_vint(body, i, keep_marker=False)
+            nbytes = j - i
+            delta = raw - ((1 << (7 * nbytes - 1)) - 1)   # signed vint
+            prev += delta
+            i = j
+            sizes.append(prev)
+    frames = []
+    for sz in sizes:
+        frames.append(body[i:i + sz])
+        i += sz
+    frames.append(body[i:])            # last frame: remaining bytes
+    return frames
 
 
 # =========================================================================
@@ -157,8 +212,9 @@ def demux_mkv(data: bytes):
 def mux_mkv(samples, hvcc: bytes, width: int, height: int,
             fps: int = 25) -> bytes:
     """Length-prefixed HEVC samples + hvcC -> minimal Matroska file
-    (matroskaenc.c role): one Segment, one video track, one Cluster of
-    key SimpleBlocks with millisecond timestamps."""
+    (matroskaenc.c role): one Segment, one video track, Clusters of
+    key SimpleBlocks with millisecond timestamps (a new Cluster opens
+    before the int16 relative timestamp could overflow)."""
     ebml = _el(EBML_HEADER,
                _el_uint(0x4286, 1) +          # EBMLVersion
                _el_uint(0x42F7, 1) +          # EBMLReadVersion
@@ -181,11 +237,22 @@ def mux_mkv(samples, hvcc: bytes, width: int, height: int,
                 _el(CODEC_PRIVATE, hvcc) +
                 _el(VIDEO, _el_uint(PIXEL_W, width) +
                     _el_uint(PIXEL_H, height))))
+    # SimpleBlock timestamps are int16-relative to their Cluster: start
+    # a new Cluster (with its own absolute Timestamp) before the
+    # relative value would overflow (matroskaenc.c behavior) — without
+    # this, streams past ~32 s of ms-ticks cannot be represented
+    clusters = bytearray()
     blocks = bytearray()
+    base = 0
     for n, s in enumerate(samples):
         t = n * 1000 // max(fps, 1)
+        if t - base > 32000 and blocks:
+            clusters += _el(CLUSTER, _el_uint(TIMESTAMP, base) +
+                            bytes(blocks))
+            blocks = bytearray()
+            base = t
         # track 1 vint, s16 relative timestamp, flags: keyframe
-        body = b"\x81" + struct.pack(">h", t) + b"\x80" + s
+        body = b"\x81" + struct.pack(">h", t - base) + b"\x80" + s
         blocks += _el(SIMPLE_BLOCK, body)
-    cluster = _el(CLUSTER, _el_uint(TIMESTAMP, 0) + bytes(blocks))
-    return ebml + _el(SEGMENT, info + track + cluster)
+    clusters += _el(CLUSTER, _el_uint(TIMESTAMP, base) + bytes(blocks))
+    return ebml + _el(SEGMENT, info + track + bytes(clusters))

@@ -81,51 +81,59 @@ def demux_ts(data: bytes) -> bytes:
 
     Walks PAT -> PMT for the first stream_type-0x24 PID, strips PES
     headers at each payload_unit_start, concatenates the ES payload
-    (mpegts.c's handle_packet -> mpegts_push_data role). Raises
-    ValueError if no HEVC stream is present."""
+    (mpegts.c's handle_packet -> mpegts_push_data role). PSI sections
+    and PES headers are accumulated across packet boundaries
+    (mpegts.c:write_section_data role) — external muxers emit
+    multi-packet PMTs and >184-byte PES headers. Raises ValueError if
+    no HEVC stream is present."""
     pmt_pids = set()
     hevc_pid = None
-    # pass 1: PSI (PAT may precede or interleave; single scan suffices
-    # because muxers emit PAT/PMT before the first PES)
+    # pass 1: PSI, accumulated per PID until section_length is covered
+    psi_buf: dict = {}
     for off in range(0, len(data) - TS_PKT + 1, TS_PKT):
         pkt = data[off:off + TS_PKT]
         if pkt[0] != SYNC:
             continue
         pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
         pusi = pkt[1] & 0x40
-        if not pusi:
-            continue
-        if pid == 0:                  # PAT
-            sec = _psi_payload(pkt)
-            if len(sec) < 12 or sec[0] != 0x00:
+        if pid == 0 or pid in pmt_pids:
+            if pusi:
+                psi_buf[pid] = bytearray(_psi_payload(pkt))
+            elif pid in psi_buf:
+                psi_buf[pid] += _pes_payload(pkt)
+            else:
+                continue
+            sec = psi_buf[pid]
+            if len(sec) < 3:
                 continue
             slen = ((sec[1] & 0x0F) << 8) | sec[2]
-            body = sec[3:3 + slen - 4]
-            for i in range(5, len(body) - 3, 4):
-                prog = (body[i] << 8) | body[i + 1]
-                p = ((body[i + 2] & 0x1F) << 8) | body[i + 3]
-                if prog != 0:         # 0 = network PID
-                    pmt_pids.add(p)
-        elif pid in pmt_pids and hevc_pid is None:   # PMT
-            sec = _psi_payload(pkt)
-            if len(sec) < 16 or sec[0] != 0x02:
-                continue
-            slen = ((sec[1] & 0x0F) << 8) | sec[2]
-            body = sec[3:3 + slen - 4]
-            pinfo = ((body[7] & 0x0F) << 8) | body[8]
-            i = 9 + pinfo
-            while i + 5 <= len(body):
-                stype = body[i]
-                epid = ((body[i + 1] & 0x1F) << 8) | body[i + 2]
-                eilen = ((body[i + 3] & 0x0F) << 8) | body[i + 4]
-                if stype == HEVC_STREAM_TYPE:
-                    hevc_pid = epid
-                    break
-                i += 5 + eilen
+            if len(sec) < 3 + slen:
+                continue              # section continues in next packet
+            body = bytes(sec[3:3 + slen - 4])
+            del psi_buf[pid]
+            if pid == 0 and sec[0] == 0x00:           # PAT
+                for i in range(5, len(body) - 3, 4):
+                    prog = (body[i] << 8) | body[i + 1]
+                    p = ((body[i + 2] & 0x1F) << 8) | body[i + 3]
+                    if prog != 0:     # 0 = network PID
+                        pmt_pids.add(p)
+            elif pid != 0 and sec[0] == 0x02 and hevc_pid is None:
+                pinfo = ((body[7] & 0x0F) << 8) | body[8]
+                i = 9 + pinfo
+                while i + 5 <= len(body):
+                    stype = body[i]
+                    epid = ((body[i + 1] & 0x1F) << 8) | body[i + 2]
+                    eilen = ((body[i + 3] & 0x0F) << 8) | body[i + 4]
+                    if stype == HEVC_STREAM_TYPE:
+                        hevc_pid = epid
+                        break
+                    i += 5 + eilen
     if hevc_pid is None:
         raise ValueError("no HEVC (stream_type 0x24) track in TS")
-    # pass 2: PES reassembly on the HEVC PID
+    # pass 2: PES reassembly on the HEVC PID; the optional PES header
+    # may span packets — buffer until 9 + header_length bytes arrived
     out = []
+    hdr = None                        # accumulating PES header, or None
     for off in range(0, len(data) - TS_PKT + 1, TS_PKT):
         pkt = data[off:off + TS_PKT]
         if pkt[0] != SYNC:
@@ -134,12 +142,22 @@ def demux_ts(data: bytes) -> bytes:
         if pid != hevc_pid:
             continue
         payload = _pes_payload(pkt)
-        if pkt[1] & 0x40:             # payload_unit_start: PES header
-            if len(payload) < 9 or payload[:3] != b"\x00\x00\x01":
+        if pkt[1] & 0x40:             # payload_unit_start
+            hdr = bytearray()
+        if hdr is not None:
+            hdr += payload
+            if len(hdr) < 9:
                 continue
-            hdr_len = payload[8]
-            payload = payload[9 + hdr_len:]
-        out.append(payload)
+            if hdr[:3] != b"\x00\x00\x01":
+                hdr = None            # not a PES start: drop packet
+                continue
+            total = 9 + hdr[8]
+            if len(hdr) < total:
+                continue              # header continues in next packet
+            out.append(bytes(hdr[total:]))
+            hdr = None
+        else:
+            out.append(payload)
     return b"".join(out)
 
 
@@ -148,28 +166,40 @@ def demux_ts(data: bytes) -> bytes:
 # =========================================================================
 
 def _ts_packets(pid: int, payload: bytes, cc_state: dict,
-                pusi: bool) -> bytes:
+                pusi: bool, pcr: int | None = None) -> bytes:
     """Packetize one PES/PSI payload onto `pid`, stuffing the final
-    partial cell through an adaptation field (mpegtsenc.c:write_pes)."""
+    partial cell through an adaptation field (mpegtsenc.c:write_pes).
+    pcr: 27 MHz program clock reference stamped into the FIRST packet's
+    adaptation field (the PMT declares PCR_PID = video PID)."""
     out = bytearray()
     first = True
     pos = 0
     while pos < len(payload) or first:
         cc = cc_state.get(pid, 0)
         cc_state[pid] = (cc + 1) & 0x0F
-        chunk = payload[pos:pos + 184]
-        pos += len(chunk)
         flags2 = (0x40 if (pusi and first) else 0) | (pid >> 8)
-        if len(chunk) == 184:
+        want_pcr = pcr is not None and first
+        room = 184 - 8 if want_pcr else 184
+        chunk = payload[pos:pos + room]
+        pos += len(chunk)
+        if len(chunk) == 184 and not want_pcr:
             out += bytes((SYNC, flags2, pid & 0xFF, 0x10 | cc)) + chunk
         else:
-            # adaptation field fills the gap
+            # adaptation field: PCR and/or stuffing fills the gap
             af_len = 184 - len(chunk) - 1
-            af = bytes((af_len,))
-            if af_len > 0:
-                af += b"\x00" + b"\xff" * (af_len - 1)
+            body = bytearray()
+            if want_pcr:
+                base, ext = divmod(pcr, 300)
+                body.append(0x10)     # PCR_flag
+                body += bytes(((base >> 25) & 0xFF, (base >> 17) & 0xFF,
+                               (base >> 9) & 0xFF, (base >> 1) & 0xFF,
+                               ((base & 1) << 7) | 0x7E | (ext >> 8),
+                               ext & 0xFF))
+            elif af_len > 0:
+                body.append(0x00)
+            body += b"\xff" * (af_len - len(body))
             out += bytes((SYNC, flags2, pid & 0xFF, 0x30 | cc)) + \
-                af + chunk
+                bytes((af_len,)) + bytes(body) + chunk
         first = False
     return bytes(out)
 
@@ -211,5 +241,7 @@ def mux_ts(au_list, fps: int = 25) -> bytes:
         # PES_packet_length 0 (unbounded, legal for video)
         pes = b"\x00\x00\x01\xe0\x00\x00" + \
             bytes((0x80, 0x80, len(p))) + p + au
-        out += _ts_packets(HEVC_PID, pes, cc, True)
+        # PCR rides the video PID (PCR_PID in the PMT), one per AU,
+        # slightly behind PTS (27 MHz clock)
+        out += _ts_packets(HEVC_PID, pes, cc, True, pcr=n * tick * 300)
     return bytes(out)

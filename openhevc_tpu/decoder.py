@@ -536,7 +536,7 @@ class Decoder:
         # WaveScheduler then flushes and starts a new wave). In a
         # hierarchical-B GOP the same-level B pictures form waves.
         if self.mesh is not None and self.engine == "jax":
-            if not il and fs.weights is None:
+            if not il:
                 if self._wave_sched is None:
                     from .parallel import WaveScheduler
                     self._wave_sched = WaveScheduler(self._wave_max())
@@ -772,6 +772,8 @@ class Decoder:
         from .models.pipeline import JaxEngine
         if self._jax_engine is None:
             self._jax_engine = JaxEngine()
+            if getattr(self, "_no_output_fetch", False):
+                self._jax_engine.fetch_outputs = False
         return self._jax_engine.reconstruct(fs, ref_planes=refs)
 
     def _sps_for(self, rbsp, nal_type):
@@ -851,6 +853,10 @@ class ShvcDecoder:
         self.el = Decoder(engine, layer=1, nb_threads=nb_threads,
                           thread_type=thread_type)
         self.el.shvc_bl = self.bl
+        # BL pictures are never displayed (the wrapper outputs the
+        # highest got_picture layer, openHevcWrapper.c:144): keep them
+        # device-resident, no background D2H output fetch
+        self.bl._no_output_fetch = True
 
     def set_extradata(self, data: bytes):
         self.bl.set_extradata(data)

@@ -53,6 +53,8 @@ class EncoderConfig:
     amp_enabled: bool = False
     strong_intra_smoothing: bool = False
     sign_data_hiding: bool = False
+    cabac_init: bool = False              # PPS cabac_init_present + flag=1
+    lists_modification: bool = False      # PPS lists_modification_present
     transform_skip: bool = False
     transquant_bypass: bool = False
     wpp: bool = False
@@ -426,7 +428,7 @@ def write_pps(cfg: EncoderConfig, pps_id: int = 0, sps_id: int = 0,
     bw.put(0, 1)            # output_flag_present_flag
     bw.put(0, 3)            # num_extra_slice_header_bits
     bw.put(1 if cfg.sign_data_hiding else 0, 1)
-    bw.put(0, 1)            # cabac_init_present_flag
+    bw.put(1 if cfg.cabac_init else 0, 1)  # cabac_init_present_flag
     bw.ue(cfg.max_num_ref - 1)  # num_ref_idx_l0_default_active_minus1
     bw.ue(cfg.max_num_ref - 1)  # num_ref_idx_l1_default_active_minus1
     bw.se(cfg.qp - 26)      # init_qp_minus26
@@ -472,7 +474,7 @@ def write_pps(cfg: EncoderConfig, pps_id: int = 0, sps_id: int = 0,
         write_scaling_list_data(bw, PPS_SL_SEED)
     else:
         bw.put(0, 1)        # pps_scaling_list_data_present_flag
-    bw.put(0, 1)            # lists_modification_present_flag
+    bw.put(1 if cfg.lists_modification else 0, 1)
     bw.ue(0)                # log2_parallel_merge_level_minus2
     bw.put(0, 1)            # slice_segment_header_extension_present_flag
     if cfg.cross_component or cfg.chroma_qp_offset_list:
@@ -533,7 +535,9 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
                        inter_layer_pred: int | None = None,
                        first_slice: int = 1, segment_address: int = 0,
                        dependent: int = 0, lt_entries: list | None = None,
-                       collocated_ref_idx: int = 0):
+                       collocated_ref_idx: int = 0,
+                       list_mod: tuple | None = None,
+                       num_pics_total_curr: int = 0):
     """slice_type: 0=B 1=P 2=I. Only the syntax paths this encoder exercises.
     Non-first slice segments carry segment_address (CTB raster) and, when
     the PPS enables them, the dependent_slice_segment_flag (7.3.6.1)."""
@@ -605,10 +609,25 @@ def write_slice_header(bw: BitWriter, cfg: EncoderConfig, nal_type: int,
             bw.ue(num_ref_l0 - 1)
             if slice_type == 0:
                 bw.ue((num_ref_l1 or num_ref_l0) - 1)
-        # no lists_modification (flag off in PPS)
+        if cfg.lists_modification and num_pics_total_curr > 1:
+            # ref_pic_list_modification() (7.3.6.2): explicit
+            # list_entry_lX permutations over the RPS candidate list
+            import math
+            bits = math.ceil(math.log2(num_pics_total_curr))
+            ents0, ents1 = list_mod if list_mod else (None, None)
+            bw.put(1 if ents0 else 0, 1)  # ref_pic_list_modification_l0
+            if ents0:
+                for e in ents0:
+                    bw.put(e, bits)       # list_entry_l0
+            if slice_type == 0:
+                bw.put(1 if ents1 else 0, 1)
+                if ents1:
+                    for e in ents1:
+                        bw.put(e, bits)   # list_entry_l1
         if slice_type == 0:
             bw.put(0, 1)    # mvd_l1_zero_flag
-        # cabac_init_present = 0
+        if cfg.cabac_init:
+            bw.put(1, 1)    # cabac_init_flag (swap P/B init tables)
         if cfg.temporal_mvp:
             if slice_type == 0:
                 bw.put(1, 1)        # collocated_from_l0_flag
@@ -643,6 +662,10 @@ class SliceDataEncoder:
         self.cfg = cfg
         init_type = (0 if slice_type == 2 else
                      2 if slice_type == 0 else 1)
+        if cfg.cabac_init and slice_type != 2:
+            # cabac_init_flag=1 swaps the P/B init tables
+            # (initType derivation, 9.3.2.2; hevc_cabac.c:606)
+            init_type = 3 - init_type
         # dependent slice segments resume the previous segment's contexts
         self.ctx = list(ctx) if ctx is not None else \
             init_states(init_type, cfg.qp)

@@ -53,6 +53,21 @@ class PFrameEncoder(IntraFrameEncoder):
                 for e in ref_pics]
         self.ref_planes = {p: pl for p, pl, _ in norm}
         l0 = [(p, lt) for p, _, lt in norm]
+        list_mod = None
+        nptc = 0
+        if cfg.lists_modification and len(l0) > 1 and \
+                ref_pics_l1 is None and not cfg.lt_ref:
+            # ref_pic_list_modification (hevc.c:520; 7.3.6.2): rotate
+            # the candidate list by one. Low-delay only — there the
+            # decoder's candidate set (ST-before + after + LT) equals
+            # the default L0/L1, so NumPicsTotalCurr == len(l0) and
+            # the rotated list_entry values reproduce this encoder's
+            # reordered list exactly.
+            n = len(l0)
+            nptc = n
+            ents = [(i + 1) % n for i in range(n)]
+            l0 = l0[1:] + l0[:1]
+            list_mod = (ents, ents if slice_type == 0 else None)
         if slice_type == 0 and ref_pics_l1 is not None:
             norm1 = [(e[0], e[1], (e[2] if len(e) > 2 else self.ref_lt))
                      for e in ref_pics_l1]
@@ -91,7 +106,9 @@ class PFrameEncoder(IntraFrameEncoder):
                       num_ref_l0=self.num_ref_l0 or len(ref_pics),
                       num_ref_l1=self.num_ref_l0 or len(l1),
                       weight_table=self.weight_table,
-                      collocated_ref_idx=self.collocated_idx)
+                      collocated_ref_idx=self.collocated_idx,
+                      list_mod=list_mod,
+                      num_pics_total_curr=nptc)
         if num_slices > 1:
             return self._encode_frame_sliced(nal_type, poc,
                                              self.num_st_rps, num_slices,
@@ -575,7 +592,9 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                            weighted=False, tmvp=False, amp=False,
                            scaling_list=None, num_slices=1,
                            dependent_slices=False, lt_ref=False,
-                           constrained_intra=False):
+                           constrained_intra=False, cabac_init=False,
+                           lists_modification=False,
+                           sign_data_hiding=False):
     """IDR + P,P,... low-delay stream over `frames`. Returns (bytes,
     expected recons). Expected output only valid without loop filters;
     with filters on, compare against the reference decoder."""
@@ -592,7 +611,10 @@ def encode_lowdelay_stream(frames, width, height, qp=32, ctb_log2=4,
                         temporal_mvp=tmvp, amp_enabled=amp,
                         scaling_list=scaling_list,
                         dependent_slices=dependent_slices, lt_ref=lt_ref,
-                        constrained_intra=constrained_intra)
+                        constrained_intra=constrained_intra,
+                        cabac_init=cabac_init,
+                        lists_modification=lists_modification,
+                        sign_data_hiding=sign_data_hiding)
     rng = np.random.default_rng(seed)
     # one RPS per possible reference count (early frames have fewer refs)
     st_rps = [[-(i + 1) for i in range(k + 1)] for k in range(n_refs)]
@@ -672,7 +694,8 @@ def encode_ra_stream(frames, width, height, qp=32, gop=8, ctb_log2=4,
                      min_cb_log2=3, seed=0, sao=False, deblock=False,
                      intra_period=None, tmvp=False, amp=False,
                      bit_depth=8, wpp=False, n_anchor_refs=2,
-                     chroma_format_idc=1, temporal_ids=False):
+                     chroma_format_idc=1, temporal_ids=False,
+                     weighted=False):
     """Random-access stream: IDR + P anchors every `gop` pics with a
     hierarchical-B pyramid between anchors (output reordering,
     num_reorder_pics>0). Anchors at multiples of `intra_period` become
@@ -693,6 +716,7 @@ def encode_ra_stream(frames, width, height, qp=32, gop=8, ctb_log2=4,
                         deblock_disabled=not deblock,
                         max_num_ref=2, max_merge_cand=5,
                         temporal_mvp=tmvp, amp_enabled=amp, wpp=wpp,
+                        weighted_pred=weighted,
                         num_reorder_pics=max(1, (gop - 1).bit_length()),
                         max_dec_pic_buffering=(gop - 1).bit_length() + 3)
     rng = np.random.default_rng(seed)

@@ -38,6 +38,7 @@ class IntraFrameEncoder:
     def __init__(self, cfg: EncoderConfig, rng: np.random.Generator):
         self.cfg = cfg
         self.rng = rng
+        self.sdh_hidden_signs = 0     # sign-data-hiding coverage count
         from .hevc_enc import resolved_scaling
         self.scaling = resolved_scaling(cfg)
         w4 = (cfg.ctbs_w << cfg.ctb_log2) >> 2
@@ -761,6 +762,17 @@ class IntraFrameEncoder:
             coefs = src << sh if sh > 0 else src >> -sh
             levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
             levels = np.clip(levels, -32768, 32767)
+            if cfg.sign_data_hiding and \
+                    not self._sdh_blocked(True, False, mode):
+                # parity fix-up on the CODED domain (writer rotates
+                # 4x4 intra TS blocks, hevc_cabac.c:1877)
+                rot = (cfg.rext_rotation and log2 == 2 and
+                       self.cu_is_intra)
+                view = levels[::-1, ::-1] if rot else levels
+                self._sdh_adjust(view, log2,
+                                 self._scan_for(log2,
+                                                0 if plane == 0 else 1,
+                                                mode))
             if np.any(levels):
                 self._cu_has_cbf = True
             d = T.dequant(levels, log2, qp, cfg.bit_depth, scaling=sm)
@@ -774,6 +786,11 @@ class IntraFrameEncoder:
             coefs = T.forward_transform(resid, cfg.bit_depth, is_dst=is_dst)
             levels = T.quantize(coefs, log2, qp, cfg.bit_depth)
             levels = np.clip(levels, -32768, 32767)
+            if cfg.sign_data_hiding:
+                self._sdh_adjust(levels, log2,
+                                 self._scan_for(log2,
+                                                0 if plane == 0 else 1,
+                                                mode))
             if np.any(levels):
                 self._cu_has_cbf = True
                 d = T.dequant(levels, log2, qp, cfg.bit_depth, scaling=sm)
@@ -912,9 +929,12 @@ class IntraFrameEncoder:
         mode = node["luma_mode"]
         if cbf_luma:
             scan = self._scan_for(log2_tr, 0, mode)
+            lts = node.get("luma_ts", False)
+            ltqb = node.get("tqb", False)
             self._encode_residual(luma, log2_tr, 0, scan,
-                                  ts=node.get("luma_ts", False),
-                                  tqb=node.get("tqb", False))
+                                  ts=lts, tqb=ltqb,
+                                  sdh_ok=not self._sdh_blocked(lts, ltqb,
+                                                               mode))
         if log2_tr > 2 or cfg.chroma_format_idc == 3:
             clog2 = log2_tr - cfg.hshift1
             self._emit_chroma(node["chroma_levels"], clog2,
@@ -935,8 +955,9 @@ class IntraFrameEncoder:
                 self._emit_res_scale(plane - 1, cross[plane - 1])
             for (lvl, tsf) in tbs:
                 if np.any(lvl):
-                    self._encode_residual(lvl, clog2, plane, scan,
-                                          ts=tsf, tqb=tqb)
+                    self._encode_residual(
+                        lvl, clog2, plane, scan, ts=tsf, tqb=tqb,
+                        sdh_ok=not self._sdh_blocked(tsf, tqb, mc))
 
     def _emit_res_scale(self, idx, v):
         """log2_res_scale_abs_plus1 (TU, 4 ctx per comp) + sign
@@ -984,9 +1005,51 @@ class IntraFrameEncoder:
                 return SCAN_HORIZ
         return SCAN_DIAG
 
+    def _sdh_blocked(self, ts, tqb, mode):
+        """Mirror of the decoder's sign_hidden=0 gate
+        (hevc_cabac.c:1748-1753): transquant bypass, or the
+        implicit-RDPCM intra TS modes. (Explicit RDPCM is never emitted
+        by this encoder.)"""
+        if tqb:
+            return True
+        return (self.cu_is_intra and ts and mode in (10, 26) and
+                self.cfg.rext_implicit_rdpcm)
+
+    def _sdh_adjust(self, levels, log2_tr, scan_idx):
+        """Sign-data-hiding parity fix-up on the CODED level array
+        (rotated domain for rotated TS blocks): for every 4x4 CG whose
+        first/last significant scan positions span >= 4, the sign of
+        the first-in-scan coefficient is inferred by the decoder from
+        sum-of-abs parity — adjust the last-in-scan coefficient's
+        magnitude by one when the parity disagrees. Mutates and
+        returns `levels`."""
+        size = 1 << log2_tr
+        ncg = max(1, size >> 2)
+        cg_scan = _CG_SCANS[(scan_idx, ncg)] if ncg > 1 else [(0, 0)]
+        off_scan = _SCANS_4[scan_idx]
+        for (x_cg, y_cg) in cg_scan:
+            nzs = []
+            for n, (ox, oy) in enumerate(off_scan):
+                x, y = (x_cg << 2) + ox, (y_cg << 2) + oy
+                if levels[y, x] != 0:
+                    nzs.append((n, x, y))
+            if len(nzs) < 2 or nzs[-1][0] - nzs[0][0] < 4:
+                continue
+            s = sum(abs(int(levels[y, x])) for (_n, x, y) in nzs)
+            _n0, fx, fy = nzs[0]
+            want_odd = levels[fy, fx] < 0
+            if bool(s & 1) != want_odd:
+                _nl, lx_, ly_ = nzs[-1]
+                v = int(levels[ly_, lx_])
+                if abs(v) > 1:
+                    levels[ly_, lx_] = v - 1 if v > 0 else v + 1
+                else:
+                    levels[ly_, lx_] = v + 1 if v > 0 else v - 1
+        return levels
+
     # ----- residual CABAC encoding ----------------------------------------
     def _encode_residual(self, levels, log2_tr, c_idx, scan_idx,
-                         ts=False, tqb=False):
+                         ts=False, tqb=False, sdh_ok=False):
         enc = self.enc
         cfg = self.cfg
         if (not tqb and cfg.transform_skip and
@@ -1113,8 +1176,17 @@ class IntraFrameEncoder:
                 f2 = int(abs(vals[first_g1]) > 2)
                 inc = ctx_set + (4 if c_idx else 0)
                 enc.bin("coeff_abs_level_greater2_flag", inc, f2)
-            # signs (sign hiding off in encoder configs)
-            for vv in vals:
+            # signs; with sign-data hiding the first-in-scan coeff's
+            # sign (LAST in vals' decode order) is inferred from
+            # sum-of-abs parity (hevc_cabac.c:1758-1763, :1810)
+            hidden = (sdh_ok and cfg.sign_data_hiding and
+                      sig_idx[0] - sig_idx[-1] >= 4)
+            if hidden:
+                self.sdh_hidden_signs += 1   # coverage counter (tests)
+                assert (sum(abs(v) for v in vals) & 1) == \
+                    (1 if vals[-1] < 0 else 0), \
+                    "SDH parity not established by _sdh_adjust"
+            for vv in (vals[:-1] if hidden else vals):
                 enc.bypass(1 if vv < 0 else 0)
             price = cfg.rext_persistent_rice
             if price:
@@ -1237,7 +1309,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         rext_persistent_rice=False,
                         cross_component=False, vui_timing=False,
                         chroma_qp_offset_list=None,
-                        diff_cu_chroma_qp_offset_depth=0) -> bytes:
+                        diff_cu_chroma_qp_offset_depth=0,
+                        sign_data_hiding=False) -> bytes:
     # NOTE: the reference decoder never clears its is_pcm no-filter map
     # across frames (hevc_frame_start memsets bs/cbf but not is_pcm), so
     # multi-frame streams combining PCM + pcm_loop_filter_disabled + loop
@@ -1275,7 +1348,8 @@ def encode_intra_stream(frames, width, height, qp=30, ctb_log2=4,
                         chroma_qp_offset_list=chroma_qp_offset_list,
                         diff_cu_chroma_qp_offset_depth=(
                             diff_cu_chroma_qp_offset_depth),
-                        vui_timing=vui_timing)
+                        vui_timing=vui_timing,
+                        sign_data_hiding=sign_data_hiding)
     rng = np.random.default_rng(seed)
     out = write_vps(cfg) + write_sps(cfg) + write_pps(cfg)
     enc = IntraFrameEncoder(cfg, rng)

@@ -289,6 +289,35 @@ def _pack_from_raw(fs: FrameSymbols):
     return res, {"stacked": stacked, "order": order}, n_levels
 
 
+def weight_grids(fs):
+    """Per-4x4 weighted-prediction grids from ref_idx: {wg, og
+    [2, 3, h4, w4] int16, denoms (luma, chroma)} — the weighted uni/bi
+    combine inputs (hevcdsp_template.c put_hevc_*_uni_w/bi_w). None
+    when the picture carries no prediction-weight table."""
+    if fs.weights is None:
+        return None
+    mc = fs.motion
+    wt = fs.weights
+    h4, w4 = mc.pred_flag.shape
+    ridx = np.asarray(mc.ref_idx, np.int32)   # [h4,w4,2]
+    wg = np.zeros((2, 3, h4, w4), np.int16)
+    og = np.zeros((2, 3, h4, w4), np.int16)
+    for lx, key in enumerate(("l0", "l1")):
+        entries = wt.get(key)
+        if not entries:
+            continue
+        r = np.clip(ridx[:, :, lx], 0, len(entries) - 1)
+        for c in range(3):
+            wl = np.array([e[0] if c == 0 else e[2][c - 1]
+                           for e in entries], np.int32)
+            ol = np.array([e[1] if c == 0 else e[3][c - 1]
+                           for e in entries], np.int32)
+            wg[lx, c] = wl[r]
+            og[lx, c] = ol[r]
+    return dict(wg=wg, og=og, denoms=(wt["luma_log2_denom"],
+                                      wt["chroma_log2_denom"]))
+
+
 class WireStats:
     """Host<->device byte accounting (BASELINE.md: the tunneled wire is
     THE budget). Counts intended payload bytes of the decode path's
@@ -329,6 +358,9 @@ class JaxEngine:
         self._cache = {}
         self._fetch_pool = FetchPool()
         self.wire = WireStats()
+        # False for decoders whose outputs are never displayed (SHVC
+        # base layer): skips the background D2H output fetch
+        self.fetch_outputs = True
         import os as _osd
         # debug: block after each device stage and record wall times
         self._sync_debug = _osd.environ.get("OPENHEVC_SYNC_TIMERS") == "1"
@@ -406,7 +438,12 @@ class JaxEngine:
         entries = []
         for p in pocs:
             obj = ref_planes[p]
-            tgt = obj if hasattr(obj, "_dims") else obj[c]
+            # device-resident pictures (LazyPlanes `_dims`, DevicePlanes
+            # `_planes_dev`) key the cache by OBJECT — obj[c] on them
+            # would materialize the planes to host (a blocking D2H round
+            # trip per frame that defeated the device-resident IL chain)
+            dev_res = hasattr(obj, "_dims") or hasattr(obj, "_planes_dev")
+            tgt = obj if dev_res else obj[c]
             key = (id(tgt), c, pairs)
             hit = self._hf_cache.get(key)
             if hit is not None and hit[0] is not None and \
@@ -668,9 +705,16 @@ class JaxEngine:
         # device-resident DPB entry. OPENHEVC_PACK_OUTPUT=0 disables
         # (PCIe hosts where the unpack CPU cost outweighs wire savings).
         packed = _maybe_pack_out(flat, bd)
-        lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool,
-                        wire=self.wire, packed=packed, bd=bd)
-        self._fetch_pool.add(lp)
+        if self.fetch_outputs:
+            lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool,
+                            wire=self.wire, packed=packed, bd=bd)
+            self._fetch_pool.add(lp)
+        else:
+            # SHVC base layer: outputs are never displayed — planes stay
+            # device-resident (IL upsample + MC read them there); a host
+            # materialization only happens on an explicit get()
+            lp = LazyPlanes(flat, H, W, Hc, Wc, pool=None,
+                            wire=self.wire, packed=packed, bd=bd)
         lp.device_filtered = fmask != 0
         return lp
 
@@ -714,28 +758,9 @@ class JaxEngine:
         hf = {c: self._hf_stack(pocs, ref_planes, c, bd, pairs=pairs)
               for c in range(3)}
         out = dict(pf4=pf4, mv=mv, slot=slot, hf=hf, pairs=pairs)
-        if fs.weights is not None:
-            # per-4x4 weight/offset grids per list+plane from ref_idx
-            # (weighted uni/bi combine, ops/mc.py inter_combine_w)
-            wt = fs.weights
-            ridx = np.asarray(mc.ref_idx, np.int32)   # [h4,w4,2]
-            wg = np.zeros((2, 3, h4, w4), np.int16)
-            og = np.zeros((2, 3, h4, w4), np.int16)
-            for lx, key in enumerate(("l0", "l1")):
-                entries = wt.get(key)
-                if not entries:
-                    continue
-                r = np.clip(ridx[:, :, lx], 0, len(entries) - 1)
-                for c in range(3):
-                    wl = np.array([e[0] if c == 0 else e[2][c - 1]
-                                   for e in entries], np.int32)
-                    ol = np.array([e[1] if c == 0 else e[3][c - 1]
-                                   for e in entries], np.int32)
-                    wg[lx, c] = wl[r]
-                    og[lx, c] = ol[r]
-            out["wt"] = dict(wg=wg, og=og,
-                             denoms=(wt["luma_log2_denom"],
-                                     wt["chroma_log2_denom"]))
+        wt = weight_grids(fs)
+        if wt is not None:
+            out["wt"] = wt
         return out
 
     def _run(self, pf: PackedFrame):

@@ -192,13 +192,22 @@ def combine_plane(put0, put1, pf, res, bit_depth: int):
 
 
 def combine_plane_w(put0, put1, pf, res, w0, o0, w1, o1,
-                    bit_depth: int, denom: int):
+                    bit_depth: int, denom):
     """Per-plane weighted-prediction combine (put_hevc_*_uni_w/bi_w
-    semantics; see inter_combine_w)."""
+    semantics; see inter_combine_w). denom may be a python int or a
+    traced scalar (mesh waves carry per-frame denoms); with denom=0,
+    w=1, o=0 this reduces exactly to the default combine, which lets
+    unweighted pictures share a wave with weighted ones."""
     maxv = (1 << bit_depth) - 1
     osc = 1 << (bit_depth - 8)
     shift_u = denom + 14 - bit_depth
-    off_u = 1 << (shift_u - 1) if shift_u > 0 else 0
+    if isinstance(denom, int):
+        off_u = 1 << (shift_u - 1) if shift_u > 0 else 0
+    else:
+        shift_u = shift_u.astype(jnp.int32)
+        off_u = jnp.where(shift_u > 0,
+                          jnp.left_shift(1, jnp.maximum(shift_u - 1, 0)),
+                          0)
     uni0 = ((put0 * w0 + off_u) >> shift_u) + o0 * osc
     uni1 = ((put1 * w1 + off_u) >> shift_u) + o1 * osc
     log2wd = denom + (15 - bit_depth) - 1

@@ -1,9 +1,11 @@
 """SHVC inter-layer upsampling on device (JAX).
 
-Separable resample as two dense contractions: host precomputes per-output
-tap indices and coefficients from the scale/phase LUT; the device gathers
-8 (4) tap rows/columns and contracts on the VPU. Bit-exact vs
-ops/upsample_np.py.
+Separable resample as two MXU matmuls: the host turns the per-output
+tap plan (scale/phase LUT) into banded resampling matrices
+H [el_w, bl_w] / V [el_h, bl_h] (8 or 4 nonzeros per row), and the
+device computes V @ (src @ H^T) as integer dot products — XLA gathers
+degrade on TPU (~200 ms/frame measured), the matmul form runs in
+milliseconds. Bit-exact vs ops/upsample_np.py.
 """
 from __future__ import annotations
 
@@ -32,16 +34,27 @@ def _axis_plan(n_out, n_in, scale, add, ntaps, filt, left=0, right=0,
     return idx, coef
 
 
+def _axis_matrix(idx, coef, n_in, col_map=None):
+    """Tap plan -> dense banded resampling matrix [n_out, n_in] int32
+    (border-clipped duplicate taps accumulate, matching the gather+sum
+    semantics)."""
+    n_out = idx.shape[0]
+    m = np.zeros((n_out, n_in), np.int32)
+    np.add.at(m, (np.arange(n_out)[:, None], idx), coef)
+    if col_map is not None:
+        m = m[col_map]
+    return m
+
+
 @partial(jax.jit, static_argnames=("bit_depth",))
-def _upsample_kernel(bl, hidx, hcoef, vidx, vcoef, col_map, bit_depth: int):
+def _upsample_kernel(bl, hmat_t, vmat, bit_depth: int):
+    """V @ (src @ H^T): both contractions on the MXU with int32
+    accumulation (|acc| <= 8*64 * 8*64 * 1023 < 2^31, exact)."""
     src = bl.astype(jnp.int32)
-    # horizontal: temp[r, i] = sum_k src[r, hidx[i,k]] * hcoef[i,k]
-    gath = src[:, hidx]                      # [H_bl, el_w, taps]
-    temp = jnp.sum(gath * hcoef[None], axis=2)
-    temp = temp[:, col_map]
-    # vertical: out[j, i] = sum_k temp[vidx[j,k], i] * vcoef[j,k]
-    gv = temp[vidx]                          # [el_h, taps, el_w]
-    acc = jnp.sum(gv * vcoef[:, :, None], axis=1)
+    temp = jax.lax.dot_general(src, hmat_t, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    acc = jax.lax.dot_general(vmat, temp, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
     nshift = 20 - 8
     return jnp.clip((acc + (1 << (nshift - 1))) >> nshift,
                     0, (1 << bit_depth) - 1)
@@ -51,8 +64,9 @@ _PLAN_CACHE: dict = {}
 
 
 def _plans(bl_w, bl_h, el_w, el_h, luma, win, off16_y, phase_align=0):
-    """Cached (hidx, hcoef, vidx, vcoef, col_map) device arrays for one
-    (BL dims -> EL dims) plane mapping — computed once per stream."""
+    """Cached (hmat_t [bl_w, el_w], vmat [el_h, bl_h]) device matrices
+    for one (BL dims -> EL dims) plane mapping — computed once per
+    stream."""
     key = (bl_w, bl_h, el_w, el_h, luma, win, off16_y, phase_align)
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
@@ -76,9 +90,9 @@ def _plans(bl_w, bl_h, el_w, el_h, luma, win, off16_y, phase_align=0):
                              end_minus1=True, off16=off16_y)
     col_map = np.clip(np.arange(el_w), left,
                       el_w - right - 1).astype(np.int32)
-    out = (jnp.asarray(hidx), jnp.asarray(hcoef.astype(np.int32)),
-           jnp.asarray(vidx), jnp.asarray(vcoef.astype(np.int32)),
-           jnp.asarray(col_map))
+    hmat = _axis_matrix(hidx, hcoef, bl_w, col_map)
+    vmat = _axis_matrix(vidx, vcoef, bl_h)
+    out = (jnp.asarray(np.ascontiguousarray(hmat.T)), jnp.asarray(vmat))
     if len(_PLAN_CACHE) > 64:
         _PLAN_CACHE.clear()
     _PLAN_CACHE[key] = out
@@ -118,8 +132,9 @@ def upsample_plane_jax(bl, el_w, el_h, scale_x, add_x, scale_y, add_y,
     vidx, vcoef = _axis_plan(el_h, h_bl, scale_y, add_y, ntaps, filt,
                              top, bottom, end_minus1=True)
     col_map = np.clip(np.arange(el_w), left, el_w - right - 1).astype(np.int32)
+    hmat = _axis_matrix(hidx, hcoef, w_bl, col_map)
+    vmat = _axis_matrix(vidx, vcoef, h_bl)
     out = _upsample_kernel(jnp.asarray(np.asarray(bl, np.int32)),
-                           jnp.asarray(hidx), jnp.asarray(hcoef.astype(np.int32)),
-                           jnp.asarray(vidx), jnp.asarray(vcoef.astype(np.int32)),
-                           jnp.asarray(col_map), bit_depth=bit_depth)
+                           jnp.asarray(np.ascontiguousarray(hmat.T)),
+                           jnp.asarray(vmat), bit_depth=bit_depth)
     return np.asarray(out)

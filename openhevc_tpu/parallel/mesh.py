@@ -158,24 +158,42 @@ class MeshFrameDecoder:
             hf_pool.append(jnp.stack(
                 [mc_hprefilter(p, bit_depth=bd, is_luma=(c == 0))
                  for p in planes_c]))
+        has_wt = any(fs.weights is not None and fs.inter_pbs
+                     for fs in fs_list)
         fields = []
         h4w4 = None
         for fs, so in zip(fs_list, slot_ofs):
             if fs.inter_pbs:
                 f = self._inter_fields(fs, so)
                 h4w4 = f["pf4"].shape
+                if has_wt:
+                    # weighted members carry their grids; unweighted
+                    # ones ride identity weights (w=1, o=0, denom=0 —
+                    # exactly the default combine, ops/mc.py)
+                    from ..models.pipeline import weight_grids
+                    wt = weight_grids(fs)
+                    if wt is not None:
+                        f["wg"], f["og"] = wt["wg"], wt["og"]
+                        f["den"] = np.asarray(wt["denoms"], np.int32)
+                    else:
+                        f["wg"] = np.ones((2, 3) + h4w4, np.int16)
+                        f["og"] = np.zeros((2, 3) + h4w4, np.int16)
+                        f["den"] = np.zeros(2, np.int32)
             else:
                 f = None
             fields.append(f)
         zero = dict(pf4=np.zeros(h4w4, np.uint8),
                     mv=np.zeros(h4w4 + (2, 2), np.int16),
                     slot=np.zeros((2,) + h4w4, np.uint8))
+        if has_wt:
+            zero["wg"] = np.ones((2, 3) + h4w4, np.int16)
+            zero["og"] = np.zeros((2, 3) + h4w4, np.int16)
+            zero["den"] = np.zeros(2, np.int32)
         fields = [f or zero for f in fields]
         fields += [fields[-1]] * (npad - len(fields))
-        motion = dict(
-            pf4=np.stack([f["pf4"] for f in fields]),
-            mv=np.stack([f["mv"] for f in fields]),
-            slot=np.stack([f["slot"] for f in fields]))
+        keys = ("pf4", "mv", "slot") + \
+            (("wg", "og", "den") if has_wt else ())
+        motion = {k: np.stack([f[k] for f in fields]) for k in keys}
         return hf_pool, motion
 
     def _tile_group_map(self, fs):
@@ -380,7 +398,7 @@ class MeshFrameDecoder:
 
     # ---- device program ---------------------------------------------------
     def _program(self, key, sps, sizes, isizes, fmask, has_sm, n_levels,
-                 has_inter=False, tiled=False):
+                 has_inter=False, tiled=False, has_wt=False):
         if key in self._progs:
             return self._progs[key]
         import jax
@@ -393,7 +411,7 @@ class MeshFrameDecoder:
         from ..ops.idct import residual_bucket, scatter_blocks
         from ..models.pipeline import _intra_scan
         from ..ops.filters_jax import apply_filters_device
-        from ..ops.mc import mc_put_core, combine_plane
+        from ..ops.mc import mc_put_core, combine_plane, combine_plane_w
 
         H, W = sps.height, sps.width
         hs, vs = sps.hshift1, sps.vshift1
@@ -433,11 +451,28 @@ class MeshFrameDecoder:
                                         is_luma=is_luma, hs=hs, vs=vs,
                                         H=ph, W=pw)
                             for lx in range(2)]
-                    pf = jnp.repeat(jnp.repeat(pf4, repv, 0),
-                                    reph, 1)[:ph, :pw]
-                    out = combine_plane(puts[0], puts[1], pf,
-                                        res_planes[c, :ph, :pw],
-                                        bit_depth=bd)
+
+                    def up(a):
+                        return jnp.repeat(jnp.repeat(
+                            a.astype(jnp.int32), repv, 0),
+                            reph, 1)[:ph, :pw]
+
+                    pf = up(pf4)
+                    if has_wt:
+                        # per-frame weights; unweighted members carry
+                        # identity (w=1, o=0, denom=0) so the formula
+                        # reduces to the default combine
+                        out = combine_plane_w(
+                            puts[0], puts[1], pf,
+                            res_planes[c, :ph, :pw],
+                            up(mo["wg"][0, c]), up(mo["og"][0, c]),
+                            up(mo["wg"][1, c]), up(mo["og"][1, c]),
+                            bit_depth=bd,
+                            denom=mo["den"][0 if is_luma else 1])
+                    else:
+                        out = combine_plane(puts[0], puts[1], pf,
+                                            res_planes[c, :ph, :pw],
+                                            bit_depth=bd)
                     cur = planes[c, :ph, :pw]
                     planes = planes.at[c, :ph, :pw].set(
                         jnp.where(pf > 0, out, cur))
@@ -516,7 +551,9 @@ class MeshFrameDecoder:
                          "filt")} for s in isizes})
         spec_f = (tuple(P("frame") for _ in range(22)),) if fmask \
             else ((),)
-        spec_m = ({k: P("frame") for k in ("pf4", "mv", "slot")},) \
+        mkeys = ("pf4", "mv", "slot") + \
+            (("wg", "og", "den") if has_wt else ())
+        spec_m = ({k: P("frame") for k in mkeys},) \
             if has_inter else ((),)
         # the hf ref pool is REPLICATED (P() over all axes): every
         # device holds the wave's reference pictures, as every frame
@@ -565,13 +602,15 @@ class MeshFrameDecoder:
         sizes = tuple(sorted(res))
         isizes = tuple(sorted(intra))
         has_sm = any("sm" in res[s] for s in sizes)
+        has_wt = has_inter and "wg" in motion
         key = (sps.sps_id, sps.width, sps.height, sizes, isizes,
                tuple(res[s]["qp"].shape[-1] for s in sizes),
                tuple(intra[s]["x"].shape[-1] for s in isizes),
                n_levels, fmask, has_sm, npad,
-               len(hf_pool[0]) if has_inter else 0)
+               len(hf_pool[0]) if has_inter else 0, has_wt)
         prog = self._program(key, sps, sizes, isizes, fmask, has_sm,
-                             n_levels, has_inter=has_inter, tiled=tiled)
+                             n_levels, has_inter=has_inter, tiled=tiled,
+                             has_wt=has_wt)
         args = (jnp.asarray(planes0),
                 {s: {k: jnp.asarray(v) for k, v in res[s].items()}
                  for s in sizes},

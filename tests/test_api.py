@@ -263,3 +263,89 @@ def test_mkv_roundtrip(tmp_path):
     want = b"".join(np.asarray(pl, np.uint8).tobytes()
                     for rec in recons for pl in rec)
     assert out.read_bytes() == want
+
+
+def test_mkv_long_stream_clusters():
+    """mux_mkv splits Clusters before the int16 relative timestamp
+    would overflow (matroskaenc.c behavior): a 900-frame stream at
+    25 fps (36 s) round-trips."""
+    from openhevc_tpu.container import mux_mkv, demux_mkv
+    samples = [bytes((0, 0, 0, 2, 0x26, i & 0xFF)) for i in range(900)]
+    hvcc = bytes(22) + bytes([3]) + b"\x00"       # minimal, nls=4
+    mkv = mux_mkv(samples, hvcc, 64, 64, fps=25)
+    _hvcc2, samples2, _nls = demux_mkv(mkv)
+    assert samples2 == samples
+
+
+def test_mkv_blockgroup_and_lacing():
+    """demux_mkv handles BlockGroup/Block wrapping and all three lacing
+    modes (matroskadec.c matroska_parse_laces role)."""
+    from openhevc_tpu.container import demux_mkv
+    from openhevc_tpu.container.mkv import (
+        _el, _el_uint, EBML_HEADER, SEGMENT, TRACKS, TRACK_ENTRY,
+        TRACK_NUMBER, TRACK_TYPE, CODEC_ID, CODEC_PRIVATE, CLUSTER,
+        TIMESTAMP, SIMPLE_BLOCK, BLOCK_GROUP, BLOCK, HEVC_CODEC_ID)
+    hvcc = bytes(22) + bytes([3]) + b"\x00"
+    frames = [bytes([k] * (3 + k)) for k in range(5)]
+
+    def blk(payload, flags):
+        return b"\x81\x00\x00" + bytes([flags]) + payload
+
+    # BlockGroup/Block, no lacing
+    bg = _el(BLOCK_GROUP, _el(BLOCK, blk(frames[0], 0x00)))
+    # Xiph lacing: 2 frames in one SimpleBlock
+    xiph = blk(bytes([1, len(frames[1])]) + frames[1] + frames[2], 0x02)
+    # EBML lacing: 2 frames (first size vint, last implicit)
+    ebml_sz = bytes([0x80 | len(frames[3])])
+    ebml = blk(bytes([1]) + ebml_sz + frames[3] + frames[4], 0x06)
+    # fixed lacing: 2 equal frames
+    eq = bytes([7] * 4)
+    fixed = blk(bytes([1]) + eq + eq, 0x04)
+    cluster = _el(CLUSTER, _el_uint(TIMESTAMP, 0) + bg +
+                  _el(SIMPLE_BLOCK, xiph) + _el(SIMPLE_BLOCK, ebml) +
+                  _el(SIMPLE_BLOCK, fixed))
+    track = _el(TRACKS, _el(TRACK_ENTRY,
+                _el_uint(TRACK_NUMBER, 1) + _el_uint(TRACK_TYPE, 1) +
+                _el(CODEC_ID, HEVC_CODEC_ID) + _el(CODEC_PRIVATE, hvcc)))
+    data = _el(EBML_HEADER, b"") + _el(SEGMENT, track + cluster)
+    _h, samples, _n = demux_mkv(data)
+    assert samples == frames + [eq, eq]
+
+
+def test_ts_multipacket_psi_and_pes_header():
+    """demux_ts accumulates PSI sections and PES headers across packet
+    boundaries (mpegts.c write_section_data role) and the mux stamps a
+    PCR on the video PID (PCR_PID declared in the PMT)."""
+    from openhevc_tpu.container import mux_ts, demux_ts
+    from openhevc_tpu.container.ts import (_ts_packets, _psi_section,
+                                           TS_PKT, PMT_PID, HEVC_PID,
+                                           HEVC_STREAM_TYPE)
+    es = b"\x00\x00\x01\x40\x01" + bytes(range(256)) * 3
+    # PCR present in the muxed stream: some video-PID packet has
+    # adaptation-field PCR_flag set
+    ts = mux_ts([es])
+    found_pcr = False
+    for off in range(0, len(ts), TS_PKT):
+        pkt = ts[off:off + TS_PKT]
+        pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
+        if pid == HEVC_PID and (pkt[3] >> 4) & 2 and pkt[4] > 0:
+            found_pcr |= bool(pkt[5] & 0x10)
+    assert found_pcr
+    assert demux_ts(ts) == es
+    # hand-built: PMT padded past one packet + a 250-byte PES header
+    cc = {}
+    out = bytearray()
+    pat_body = bytes((0x00, 0x01, 0xE0 | (PMT_PID >> 8), PMT_PID & 0xFF))
+    out += _ts_packets(0, b"\x00" + _psi_section(0x00, 1, pat_body),
+                       cc, True)
+    pmt_body = bytes((0xE0 | (HEVC_PID >> 8), HEVC_PID & 0xFF,
+                      0xF0, 0x00, HEVC_STREAM_TYPE,
+                      0xE0 | (HEVC_PID >> 8), HEVC_PID & 0xFF,
+                      0xF2, 0x00)) + b"\xff" * 0x200   # huge ES info
+    out += _ts_packets(PMT_PID, b"\x00" + _psi_section(0x02, 1, pmt_body),
+                       cc, True)
+    hdr_len = 250                                     # spans 2 packets
+    pes = b"\x00\x00\x01\xe0\x00\x00" + bytes((0x80, 0x00, hdr_len)) + \
+        b"\xff" * hdr_len + es
+    out += _ts_packets(HEVC_PID, pes, cc, True)
+    assert demux_ts(bytes(out)) == es

@@ -141,3 +141,29 @@ def test_wave_tile_axis_ra_inter():
     frames = make_frames(64, 64, 9, rng)
     data, _ = encode_ra_stream(frames, 64, 64, qp=31, gop=8, seed=33)
     _compare2d(data, 9)
+
+
+def test_wave_weighted_pred_ra():
+    """Weighted-pred pictures join waves (formerly serialized by the
+    `fs.weights is None` gate): multi-picture waves containing weighted
+    members form and stay bit-exact. Unweighted members ride identity
+    weights (w=1, o=0, denom=0 == default combine, ops/mc.py)."""
+    from openhevc_tpu.parallel import MeshFrameDecoder
+    rng = np.random.default_rng(25)
+    frames = make_frames(64, 64, 17, rng)
+    data, _ = encode_ra_stream(frames, 64, 64, qp=31, gop=8, seed=25,
+                               weighted=True)
+    waves = []
+    orig = MeshFrameDecoder.reconstruct_wave
+
+    def spy(self, fs_list, refs_list=None):
+        waves.append([fs.weights is not None for fs in fs_list])
+        return orig(self, fs_list, refs_list)
+
+    MeshFrameDecoder.reconstruct_wave = spy
+    try:
+        _compare(data, 17)
+    finally:
+        MeshFrameDecoder.reconstruct_wave = orig
+    wt_waves = [w for w in waves if any(w) and len(w) >= 3]
+    assert wt_waves, f"no multi-picture weighted waves formed: {waves}"
