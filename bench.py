@@ -113,12 +113,26 @@ def gen_shvc():
     return data
 
 
+def gen_ra_tiles():
+    """1080p hierarchical-B with 4x2 HEVC tiles + in-loop filters: the
+    tiled-inter coverage config (threaded tile parse, hevc.c:2917;
+    device filters; the 2-D mesh's tile-axis content class)."""
+    from openhevc_tpu.encoder.inter_enc import encode_ra_stream
+    W, H = 1920, 1080
+    data, _ = encode_ra_stream(_frames(W, H, 9), W, H, qp=35, gop=8,
+                               ctb_log2=6, min_cb_log2=3, seed=0,
+                               tmvp=True, tile_cols=4, tile_rows=2,
+                               sao=True, deblock=True)
+    return data
+
+
 CONFIGS = [
     ("i_main_832x480", gen_i_main, "single", 12),
     ("ra_main_1080p", gen_ra_main, "single", 9),
     ("main10_4k", gen_main10_4k, "single", 3),
     ("rext_444_832x480", gen_rext444, "single", 6),
     ("shvc_2layer_832x480", gen_shvc, "shvc", 6),
+    ("ra_tiles_1080p", gen_ra_tiles, "single", 9),
 ]
 
 

@@ -61,7 +61,7 @@ class _SliceParams(ctypes.Structure):
         "n_cqo_list")] + [
         ("cqo_cb", ctypes.c_int32 * 6),
         ("cqo_cr", ctypes.c_int32 * 6),
-    ]
+    ] + [("parse_threads", ctypes.c_int32)]
 
 
 class _Outputs(ctypes.Structure):
@@ -170,21 +170,24 @@ def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
 
 def parse_slice_native(rbsp: bytes, sps, pps, sh, nal_type: int, poc: int,
                        ref_list=None, ss_starts=None,
-                       col_motion=None) -> FrameSymbols:
+                       col_motion=None, parse_threads=0) -> FrameSymbols:
     """Single-slice picture parse (threaded WPP/tile substreams when
     ss_starts given). col_motion: (col_poc, pred_flag4, mv4, refpoc4,
-    lt_map) of the collocated picture when sh.temporal_mvp."""
+    lt_map) of the collocated picture when sh.temporal_mvp.
+    parse_threads: per-decoder substream worker count (0 = auto)."""
     return _parse_native([(rbsp, sh, 0, 0)], sps, pps, nal_type, poc,
-                         ref_list, ss_starts, col_motion)
+                         ref_list, ss_starts, col_motion,
+                         parse_threads=parse_threads)
 
 
 def parse_picture_native(segments, sps, pps, nal_type: int, poc: int,
-                         ref_list=None, col_motion=None) -> FrameSymbols:
+                         ref_list=None, col_motion=None,
+                         parse_threads=0) -> FrameSymbols:
     """Multi-slice picture parse: segments = [(rbsp, sh, start_ts,
     slice_no), ...] in decode order (dependent segments carry sh.dependent
     set; CABAC/QP state chains inside hevc_parse_picture)."""
     return _parse_native(segments, sps, pps, nal_type, poc, ref_list,
-                         None, col_motion)
+                         None, col_motion, parse_threads=parse_threads)
 
 
 def _fill_params(p, sps, pps, sh, poc, ref_list, ss_starts,
@@ -281,7 +284,7 @@ def _fill_params(p, sps, pps, sh, poc, ref_list, ss_starts,
 
 
 def _parse_native(segments, sps, pps, nal_type, poc, ref_list, ss_starts,
-                  col_motion) -> FrameSymbols:
+                  col_motion, parse_threads=0) -> FrameSymbols:
     lib = ensure_built()
     ref_list = ref_list or [[], []]
     rbsp, sh = segments[0][0], segments[0][1]
@@ -295,6 +298,7 @@ def _parse_native(segments, sps, pps, nal_type, poc, ref_list, ss_starts,
         _fill_params(params[i], sps, pps, seg_sh, poc, ref_list,
                      ss_starts if (i == 0 and n_seg == 1) else None,
                      start_ts, slice_no)
+        params[i].parse_threads = int(parse_threads)
     # TMVP collocated motion (hevc_mvs.c:227 inputs)
     col_pf_arr = col_mv_arr = col_rp_arr = None
     if sh.temporal_mvp and col_motion is not None:

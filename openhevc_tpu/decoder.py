@@ -135,18 +135,20 @@ class Decoder:
         # threading knobs (openHevcWrapper.c:80-87: 1=frame 2=slice/wpp
         # else frameslice): "frame" threading maps to the parse-ahead
         # pipeline depth, "slice" to the native substream worker count
-        # (threaded WPP/tile parse)
+        # (threaded WPP/tile parse). Instance-local — two decoders with
+        # different knobs in one process must not share state.
+        self._parse_threads = 0          # 0 = native auto/env default
         if nb_threads is not None and nb_threads >= 1:
             n = int(min(nb_threads, 8))
             if thread_type == 1:          # frame only
                 self._parse_depth = max(1, n)
-                _os.environ["OPENHEVC_PARSE_THREADS"] = "1"
+                self._parse_threads = 1
             elif thread_type == 2:        # slice/wpp only
                 self._parse_depth = 1
-                _os.environ["OPENHEVC_PARSE_THREADS"] = str(n)
+                self._parse_threads = n
             else:                         # frameslice: both
                 self._parse_depth = max(2, min(n, 4))
-                _os.environ["OPENHEVC_PARSE_THREADS"] = str(n)
+                self._parse_threads = n
         from .utils.log import StageTimers
         self.timers = StageTimers()   # per-frame parse/pack/… tracing
         # parse-path accounting: how many slice segments took the native
@@ -401,12 +403,14 @@ class Decoder:
 
             def job(rbsp=rbsp, sps=sps, pps=pps, sh=sh,
                     nal_type=nal_type, poc=poc, rl=rl,
-                    ss_starts=ss_starts, cm=cm):
+                    ss_starts=ss_starts, cm=cm,
+                    pt=self._parse_threads):
                 cmv = cm() if callable(cm) else cm
                 try:
                     return parse_slice_native(
                         rbsp, sps, pps, sh, nal_type, poc, ref_list=rl,
-                        ss_starts=ss_starts, col_motion=cmv)
+                        ss_starts=ss_starts, col_motion=cmv,
+                        parse_threads=pt)
                 except ValueError:
                     # native core refused (capacity/feature edge):
                     # decode must survive — Python mirror in-worker
@@ -463,7 +467,8 @@ class Decoder:
                 fs = parse_picture_native(
                     segs, sps, pps, acc["nal_type"], poc,
                     ref_list=acc["ref_list"],
-                    col_motion=acc["col_motion"])
+                    col_motion=acc["col_motion"],
+                    parse_threads=self._parse_threads)
             self.stats["native_slices"] += len(segs)
             acc["n_parsed"] = n_ctb
         else:

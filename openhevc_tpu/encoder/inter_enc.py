@@ -695,7 +695,7 @@ def encode_ra_stream(frames, width, height, qp=32, gop=8, ctb_log2=4,
                      intra_period=None, tmvp=False, amp=False,
                      bit_depth=8, wpp=False, n_anchor_refs=2,
                      chroma_format_idc=1, temporal_ids=False,
-                     weighted=False):
+                     weighted=False, tile_cols=1, tile_rows=1):
     """Random-access stream: IDR + P anchors every `gop` pics with a
     hierarchical-B pyramid between anchors (output reordering,
     num_reorder_pics>0). Anchors at multiples of `intra_period` become
@@ -717,6 +717,7 @@ def encode_ra_stream(frames, width, height, qp=32, gop=8, ctb_log2=4,
                         max_num_ref=2, max_merge_cand=5,
                         temporal_mvp=tmvp, amp_enabled=amp, wpp=wpp,
                         weighted_pred=weighted,
+                        tile_cols=tile_cols, tile_rows=tile_rows,
                         num_reorder_pics=max(1, (gop - 1).bit_length()),
                         max_dec_pic_buffering=(gop - 1).bit_length() + 3)
     rng = np.random.default_rng(seed)

@@ -221,6 +221,9 @@ struct SliceParams {
     int32_t cu_chroma_qp_offset_enabled, diff_cu_chroma_qp_offset_depth;
     int32_t n_cqo_list;
     int32_t cqo_cb[6], cqo_cr[6];
+    // per-decoder substream worker count (the "slice threads" knob,
+    // openHevcWrapper.c:80-87); 0 = auto (hw concurrency / env)
+    int32_t parse_threads;
 };
 
 struct Outputs {
@@ -2265,6 +2268,8 @@ int hevc_parse_slice(const uint8_t* rbsp, int64_t size,
         int v = atoi(e);
         if (v >= 1 && v <= 16) T = v;
     }
+    if (params->parse_threads >= 1 && params->parse_threads <= 16)
+        T = params->parse_threads;    // per-decoder knob wins over env
     bool wpp_mode = S.wpp && !S.tiles && nss == S.ctbs_h;
     int ntiles = S.tiles ? params->num_tile_cols * params->num_tile_rows
                          : 1;

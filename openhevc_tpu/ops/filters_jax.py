@@ -164,8 +164,8 @@ def _nofilter_grids(fs, nf, H, W):
     hs, vs = sps.hshift1, sps.vshift1
     h4, w4, h8, w8 = H >> 2, W >> 2, H >> 3, W >> 3
     Hc, Wc = H >> vs, W >> hs
-    hc4, wc8 = Hc >> 2, Wc >> 3
-    hc8, wc4 = Hc >> 3, Wc >> 2
+    hc4, wc8 = Hc >> 2, (Wc + 7) >> 3
+    hc8, wc4 = (Hc + 7) >> 3, Wc >> 2
     g = {}
     nop_v = np.zeros((h4, w8), np.int16)
     noq_v = np.zeros((h4, w8), np.int16)
@@ -347,10 +347,12 @@ def prep_filters(fs):
         out.update(beta_v=beta_v, tc_v=tc_v, beta_h=beta_h, tc_h=tc_h)
 
         # chroma edges: every 8 chroma samples (= 8*h / 8*v luma,
-        # hevc_filter.c:423), bs==2 only; format-generic via hs/vs
+        # hevc_filter.c:423), bs==2 only; format-generic via hs/vs.
+        # Edge-window counts are CEIL(dim/8): chroma dims need not be
+        # 8-multiples (1080p 4:2:0 Hc=540 has a real edge at row 536)
         hs, vs = sps.hshift1, sps.vshift1
         Hc, Wc = H >> vs, W >> hs
-        wc8, hc8 = Wc >> 3, Hc >> 3
+        wc8, hc8 = (Wc + 7) >> 3, (Hc + 7) >> 3
         hc4, wc4 = Hc >> 2, Wc >> 2
         for c_idx in (1, 2):
             off = fs.pps.cb_qp_offset if c_idx == 1 else fs.pps.cr_qp_offset
@@ -493,10 +495,17 @@ def _deblock_luma_dir(pl, beta_e, tc_e, bd: int, nop_e=None, noq_e=None):
 
 def _deblock_chroma_dir(pl, tc_e, bd: int, nop_e=None, noq_e=None):
     """Chroma deblocking, one direction: edges every 8 chroma samples,
-    tc [Hc//4, Wc//8] already zeroed where bs != 2. nop/noq: PCM/tqb
-    write suppression per segment."""
-    H, W = pl.shape
-    H4, W8 = H // 4, W // 8
+    tc [Hc//4, ceil(Wc/8)] already zeroed where bs != 2. nop/noq:
+    PCM/tqb write suppression per segment. Chroma dims need not be
+    multiples of 8 (1080p 4:2:0 has Hc=540): the plane pads to the
+    ceil window count so the final in-picture edge (e.g. chroma 536)
+    is filtered."""
+    H, Wc_in = pl.shape
+    W8 = (Wc_in + 7) // 8
+    W = W8 * 8
+    if W != Wc_in:
+        pl = jnp.pad(pl, ((0, 0), (0, W - Wc_in)))
+    H4 = H // 4
     w = jnp.roll(pl, -6, axis=1).reshape(H4, 4, W8, 8).transpose(0, 2, 1, 3)
     tc = _shift_params(tc_e)[:, :, None]
     p1, p0, q0, q1 = w[..., 0], w[..., 1], w[..., 2], w[..., 3]
@@ -512,7 +521,8 @@ def _deblock_chroma_dir(pl, tc_e, bd: int, nop_e=None, noq_e=None):
     nq0 = jnp.where(act & ~keep_q, jnp.clip(q0 - delta, 0, maxv), q0)
     new = jnp.concatenate([jnp.stack([p1, np0, nq0, q1], axis=-1),
                            w[..., 4:]], axis=-1)
-    return jnp.roll(new.transpose(0, 2, 1, 3).reshape(H, W), 6, axis=1)
+    out = jnp.roll(new.transpose(0, 2, 1, 3).reshape(H, W), 6, axis=1)
+    return out[:, :Wc_in]
 
 
 def _expand_ctb(a, cs, H: int, W: int):
@@ -525,12 +535,16 @@ def _expand_ctb(a, cs, H: int, W: int):
 
 
 def _sao_component(pl, typ, second, offs, cs, bd: int,
-                   vstage=None, st_b0=None, st_b2=None, st_a3=None):
+                   vstage=None, st_b0=None, st_b2=None, st_a3=None,
+                   ybounds=None):
     """SAO one component. pl [H, W] int32 (deblocked input); typ/second
     [cH, cW]; offs [cH, cW, 4]. vstage/stale: 16x16-CTB chroma halo
     timing — neighbor reads in the +x direction of `stale` positions
     source the vertical-deblock-stage plane (sao_np.py docstring).
-    Parity: sao() in sao_np.py."""
+    ybounds: (ytop, ybot) — the TRUE picture rows in this plane's
+    coordinates when pl is a halo band of a larger frame (mesh band
+    filtering); edge-class border restrictions apply there instead of
+    at the array edges. Parity: sao() in sao_np.py."""
     H, W = pl.shape
     maxv = (1 << bd) - 1
     typ_px = _expand_ctb(typ, cs, H, W)
@@ -572,10 +586,11 @@ def _sao_component(pl, typ, second, offs, cs, bd: int,
         idx = 2 + jnp.sign(pl - a) + jnp.sign(pl - bq)
         eadd = (jnp.where(idx == 0, o[0], 0) + jnp.where(idx == 1, o[1], 0) +
                 jnp.where(idx == 3, o[2], 0) + jnp.where(idx == 4, o[3], 0))
+        ytop, ybot = (0, H) if ybounds is None else ybounds
         valid = ((xx >= max(0, -min(ax, bx, 0))) &
                  (xx < W - max(ax, bx, 0)) &
-                 (yy >= max(0, -min(ay, by, 0))) &
-                 (yy < H - max(ay, by, 0)))
+                 (yy >= ytop - min(ay, by, 0)) &
+                 (yy < ybot - max(ay, by, 0)))
         res = jnp.where(valid, jnp.clip(pl + eadd, 0, maxv), pl)
         out_edge = jnp.where(sec_px == eo, res, out_edge)
 
@@ -589,7 +604,7 @@ def apply_filters_device(y, cb, cr, beta_v, tc_v, beta_h, tc_h,
                          tc_cv1, tc_ch1, tc_cv2, tc_ch2, sao,
                          nop_v, noq_v, nop_h, noq_h,
                          nop_cv, noq_cv, nop_ch, noq_ch, nf4, nf4c,
-                         st_b0, st_b2, st_a3,
+                         st_b0, st_b2, st_a3, ybounds=None,
                          *, bd, bdc, cs, do_deblock, do_sao,
                          hs=1, vs=1):
     """Whole-frame deblock (vertical then horizontal, luma + chroma)
@@ -613,17 +628,23 @@ def apply_filters_device(y, cb, cr, beta_v, tc_v, beta_h, tc_h,
     if do_sao:
         pre_y, pre_cb, pre_cr = y, cb, cr
         csc = (cs >> vs, cs >> hs)     # chroma CTB (rows, cols)
+        yb = cyb = None
+        if ybounds is not None:
+            yb, cyb = ybounds[0], ybounds[1]
         y = _sao_component(y, sao[:, :, 0, 0].astype(jnp.int32),
                            sao[:, :, 0, 1].astype(jnp.int32),
-                           sao[:, :, 0, 2:6].astype(jnp.int32), cs, bd)
+                           sao[:, :, 0, 2:6].astype(jnp.int32), cs, bd,
+                           ybounds=yb)
         cb = _sao_component(cb, sao[:, :, 1, 0].astype(jnp.int32),
                             sao[:, :, 1, 1].astype(jnp.int32),
                             sao[:, :, 1, 2:6].astype(jnp.int32),
-                            csc, bdc, vst_cb, st_b0, st_b2, st_a3)
+                            csc, bdc, vst_cb, st_b0, st_b2, st_a3,
+                            ybounds=cyb)
         cr = _sao_component(cr, sao[:, :, 2, 0].astype(jnp.int32),
                             sao[:, :, 2, 1].astype(jnp.int32),
                             sao[:, :, 2, 2:6].astype(jnp.int32),
-                            csc, bdc, vst_cr, st_b0, st_b2, st_a3)
+                            csc, bdc, vst_cr, st_b0, st_b2, st_a3,
+                            ybounds=cyb)
         if nf4.shape != (1, 1):
             # restore_tqb_pixels: SAO writes to no-filter blocks revert
             # to the deblocked input (4x4 luma / (4>>vs)x(4>>hs) chroma

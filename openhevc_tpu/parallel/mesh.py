@@ -254,26 +254,52 @@ class MeshFrameDecoder:
             out[s] = fields
         return out
 
-    @staticmethod
-    def _split_res_tiles(res, T):
-        """Split each stacked residual bucket's block dim across the
-        tile axis: [F, cap, ...] -> [F, T, cap/T, ...] (scatters are
-        disjoint; the shards' partial residual planes psum exactly)."""
+    def _split_res_tiles(self, res, T, gmaps, sps):
+        """Regroup each stacked residual bucket's blocks BY TILE SHARD:
+        [F, cap, ...] -> [F, T, capg, ...] where shard t gets exactly
+        the blocks of its own tiles (gmaps). Each shard then owns its
+        tiles' full residual — no cross-shard residual psum is needed
+        before reconstruction; the single end-of-frame masked pixel
+        combine (hevc.c:2967 role) is the only exchange."""
+        cl = sps.log2_ctb
+        ch, cw = gmaps.shape[1:]
         out = {}
         for s, fields in res.items():
-            cap = fields["qp"].shape[1]
-            capT = _round_up(cap, 16 * T)
+            F, cap = fields["qp"].shape[:2]
+            pl = fields["plane"]
+            # luma-grid coords of each block (chroma scales by hs/vs)
+            lx = np.where(pl == 0, fields["bx"] * s,
+                          (fields["bx"] * s) << sps.hshift1)
+            ly = np.where(pl == 0, fields["by"] * s,
+                          (fields["by"] * s) << sps.vshift1)
+            cy = np.clip(ly >> cl, 0, ch - 1)
+            cx = np.clip(lx >> cl, 0, cw - 1)
+            g = gmaps[np.arange(F)[:, None], cy, cx]
+            valid = pl != 3                    # padded rows -> nowhere
+            capg = 16
+            masks = []
+            for t in range(T):
+                m = valid & (g == t)
+                masks.append(m)
+                capg = max(capg, int(m.sum(axis=1).max()) if m.size
+                           else 0)
+            capg = _round_up(capg, 16)
             nf = {}
             for k, v in fields.items():
-                pad = capT - cap
-                if pad:
-                    fill = 3 if k == "plane" else (16 if k == "sm"
-                                                   else 0)
-                    pv = np.full((v.shape[0], pad) + v.shape[2:], fill,
-                                 v.dtype)
-                    v = np.concatenate([v, pv], axis=1)
-                nf[k] = v.reshape(v.shape[0], T, capT // T,
-                                  *v.shape[2:])
+                fill = 3 if k == "plane" else (16 if k == "sm" else 0)
+                nv = np.full((F, T, capg) + v.shape[2:], fill, v.dtype)
+                for t in range(T):
+                    m = masks[t]
+                    order = np.argsort(~m, axis=1, kind="stable")
+                    take = order[:, :capg]
+                    gath = np.take_along_axis(
+                        v, take.reshape(take.shape + (1,) *
+                                        (v.ndim - 2)), axis=1)
+                    keep = np.take_along_axis(m, take, axis=1)
+                    nv[:, t] = np.where(
+                        keep.reshape(keep.shape + (1,) * (v.ndim - 2)),
+                        gath, fill)
+                nf[k] = nv
             out[s] = nf
         return out
 
@@ -431,10 +457,10 @@ class MeshFrameDecoder:
                     sm=b.get("sm"))
                 res_planes = scatter_blocks(res_planes, r, b["plane"],
                                             b["bx"], b["by"], s=s)
-            if tiled:
-                # each tile shard assembled a disjoint share of the
-                # blocks: the partial planes sum exactly over ICI
-                res_planes = jax.lax.psum(res_planes, "tile")
+            # tiled: residual blocks are grouped BY TILE SHARD
+            # (_split_res_tiles), so each shard owns its tiles' full
+            # residual — no cross-shard residual psum (was a [4, H, W]
+            # int32 plane exchange, ~132 MB at 4K)
             planes = planes0
             if mo is not None:
                 # inter prediction from the replicated wave ref pool
@@ -487,6 +513,8 @@ class MeshFrameDecoder:
                                                  to="varying")
                         except (AttributeError, TypeError):
                             return jax.lax.pvary(x, ("tile",))
+                        except ValueError:
+                            return x       # already tile-varying
                     planes = _vary(planes)
                     res_planes = _vary(res_planes)
                 planes = _intra_scan(planes, res_planes, xs, isizes,
@@ -506,7 +534,9 @@ class MeshFrameDecoder:
                 y = jax.lax.psum(jnp.where(ml, y, 0), "tile")
                 cb = jax.lax.psum(jnp.where(mc_, cb, 0), "tile")
                 cr = jax.lax.psum(jnp.where(mc_, cr, 0), "tile")
-            if fmask:
+            if fmask and tiled:
+                y, cb, cr = band_filters(y, cb, cr, fargs, g)
+            elif fmask:
                 y, cb, cr = apply_filters_device(
                     y, cb, cr, *fargs, bd=bd, bdc=bdc, cs=cs,
                     do_deblock=bool(fmask & 1), do_sao=bool(fmask & 2),
@@ -515,6 +545,66 @@ class MeshFrameDecoder:
             return jnp.concatenate([y.astype(dt).reshape(-1),
                                     cb.astype(dt).reshape(-1),
                                     cr.astype(dt).reshape(-1)])
+
+        T = self.n_tile
+        rb = -(-sps.ctbs_h // T)          # CTB rows per shard band
+        csv = cs >> vs
+
+        def band_filters(y, cb, cr, fargs, g):
+            """Filter stage sharded over the tile axis: shard g filters
+            only CTB rows [g*rb, (g+1)*rb) with a 1-CTB halo (>= the
+            12-row deblock+SAO support), and a second masked psum
+            combines the disjoint interior bands. Replaces replicated
+            whole-frame filtering — per-shard filter compute drops
+            T-fold; control grids are tiny and slice per band."""
+            def pad_rows(p, unit):
+                total = (rb * T + 2) * unit
+                return jnp.pad(p, ((unit, total - unit - p.shape[0]),) +
+                               ((0, 0),) * (p.ndim - 1))
+
+            def band(p, unit):
+                return jax.lax.dynamic_slice_in_dim(
+                    pad_rows(p, unit), g * rb * unit,
+                    (rb + 2) * unit, 0)
+
+            # per-grid row units (luma 4/8-px edge rows, chroma rows,
+            # per-CTB SAO, per-chroma-pixel stale masks)
+            units = dict(beta_v=cs // 4, tc_v=cs // 4,
+                         beta_h=cs // 8, tc_h=cs // 8,
+                         tc_cv1=csv // 4, tc_ch1=csv // 8,
+                         tc_cv2=csv // 4, tc_ch2=csv // 8,
+                         sao=1, nop_v=cs // 4, noq_v=cs // 4,
+                         nop_h=cs // 8, noq_h=cs // 8,
+                         nop_cv=csv // 4, noq_cv=csv // 4,
+                         nop_ch=csv // 8, noq_ch=csv // 8,
+                         nf4=cs // 4, nf4c=cs // 4,
+                         st_b0=csv, st_b2=csv, st_a3=csv)
+            from ..ops.filters_jax import FARG_KEYS
+            fb = tuple(a if a.shape[:2] == (1, 1)
+                       else band(a, units[k])
+                       for k, a in zip(FARG_KEYS, fargs))
+            # true picture rows in band coordinates: SAO border
+            # restrictions apply at the real frame top/bottom, not at
+            # the band's halo edges
+            ybounds = ((cs - g * rb * cs, H + cs - g * rb * cs),
+                       (csv - g * rb * csv, Hc + csv - g * rb * csv))
+            yb, cbb, crb = apply_filters_device(
+                band(y, cs), band(cb, csv), band(cr, csv), *fb,
+                ybounds=ybounds,
+                bd=bd, bdc=bdc, cs=cs, do_deblock=bool(fmask & 1),
+                do_sao=bool(fmask & 2), hs=hs, vs=vs)
+
+            def emit(bp, unit, hfull):
+                interior = jax.lax.dynamic_slice_in_dim(
+                    bp, unit, rb * unit, 0)
+                full = jnp.zeros((rb * T * unit,) + bp.shape[1:],
+                                 bp.dtype)
+                full = jax.lax.dynamic_update_slice_in_dim(
+                    full, interior, g * rb * unit, 0)
+                return jax.lax.psum(full, "tile")[:hfull]
+
+            return (emit(yb, cs, H), emit(cbb, csv, Hc),
+                    emit(crb, csv, Hc))
 
         def block(planes0, res, intra, fargs, motion, hf, gmaps):
             # per-device shard: loop the local frames (static count);
@@ -598,7 +688,7 @@ class MeshFrameDecoder:
             gm += [gm[-1]] * (npad - len(gm))
             gmaps = np.stack(gm)
             intra = self._group_intra_tiles(intra, gmaps, sps)
-            res = self._split_res_tiles(res, self.n_tile)
+            res = self._split_res_tiles(res, self.n_tile, gmaps, sps)
         sizes = tuple(sorted(res))
         isizes = tuple(sorted(intra))
         has_sm = any("sm" in res[s] for s in sizes)

@@ -9,6 +9,8 @@ own per-profile streams and cross-check three ways:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from conftest import make_frames, ref_decode, ref_planes
 
 from openhevc_tpu.encoder.hevc_enc import encode_pcm_stream

@@ -4,6 +4,8 @@ multi-ref, WPP, tiles. decoder.stats counts which parser ran."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from conftest import ref_decode, ref_planes
 
 from openhevc_tpu.decoder import Decoder

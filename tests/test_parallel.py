@@ -5,6 +5,8 @@ np-engine decode (which is itself oracle-checked elsewhere)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from openhevc_tpu.decoder import Decoder
 from openhevc_tpu.encoder.intra_enc import encode_intra_stream
 from openhevc_tpu.encoder.inter_enc import encode_ra_stream

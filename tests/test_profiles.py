@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from conftest import ref_decode, ref_planes, make_frames
 
 from openhevc_tpu.encoder.intra_enc import encode_intra_stream

@@ -7,6 +7,8 @@ RPS marking: hevc_refs.c:637)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from openhevc_tpu.decoder import Decoder
 from openhevc_tpu.encoder.inter_enc import encode_ra_stream
 

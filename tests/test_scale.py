@@ -2,6 +2,10 @@
 topped out at 96x64): 832x480 (the BQMall/i_main class) and 1080p,
 CTB 64, multi-frame GOPs. Catches boundary/wraparound and DPB-pressure
 bugs that toy frames systematically miss."""
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from openhevc_tpu.decoder import Decoder

@@ -4,6 +4,8 @@ BL picture, across x2 / x1.5 / SNR scalability ratios."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from conftest import ref_decode, ref_planes
 
 from openhevc_tpu.encoder.shvc_enc import encode_shvc_stream

@@ -5,6 +5,8 @@ path on the same slice."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from conftest import make_frames
 
 
