@@ -26,7 +26,10 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-VER = "r3a"          # bump to invalidate cached streams
+VER = "r4a"          # bump to invalidate cached streams
+# NOTE (BENCH_r03 lesson): after bumping VER, run `python bench.py
+# --gen` and copy the streams + .md5 into bench_streams/ BEFORE the
+# driver's timed run — it must never generate inline.
 CACHE = "/tmp/openhevc_tpu_bench"
 
 
@@ -79,10 +82,11 @@ def gen_ra_main():
     W, H = 1920, 1080
     # 1080 = 135 x 8: MinCbSizeY must be 8 (spec: pic dims are
     # multiples of the minimum CB size); 17 frames = 2 full
-    # hierarchical-B GOPs
+    # hierarchical-B GOPs. WPP substreams (BASELINE's `-f 1 -p N`
+    # parallel-decode story): the native parse threads per CTB row.
     data, _ = encode_ra_stream(_frames(W, H, 17), W, H, qp=35, gop=8,
                                ctb_log2=6, min_cb_log2=3, seed=0,
-                               tmvp=True)
+                               tmvp=True, wpp=True)
     return data
 
 
@@ -91,7 +95,7 @@ def gen_main10_4k():
     W, H = 3840, 2160
     data, _ = encode_intra_stream(_frames(W, H, 3, ten_bit=True), W, H,
                                   qp=35, ctb_log2=6, min_cb_log2=4,
-                                  seed=0, bit_depth=10)
+                                  seed=0, bit_depth=10, wpp=True)
     return data
 
 
@@ -100,14 +104,16 @@ def gen_rext444():
     W, H = 832, 480
     data, _ = encode_intra_stream(_frames444(W, H, 6), W, H, qp=32,
                                   ctb_log2=6, seed=0,
-                                  chroma_format_idc=3)
+                                  chroma_format_idc=3, wpp=True)
     return data
 
 
 def gen_shvc():
     from openhevc_tpu.encoder.shvc_enc import encode_shvc_stream
-    data, _ = encode_shvc_stream(_frames(416, 240, 6),
-                                 _frames(832, 480, 6),
+    # 12 frames: one-time costs (IL plan upload, first-fetch window)
+    # amortize as in a real stream
+    data, _ = encode_shvc_stream(_frames(416, 240, 12),
+                                 _frames(832, 480, 12),
                                  (416, 240), (832, 480), qp=32,
                                  ctb_log2=6, seed=0)
     return data
@@ -131,7 +137,7 @@ CONFIGS = [
     ("ra_main_1080p", gen_ra_main, "single", 9),
     ("main10_4k", gen_main10_4k, "single", 3),
     ("rext_444_832x480", gen_rext444, "single", 6),
-    ("shvc_2layer_832x480", gen_shvc, "shvc", 6),
+    ("shvc_2layer_832x480", gen_shvc, "shvc", 12),
     ("ra_tiles_1080p", gen_ra_tiles, "single", 9),
 ]
 

@@ -54,9 +54,10 @@ def main(argv=None):
     dec.start()
     # MP4/MOV input: extract the HEVC track (mov.c role); MPEG-TS:
     # PAT/PMT/PES walk (mpegts.c role); Matroska: EBML track walk
-    # (matroskadec.c role)
+    # (matroskadec.c role); Ogg: page/lacing walk (oggdec.c role)
     from openhevc_tpu.container import (is_mp4, demux_mp4, is_ts,
-                                        demux_ts, is_mkv, demux_mkv)
+                                        demux_ts, is_mkv, demux_mkv,
+                                        is_ogg, demux_ogg)
     if is_mp4(data):
         hvcc, samples, _nls = demux_mp4(data)
         dec.copy_extradata(hvcc)
@@ -65,6 +66,10 @@ def main(argv=None):
         data = demux_ts(data)
     elif is_mkv(data):
         hvcc, samples, _nls = demux_mkv(data)
+        dec.copy_extradata(hvcc)
+        data = b"".join(samples)
+    elif is_ogg(data):
+        hvcc, samples, _nls = demux_ogg(data)
         dec.copy_extradata(hvcc)
         data = b"".join(samples)
 

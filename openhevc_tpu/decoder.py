@@ -68,7 +68,8 @@ class Decoder:
     def __init__(self, engine: str = "np", native_parse: bool | None = None,
                  layer: int = 0, mesh=None, wave_depth: int | None = None,
                  temporal_layer: int | None = None, strict: bool = False,
-                 nb_threads: int | None = None, thread_type: int = 3):
+                 nb_threads: int | None = None, thread_type: int = 3,
+                 config=None):
         """engine: 'np' (scalar oracle) or 'jax' (TPU pipeline).
         native_parse: host parse via native/libhevcparse.so (default: auto,
         falls back to the Python parser if the build is unavailable).
@@ -78,17 +79,29 @@ class Decoder:
         pictures batch into waves reconstructed by ONE sharded dispatch
         (parallel/mesh.py, the pthread_frame.c:325 analogue).
         wave_depth: max pictures per wave (default: the mesh's frame
-        axis size)."""
+        axis size).
+        config: DecoderConfig — the single typed knob home (SURVEY §5);
+        keyword arguments above override its fields for compatibility."""
+        from .config import DecoderConfig
+        if config is None:
+            config = DecoderConfig.from_env(
+                engine=engine, nb_threads=nb_threads,
+                thread_type=thread_type, temporal_layer=temporal_layer,
+                strict=strict, mesh=mesh, wave_depth=wave_depth)
+        self.config = config
+        engine = config.engine
+        mesh = config.mesh
+        wave_depth = config.wave_depth
         self.engine = engine
         self.layer = layer
         self.mesh = mesh
         # sub-layer selection: VCL NALs with temporal_id above this are
         # dropped before parse (the AVOption "temporal-layer-id",
         # openHevcWrapper.c:442 -> hevc.c decode_nal_unit gating)
-        self.temporal_layer = temporal_layer
+        self.temporal_layer = config.temporal_layer
         # AV_EF_EXPLODE analogue (hevc.c:3497): raise on damage that the
         # default mode conceals (missing references, parse fallbacks)
-        self.strict = strict
+        self.strict = config.strict
         self._wave_sched = None         # WaveScheduler (mesh wave path)
         self._wave_depth = wave_depth
         self._mesh_dec = None
@@ -125,30 +138,15 @@ class Decoder:
         self._parse_executor = None
         # parse-ahead queue (depth>1 keeps the native-parse worker fed
         # while the main thread packs/dispatches; col-motion inputs of
-        # queued jobs resolve lazily inside the FIFO worker)
-        import os as _os
+        # queued jobs resolve lazily inside the FIFO worker).
+        # Threading knobs resolve in DecoderConfig (openHevcWrapper.c:
+        # 80-87: 1=frame -> parse-ahead depth, 2=slice/wpp -> native
+        # substream workers, else both). Instance-local — two decoders
+        # with different knobs in one process must not share state.
         from collections import deque
         self._parse_q = deque()
         self._parse_futs = {}
-        self._parse_depth = max(1, int(_os.environ.get(
-            "OPENHEVC_PARSE_AHEAD", "2")))
-        # threading knobs (openHevcWrapper.c:80-87: 1=frame 2=slice/wpp
-        # else frameslice): "frame" threading maps to the parse-ahead
-        # pipeline depth, "slice" to the native substream worker count
-        # (threaded WPP/tile parse). Instance-local — two decoders with
-        # different knobs in one process must not share state.
-        self._parse_threads = 0          # 0 = native auto/env default
-        if nb_threads is not None and nb_threads >= 1:
-            n = int(min(nb_threads, 8))
-            if thread_type == 1:          # frame only
-                self._parse_depth = max(1, n)
-                self._parse_threads = 1
-            elif thread_type == 2:        # slice/wpp only
-                self._parse_depth = 1
-                self._parse_threads = n
-            else:                         # frameslice: both
-                self._parse_depth = max(2, min(n, 4))
-                self._parse_threads = n
+        self._parse_depth, self._parse_threads = config.resolved_threads()
         from .utils.log import StageTimers
         self.timers = StageTimers()   # per-frame parse/pack/… tracing
         # parse-path accounting: how many slice segments took the native
@@ -779,6 +777,13 @@ class Decoder:
             self._jax_engine = JaxEngine()
             if getattr(self, "_no_output_fetch", False):
                 self._jax_engine.fetch_outputs = False
+            c = self.config
+            if c.fetch_batch is not None:
+                self._jax_engine._fetch_pool.MIN_BATCH = c.fetch_batch
+            if c.fetch_wait_s is not None:
+                self._jax_engine._fetch_pool.BATCH_WAIT_S = c.fetch_wait_s
+            if c.pack_output is not None:
+                self._jax_engine.pack_output = c.pack_output
         return self._jax_engine.reconstruct(fs, ref_planes=refs)
 
     def _sps_for(self, rbsp, nal_type):
@@ -852,11 +857,11 @@ class ShvcDecoder:
     picture of the same POC."""
 
     def __init__(self, engine: str = "np", nb_threads: int | None = None,
-                 thread_type: int = 3):
+                 thread_type: int = 3, config=None):
         self.bl = Decoder(engine, nb_threads=nb_threads,
-                          thread_type=thread_type)
+                          thread_type=thread_type, config=config)
         self.el = Decoder(engine, layer=1, nb_threads=nb_threads,
-                          thread_type=thread_type)
+                          thread_type=thread_type, config=config)
         self.el.shvc_bl = self.bl
         # BL pictures are never displayed (the wrapper outputs the
         # highest got_picture layer, openHevcWrapper.c:144): keep them

@@ -289,6 +289,61 @@ def _pack_from_raw(fs: FrameSymbols):
     return res, {"stacked": stacked, "order": order}, n_levels
 
 
+def motion_diff2(pf4, slot, mv):
+    """Lossless sparse encoding of the dense per-4x4 motion grids for
+    the H2D wire: the 2-D second difference of a piecewise-constant-
+    on-PU-rectangles field is nonzero only at PU corners, so the seven
+    fields (pf, slot0/1, mv l0/l1 x/y) ship as (flat index, 7 x int16)
+    pairs — ~18 B per corner instead of ~18 B per 4x4 block (the dense
+    grids are ~2.4 MB per 1080p frame and dominated ra_main's wire
+    budget). Device inverse: scatter + two int32 cumsums + int16 wrap
+    (_motion_grids_dev). Wrapping int16 diffs are exact under mod-2^16
+    arithmetic."""
+    h4, w4 = pf4.shape
+    F = np.empty((7, h4, w4), np.int16)
+    F[0] = pf4
+    F[1] = slot[0]
+    F[2] = slot[1]
+    F[3] = mv[:, :, 0, 0]
+    F[4] = mv[:, :, 0, 1]
+    F[5] = mv[:, :, 1, 0]
+    F[6] = mv[:, :, 1, 1]
+    D = F.copy()
+    D[:, 1:, :] -= F[:, :-1, :]
+    D2 = D.copy()
+    D2[:, :, 1:] -= D[:, :, :-1]
+    flat = D2.reshape(7, -1)
+    nz = np.nonzero(np.any(flat != 0, axis=0))[0]
+    n = len(nz)
+    # VERY coarse caps: every cap is a distinct _inter_prefill program
+    # and program loads cost ~10s+ over the tunneled runtime
+    for cap in (4096, 16384, 65536):
+        if n <= cap:
+            break
+    else:
+        cap = _round_up(n, 65536)
+    idx = np.full(cap, 1 << 30, np.int32)      # padding -> dropped
+    idx[:n] = nz
+    vals = np.zeros((cap, 7), np.int16)
+    vals[:n] = flat[:, nz].T
+    return dict(idx=idx, vals=vals, h4=h4, w4=w4)
+
+
+def _motion_grids_dev(midx, mvals, h4: int, w4: int):
+    """Device inverse of motion_diff2: (pf4 [h4,w4], mv [h4,w4,2,2],
+    slot [2,h4,w4]) int32 grids."""
+    G = jnp.zeros((7, h4 * w4), jnp.int32).at[:, midx].set(
+        mvals.T.astype(jnp.int32), mode="drop")
+    G = jnp.cumsum(G.reshape(7, h4, w4), axis=1)
+    G = jnp.cumsum(G, axis=2)
+    G = ((G + (1 << 15)) & 0xFFFF) - (1 << 15)   # int16 wrap = exact
+    pf4 = G[0]
+    slot = G[1:3]
+    mv = jnp.stack([jnp.stack([G[3], G[4]], axis=-1),
+                    jnp.stack([G[5], G[6]], axis=-1)], axis=-2)
+    return pf4, mv, slot
+
+
 def weight_grids(fs):
     """Per-4x4 weighted-prediction grids from ref_idx: {wg, og
     [2, 3, h4, w4] int16, denoms (luma, chroma)} — the weighted uni/bi
@@ -361,6 +416,8 @@ class JaxEngine:
         # False for decoders whose outputs are never displayed (SHVC
         # base layer): skips the background D2H output fetch
         self.fetch_outputs = True
+        # DecoderConfig.pack_output override (None = env/default)
+        self.pack_output = None
         import os as _osd
         # debug: block after each device stage and record wall times
         self._sync_debug = _osd.environ.get("OPENHEVC_SYNC_TIMERS") == "1"
@@ -607,16 +664,16 @@ class JaxEngine:
                     wt_dev = (jnp.asarray(wt["wg"]), jnp.asarray(wt["og"]))
                     denoms = tuple(wt["denoms"])
                     self.wire.h2d(wt["wg"].nbytes + wt["og"].nbytes)
-                self.wire.h2d(inter["pf4"].nbytes + inter["mv"].nbytes +
-                              inter["slot"].nbytes)
+                md = inter["md"]
+                self.wire.h2d(md["idx"].nbytes + md["vals"].nbytes)
                 luma, chroma = _inter_prefill(
                     dev_arenas[0], dev_arenas[1], dev_arenas[2],
-                    jnp.asarray(inter["pf4"]), jnp.asarray(inter["mv"]),
-                    jnp.asarray(inter["slot"]),
+                    jnp.asarray(md["idx"]), jnp.asarray(md["vals"]),
                     inter["hf"][0], inter["hf"][1], inter["hf"][2],
                     wt=wt_dev, ccp=ccp_dev, caps=caps, H=H, W=W,
                     Hc=Hc, Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc, bd=bd,
-                    hs=hs, vs=vs, denoms=denoms,
+                    hs=hs, vs=vs, h4=md["h4"], w4=md["w4"],
+                    denoms=denoms,
                     pairs=inter.get("pairs", False))
                 self._dbg("inter_prefill", (luma, chroma))
             else:
@@ -704,7 +761,7 @@ class JaxEngine:
         # form is a separate device array so `flat` stays the
         # device-resident DPB entry. OPENHEVC_PACK_OUTPUT=0 disables
         # (PCIe hosts where the unpack CPU cost outweighs wire savings).
-        packed = _maybe_pack_out(flat, bd)
+        packed = _maybe_pack_out(flat, bd, self.pack_output)
         if self.fetch_outputs:
             lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool,
                             wire=self.wire, packed=packed, bd=bd)
@@ -758,6 +815,7 @@ class JaxEngine:
         hf = {c: self._hf_stack(pocs, ref_planes, c, bd, pairs=pairs)
               for c in range(3)}
         out = dict(pf4=pf4, mv=mv, slot=slot, hf=hf, pairs=pairs)
+        out["md"] = motion_diff2(pf4, slot, mv)
         wt = weight_grids(fs)
         if wt is not None:
             out["wt"] = wt
@@ -975,13 +1033,16 @@ def _pack_bits_dev(flat, k):
     return jnp.concatenate([lo, acc])
 
 
-def _maybe_pack_out(flat, bd):
+def _maybe_pack_out(flat, bd, enabled=None):
     """Device bit-packed wire form of a >8-bit flat output, or None
-    when packing is off / not applicable."""
+    when packing is off / not applicable. enabled: DecoderConfig
+    override (None = OPENHEVC_PACK_OUTPUT env, default on)."""
     k = bd - 8
     if k not in (1, 2, 4) or flat.dtype != jnp.uint16:
         return None
-    if os.environ.get("OPENHEVC_PACK_OUTPUT", "1") != "1":
+    if enabled is None:
+        enabled = os.environ.get("OPENHEVC_PACK_OUTPUT", "1") == "1"
+    if not enabled:
         return None
     return _pack_bits_dev(flat, k)
 
@@ -1062,7 +1123,9 @@ class LazyPlanes:
         if self._packed is not None:
             host = _unpack_out(host, H * W + 2 * Hc * Wc, self._bd)
             self._packed = None
-        host = host.astype(np.int32)
+        # keep the wire dtype (uint8/uint16): the splits are views, so
+        # materialization costs zero host copies — every consumer
+        # (filters, MC upload, hashing) widens for itself
         self._mat = [host[:H * W].reshape(H, W),
                      host[H * W:H * W + Hc * Wc].reshape(Hc, Wc),
                      host[H * W + Hc * Wc:].reshape(Hc, Wc)]
@@ -1295,17 +1358,20 @@ def _residual_acc(arena4, arena16, escs, *, caps, H, W, Hc, Wc, bd):
 
 @partial(jax.jit, static_argnames=("caps", "H", "W", "Hc", "Wc",
                                    "hl", "wl", "hc", "wc", "bd",
-                                   "hs", "vs", "denoms", "pairs"))
-def _inter_prefill(arena4, arena16, escs, pf4, mv, slot, hf0, hf1, hf2,
+                                   "hs", "vs", "denoms", "pairs",
+                                   "h4", "w4"))
+def _inter_prefill(arena4, arena16, escs, midx, mvals, hf0, hf1, hf2,
                    wt=None, ccp=None, *, caps, H, W, Hc, Wc, hl, wl, hc,
-                   wc, bd, hs, vs, denoms=None, pairs=False):
+                   wc, bd, hs, vs, h4, w4, denoms=None, pairs=False):
     """Device-side inter-prediction prefill for the fused frame path:
     residual assembly from the (shared) nibble arena + two-stage MC from
     the DEVICE-RESIDENT stage-1 stacks + uni/bi (weighted) combine.
     Returns (luma [hl, wl], chroma [2, hc, wc]) int32 padded buffers
     ready to hand to _frame_fused as its prefill — intra pixels are 0.
     Nothing frame-sized crosses the host wire: uploads are the arenas,
-    the [h4, w4] motion grids and (when weighted) the weight grids.
+    the sparse PU-corner motion deltas (motion_diff2 — the dense
+    [h4, w4] grids rebuild here via cumsum) and (when weighted) the
+    weight grids.
 
     Parity: luma_mc_uni/bi + chroma_mc_uni/bi (hevc.c:1641-1949) with
     put_hevc_qpel/epel + weighted combine (hevcdsp_template.c)."""
@@ -1313,6 +1379,7 @@ def _inter_prefill(arena4, arena16, escs, pf4, mv, slot, hf0, hf1, hf2,
                                  H=H, W=W, Hc=Hc, Wc=Wc, bd=bd)
     if ccp is not None and acc_l is not None:
         acc_c = _apply_ccp(acc_l, acc_c, ccp, Hc, Wc)
+    pf4, mv, slot = _motion_grids_dev(midx, mvals, h4, w4)
     return _prefill_from_acc(acc_l, acc_c, pf4, mv, slot,
                              (hf0, hf1, hf2), wt, H=H, W=W, Hc=Hc,
                              Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc, bd=bd,

@@ -349,3 +349,60 @@ def test_ts_multipacket_psi_and_pes_header():
         b"\xff" * hdr_len + es
     out += _ts_packets(HEVC_PID, pes, cc, True)
     assert demux_ts(bytes(out)) == es
+
+
+def test_ogg_roundtrip(tmp_path):
+    """Ogg page layer (container/ogg.py, the oggdec.c role): BOS
+    mapping + lacing + CRC round-trip, incl. packets larger than one
+    page's lacing capacity and a corrupt-page resync; decode + CLI."""
+    from openhevc_tpu.container import mux_ogg, demux_ogg, is_ogg
+    from openhevc_tpu.container.mp4 import (make_hvcc,
+                                            annexb_to_length_prefixed)
+    from openhevc_tpu.bitstream.au_parser import AuParser
+    from openhevc_tpu.decoder import Decoder, split_nals
+    rng = np.random.default_rng(201)
+    W, H = 64, 64
+    frames = make_frames(W, H, 3, rng)
+    data, recons = encode_intra_stream(frames, W, H, qp=30, ctb_log2=4,
+                                       seed=201)
+    p = AuParser()
+    aus = p.feed(data) + p.flush()
+    ps = {t: n for n in split_nals(aus[0]) if
+          (t := (n[0] >> 1) & 0x3F) in (32, 33, 34)}
+    hvcc = make_hvcc(ps[32], ps[33], ps[34])
+    samples = [annexb_to_length_prefixed(au) for au in aus]
+    ogg = mux_ogg(samples, hvcc)
+    assert is_ogg(ogg) and not is_ogg(data)
+    hvcc2, samples2, nls = demux_ogg(ogg)
+    assert hvcc2 == hvcc and samples2 == samples and nls == 4
+    # corrupt one page body byte: that page's packet drops, stream
+    # still demuxes (CRC resync, oggdec.c behavior)
+    bad = bytearray(ogg)
+    off = ogg.find(samples[1][:8])
+    bad[off] ^= 0xFF
+    _h, s_bad, _n = demux_ogg(bytes(bad))
+    assert len(s_bad) < len(samples)
+    # big packet: laced over many 255-segments
+    big = bytes(rng.integers(0, 256, 70000, dtype=np.uint8))
+    _h, s_big, _n = demux_ogg(mux_ogg([big], hvcc))
+    assert s_big == [big]
+    d = Decoder("np")
+    d.set_extradata(hvcc2)
+    pics = []
+    for s in samples2:
+        pics += d.decode(s)
+    pics += d.flush()
+    assert len(pics) == 3
+    for i, pic in enumerate(pics):
+        for p_, (got, want) in enumerate(zip(pic.cropped(), recons[i])):
+            assert np.array_equal(got, want), (i, p_)
+    f = tmp_path / "t.ogg"
+    f.write_bytes(ogg)
+    out = tmp_path / "o.yuv"
+    r = subprocess.run([sys.executable, "-m", "openhevc_tpu", "-i", str(f),
+                        "-o", str(out), "-e", "np", "-c"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    want = b"".join(np.asarray(pl, np.uint8).tobytes()
+                    for rec in recons for pl in rec)
+    assert out.read_bytes() == want

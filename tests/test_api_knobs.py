@@ -125,3 +125,34 @@ def test_strict_mode_raises_on_missing_ref(rng):
     with pytest.raises(DecodeError):
         d.decode(damaged)
         d.flush()
+
+
+def test_decoder_config_dataclass():
+    """DecoderConfig is the single typed knob home (SURVEY §5);
+    constructor kwargs keep working and resolve through it."""
+    from openhevc_tpu.config import DecoderConfig
+    from openhevc_tpu.decoder import Decoder, ShvcDecoder
+    c = DecoderConfig(engine="np", nb_threads=4, thread_type=2,
+                      temporal_layer=1, strict=True)
+    d = Decoder(config=c)
+    assert d.engine == "np" and d.temporal_layer == 1 and d.strict
+    assert d._parse_depth == 1 and d._parse_threads == 4
+    # kwargs path resolves identically
+    d2 = Decoder("np", nb_threads=4, thread_type=2, temporal_layer=1,
+                 strict=True)
+    assert (d2._parse_depth, d2._parse_threads) == (1, 4)
+    # direct overrides win over nb_threads derivation
+    c3 = DecoderConfig(engine="np", nb_threads=4, thread_type=2,
+                       parse_ahead=3, parse_threads=2)
+    assert c3.resolved_threads() == (3, 2)
+    s = ShvcDecoder(config=DecoderConfig(engine="np"))
+    assert s.bl.engine == "np" and s.el.layer == 1
+
+
+def test_decoder_config_env(monkeypatch):
+    from openhevc_tpu.config import DecoderConfig
+    monkeypatch.setenv("OPENHEVC_PARSE_AHEAD", "5")
+    monkeypatch.setenv("OPENHEVC_FETCH_BATCH", "3")
+    c = DecoderConfig.from_env(engine="np")
+    assert c.parse_ahead == 5 and c.fetch_batch == 3
+    assert c.resolved_threads()[0] == 5
