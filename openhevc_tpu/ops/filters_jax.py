@@ -360,6 +360,11 @@ def prep_filters(fs):
                 off += getattr(fs, "slice_cb_qp_offset", 0)
             else:
                 off += getattr(fs, "slice_cr_qp_offset", 0)
+            # per-qp LUT (np.vectorize over chroma_qp ran at python
+            # rate, ~10 ms/frame on 4:4:4); domain covers negative
+            # average QPs (high-bit-depth offsets)
+            qlut = np.array([chroma_qp(q, off, sps.chroma_format_idc, 0)
+                             for q in range(-32, 64)], np.int32)
             tcv = np.zeros((hc4, wc8), np.int16)
             if wc8 > 1:
                 # chroma seg (cy4, cx8): luma edge x8=cx8<<hs, y4=cy4<<vs
@@ -367,9 +372,7 @@ def prep_filters(fs):
                 bs = vbs[cy4 << vs, cx8 << hs]
                 qp_l = (qp4[cy4 << vs, (cx8 << hs) * 2 - 1] +
                         qp4[cy4 << vs, (cx8 << hs) * 2] + 1) >> 1
-                qpc = np.vectorize(
-                    lambda q: chroma_qp(int(q), off,
-                                        sps.chroma_format_idc, 0))(qp_l)
+                qpc = qlut[np.clip(qp_l, -32, 63) + 32]
                 tc = TC_TABLE[np.clip(qpc + 2 + to, 0, 53)] << (bdc - 8)
                 tcv[:, 1:] = np.where(bs == 2, tc, 0)
             tch = np.zeros((hc8, wc4), np.int16)
@@ -378,9 +381,7 @@ def prep_filters(fs):
                 bs = hbs[cy8 << vs, cx4 << hs]
                 qp_l = (qp4[(cy8 << vs) * 2 - 1, cx4 << hs] +
                         qp4[(cy8 << vs) * 2, cx4 << hs] + 1) >> 1
-                qpc = np.vectorize(
-                    lambda q: chroma_qp(int(q), off,
-                                        sps.chroma_format_idc, 0))(qp_l)
+                qpc = qlut[np.clip(qp_l, -32, 63) + 32]
                 tc = TC_TABLE[np.clip(qpc + 2 + to, 0, 53)] << (bdc - 8)
                 tch[1:] = np.where(bs == 2, tc, 0)
             out[f"tc_cv{c_idx}"] = tcv

@@ -226,14 +226,15 @@ def test_inter_prefill_matches_legacy_path(weighted):
             denoms = tuple(wt["denoms"])
         if weighted:
             assert wt is not None, "expected weighted-pred stream"
+        md = inter["md"]
         luma, chroma = _inter_prefill(
             jnp.asarray(arena4), jnp.asarray(arena16), jnp.asarray(escs),
-            jnp.asarray(inter["pf4"]), jnp.asarray(inter["mv"]),
-            jnp.asarray(inter["slot"]),
+            jnp.asarray(md["idx"]), jnp.asarray(md["vals"]),
             inter["hf"][0], inter["hf"][1], inter["hf"][2],
             wt=wt_dev, caps=caps, H=H, W=W, Hc=Hc, Wc=Wc,
             hl=hl, wl=wl, hc=hc, wc=wc, bd=sps.bit_depth,
-            hs=sps.hshift1, vs=sps.vshift1, denoms=denoms,
+            hs=sps.hshift1, vs=sps.vshift1,
+            h4=md["h4"], w4=md["w4"], denoms=denoms,
             pairs=inter.get("pairs", False))
         pf = pack_frame(fs)
         pf.inter = inter
