@@ -413,6 +413,15 @@ class JaxEngine:
         self._cache = {}
         self._fetch_pool = FetchPool()
         self.wire = WireStats()
+        # high-water-mark static layout (caps per size + intra-meta npad):
+        # every distinct (caps, npad) tuple is a separate XLA program and
+        # remote compiles cost ~60-90 s each on the tunneled runtime —
+        # without the HWM a 1080p hierarchical-B stream produced 13
+        # distinct _inter_prefill programs in 16 frames (r04 probe).
+        # Padding rows are nibble-cheap on the wire; signatures stabilize
+        # after the first few frames.
+        self._cap_hwm = None
+        self._npad_hwm = 0
         # False for decoders whose outputs are never displayed (SHVC
         # base layer): skips the background D2H output fetch
         self.fetch_outputs = True
@@ -461,6 +470,69 @@ class JaxEngine:
             self.sync_times[name + "_n"] = \
                 self.sync_times.get(name + "_n", 0) + 1
         return x
+
+    def _stabilize_caps(self, arena4, arena16, escs, caps):
+        """Repad the packed residual arenas to this engine's high-water
+        -mark layout so the (static) caps tuple — and with it the
+        _inter_prefill/_frame_fused jit signature — stabilizes after the
+        first few frames of a stream. Padding convention mirrors the
+        packers exactly: 0x88 nibble bytes (biased zero levels), FAR
+        coords with qpf 0 sideband rows, (-1, -1) escape pairs (all
+        dropped on device). Scaling-list sidebands (has_sm) vary the
+        layout per frame legitimately — bypass."""
+        if any(c[2] for c in caps):
+            return arena4, arena16, escs, caps
+        hwm = self._cap_hwm
+        if hwm is None:
+            hwm = self._cap_hwm = [[0, 0] for _ in caps]
+        new = []
+        grow = False
+        for i, (s, cap, _sm, n_esc) in enumerate(caps):
+            hwm[i][0] = max(hwm[i][0], cap)
+            hwm[i][1] = max(hwm[i][1], n_esc)
+            new.append((s, hwm[i][0], 0, hwm[i][1]))
+            grow |= (hwm[i][0] != cap or hwm[i][1] != n_esc)
+        new = tuple(new)
+        if not grow:
+            return arena4, arena16, escs, new
+        p4, p16, pe = [], [], []
+        off8 = off = eoff = 0
+        for (s, cap, _sm, n_esc), (_s2, cap2, _s3, esc2) in zip(caps, new):
+            nb = s * s // 2                      # nibble bytes per block
+            if cap:
+                p4.append(arena4[off8:off8 + cap * nb])
+                off8 += cap * nb
+            if cap2 != cap:
+                p4.append(np.full((cap2 - cap) * nb, 0x88, np.uint8))
+            for f in range(3):                   # bx, by, qpf segments
+                if cap:
+                    p16.append(arena16[off:off + cap])
+                    off += cap
+                if cap2 != cap:
+                    p16.append(np.full(cap2 - cap,
+                                       FAR if f < 2 else 0, np.int16))
+            if n_esc:
+                pe.append(escs[eoff * 2:(eoff + n_esc) * 2])
+                eoff += n_esc
+            if esc2 != n_esc:
+                pe.append(np.full((esc2 - n_esc) * 2, -1, np.int32))
+        arena4 = np.concatenate(p4) if p4 else np.zeros(1, np.uint8)
+        arena16 = np.concatenate(p16) if p16 else np.zeros(1, np.int16)
+        escs = np.concatenate(pe) if pe else np.zeros(2, np.int32)
+        return arena4, arena16, escs, new
+
+    def _stabilize_npad(self, meta, npad):
+        """Same idea for the intra-meta bucket width (zero rows are the
+        packers' padding convention; the kernel bounds work by the
+        dynamic count nn)."""
+        if npad < self._npad_hwm:
+            meta = np.concatenate(
+                [meta, np.zeros((8, self._npad_hwm - npad), meta.dtype)],
+                axis=1)
+            npad = self._npad_hwm
+        else:
+            self._npad_hwm = npad
+        return meta, npad
 
     def _ref_plane_dev(self, planes_obj, c, bd):
         """Plane c of a reference picture as a DEVICE int32 array.
@@ -639,6 +711,8 @@ class JaxEngine:
                                            np_["esc"], np_["caps"])
         else:
             arena4, arena16, escs, caps = _pack_arena(_res_buckets(fs))
+        arena4, arena16, escs, caps = self._stabilize_caps(
+            arena4, arena16, escs, caps)
 
         # ---- base planes (PCM prefill; inter prediction if present) -------
         prefill = True
@@ -717,6 +791,7 @@ class JaxEngine:
             if npad != n:
                 meta = np.concatenate(
                     [meta, np.zeros((8, npad - n), meta.dtype)], axis=1)
+        meta, npad = self._stabilize_npad(meta, npad)
         bounds = None
         if banded is not None:
             meta, bounds = sort_meta_by_band(meta, n, banded[0], vs,
