@@ -125,14 +125,13 @@ def _ptr(arr):
 
 
 def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
-    """Call hevc_pack_frame: per-size residual arenas (4-bit nibble
-    levels, 3-int16-per-block sideband) + [8, npad] intra meta in the
-    exact _frame_fused upload layout (no scaling lists)."""
-    # geometric buckets pad caps by up to 50% (+ the 256-block base per
-    # size class) — size the arenas for that worst case
-    a4 = np.empty((o.lvl_used + o.lvl_used // 2 +
-                   512 * (16 + 64 + 256 + 1024)) // 2 + 64, np.uint8)
-    a16 = np.empty(3 * (o.n_cb + o.n_cb // 2) + 3 * 4 * 528 + 16,
+    """Call hevc_pack_frame: per-size residual payload arena (v2
+    scan-prefix nibble/byte format, 4-int16-per-block sideband) +
+    [8, npad] intra meta in the exact _frame_fused upload layout (no
+    scaling lists)."""
+    # worst case payload: one byte per level cell (byte mode)
+    a4 = np.empty(o.lvl_used + 64, np.uint8)
+    a16 = np.empty(4 * (o.n_cb + o.n_cb // 2) + 4 * 4 * 528 + 16,
                    np.int16)
     npad = 1024
     while npad < o.n_ij:
@@ -158,8 +157,21 @@ def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
         if esc_cap > (o.lvl_used + 1) * 4:
             raise ValueError("native frame pack failed")
         esc_cap *= 8
+    # tail-pad the payload to the same geometric byte bucket as
+    # _pack_arena (the arena LENGTH is part of the static jit layout)
+    def _round_bucket(n, base):
+        if n <= base:
+            return base
+        p = base
+        while p < n:
+            p <<= 1
+        mid = (p >> 1) + (p >> 2)
+        return mid if n <= mid else p
+
+    pay = np.zeros(_round_bucket(max(int(used[0]), 1), 4096), np.uint8)
+    pay[:used[0]] = a4[:used[0]]
     return dict(
-        arena4=a4[:used[0]] if used[0] else np.zeros(1, np.uint8),
+        arena4=pay,
         arena16=a16[:used[1]] if used[1] else np.zeros(1, np.int16),
         esc=esc[:used[2]] if used[2] else np.zeros(2, np.int32),
         caps=tuple(tuple(int(v) for v in caps[i * 4:(i + 1) * 4])

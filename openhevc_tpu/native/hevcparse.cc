@@ -2409,7 +2409,7 @@ int hevc_parse_picture(int n_seg, const uint8_t* const* rbsps,
     return 0;
 }
 
-int hevc_parse_abi_version() { return 3; }
+int hevc_parse_abi_version() { return 4; }
 
 // ---------------------------------------------------------------------------
 // Frame packing: convert the parse outputs (cb_meta/cb_levels decode-order
@@ -2446,6 +2446,43 @@ static int32_t round_bucket(int32_t n, int32_t base) {
     return (n <= mid) ? mid : p;
 }
 
+// Raster index of scan position i for the size-class si TU (up-right
+// diagonal 4x4 coefficient groups, diagonal within each group — the
+// ops/coeff_scan.py tables, mirrored). Built once.
+static const int32_t* pack_scan_lut(int si) {
+    static int32_t luts[4][1024];
+    static bool init = false;
+    if (!init) {
+        for (int c = 0; c < 4; c++) {
+            const int sz = PACK_SIZES[c];
+            const int ncg = sz / 4;
+            int cgx[64], cgy[64], ix[16], iy[16];
+            // up-right diagonal order over an n x n grid
+            for (int pass = 0; pass < 2; pass++) {
+                const int n = pass ? 4 : ncg;
+                int* xs = pass ? ix : cgx;
+                int* ys = pass ? iy : cgy;
+                int cnt = 0, x = 0, y = 0;
+                while (cnt < n * n) {
+                    while (y >= 0) {
+                        if (x < n && y < n) { xs[cnt] = x; ys[cnt] = y;
+                                              cnt++; }
+                        y--; x++;
+                    }
+                    y = x; x = 0;
+                }
+            }
+            int i = 0;
+            for (int g = 0; g < ncg * ncg; g++)
+                for (int j = 0; j < 16; j++)
+                    luts[c][i++] = (cgy[g] * 4 + iy[j]) * sz +
+                                   cgx[g] * 4 + ix[j];
+        }
+        init = true;
+    }
+    return luts[si];
+}
+
 int hevc_pack_frame(
         const int32_t* cb_meta, int32_t n_cb, const int16_t* cb_levels,
         const int32_t* ij_meta, const uint8_t* ij_avail, int32_t n_ij,
@@ -2456,11 +2493,16 @@ int hevc_pack_frame(
         int16_t* meta, int32_t meta_cap,
         int32_t* caps_out, int32_t* used_out) {
     (void)strong_smoothing;   // derived on device now
-    // ---- residual buckets ---------------------------------------------
-    int32_t o4 = 0, o16 = 0, oe = 0;   // o4 counts LEVELS (2 per byte)
+    // ---- residual buckets (v2 scan-prefix payload format) -------------
+    // Per TU ship only the scan-order prefix up to the last significant
+    // coefficient, as biased nibbles (+ escapes) or biased bytes —
+    // whichever is fewer bytes. Sideband: bx, by, qpf, cnt|mode<<12.
+    // Mirrors models/pipeline.py::_pack_arena byte-for-byte.
+    int32_t o4 = 0, o16 = 0, oe = 0;   // o4 = payload BYTES
     for (int si = 0; si < 4; si++) {
         const int s = PACK_SIZES[si];
         const int log2s = 2 + si, ss = s * s;
+        const int32_t* scan = pack_scan_lut(si);
         // bucket-local selection (decode order preserved)
         int n = 0;
         for (int i = 0; i < n_cb; i++) n += (cb_meta[i * 8 + 3] == log2s);
@@ -2472,45 +2514,70 @@ int hevc_pack_frame(
             continue;
         }
         const int cap = round_bucket(n, 256);
-        if ((o4 + cap * ss) / 2 > arena4_cap || o16 + 3 * cap > arena16_cap)
-            return -1;
-        uint8_t* lv4 = arena4 + o4 / 2;
+        if (o16 + 4 * cap > arena16_cap) return -1;
         int16_t* bx = arena16 + o16;
         int16_t* by = bx + cap;
         int16_t* qf = by + cap;
+        int16_t* cw = qf + cap;
         int esc_start = oe;
         int j = 0;
         for (int i = 0; i < n_cb; i++) {
             const int32_t* m = cb_meta + i * 8;
             if (m[3] != log2s) continue;
             const int16_t* src = cb_levels + m[6];
-            uint8_t* dst = lv4 + j * (ss / 2);
-            if (m[7] <= 7) {
-                // escape-free (max |level| from parse): pure nibble pack
-                for (int k = 0; k < ss; k += 2)
-                    dst[k >> 1] = (uint8_t)((src[k] + 8) |
-                                            ((src[k + 1] + 8) << 4));
+            // last significant coefficient in scan order
+            int cnt = 0;
+            for (int k = ss - 1; k >= 0; k--)
+                if (src[scan[k]] != 0) { cnt = k + 1; break; }
+            // mode choice by exact byte cost (escapes are 8 B each)
+            int byte_mode = 0;
+            if (m[7] > 7) {            // max |level| from parse
+                int e7 = 0, e127 = 0;
+                for (int k = 0; k < cnt; k++) {
+                    const int v = src[scan[k]];
+                    e7 += (v < -8) | (v > 7);
+                    e127 += (v < -128) | (v > 127);
+                }
+                byte_mode = (cnt + 8 * e127) < ((cnt + 1) / 2 + 8 * e7);
+            }
+            const int plen = byte_mode ? cnt : (cnt + 1) / 2;
+            if (o4 + plen > arena4_cap) return -1;
+            uint8_t* dst = arena4 + o4;
+            const int base = j * ss;
+            if (byte_mode) {
+                for (int k = 0; k < cnt; k++) {
+                    const int v = src[scan[k]];
+                    const int c = v < -128 ? -128 : (v > 127 ? 127 : v);
+                    dst[k] = (uint8_t)(c + 128);
+                    if (v != c) {
+                        if (oe + 2 > esc_cap) return -1;
+                        esc[oe++] = base + scan[k];
+                        esc[oe++] = v - c;
+                    }
+                }
             } else {
-                const int base = j * ss;
-                for (int k = 0; k < ss; k += 2) {
-                    int v0 = src[k], v1 = src[k + 1];
-                    int c0 = v0 < -8 ? -8 : (v0 > 7 ? 7 : v0);
-                    int c1 = v1 < -8 ? -8 : (v1 > 7 ? 7 : v1);
+                for (int k = 0; k < cnt; k += 2) {
+                    const int v0 = src[scan[k]];
+                    const int v1 = (k + 1 < cnt) ? src[scan[k + 1]] : 0;
+                    const int c0 = v0 < -8 ? -8 : (v0 > 7 ? 7 : v0);
+                    const int c1 = v1 < -8 ? -8 : (v1 > 7 ? 7 : v1);
                     dst[k >> 1] = (uint8_t)((c0 + 8) | ((c1 + 8) << 4));
                     if (v0 != c0) {
                         if (oe + 2 > esc_cap) return -1;
-                        esc[oe++] = base + k;
+                        esc[oe++] = base + scan[k];
                         esc[oe++] = v0 - c0;
                     }
                     if (v1 != c1) {
                         if (oe + 2 > esc_cap) return -1;
-                        esc[oe++] = base + k + 1;
+                        esc[oe++] = base + scan[k + 1];
                         esc[oe++] = v1 - c1;
                     }
                 }
             }
+            o4 += plen;
             bx[j] = (int16_t)m[1];
             by[j] = (int16_t)m[2];
+            cw[j] = (int16_t)(cnt | (byte_mode << 12));
             const int f = m[5];
             // qp<<7 | has_rdpcm<<6 | rdpcm_vert<<5 | tqb<<4 | ts<<3 |
             // dst<<2 | plane
@@ -2523,11 +2590,10 @@ int hevc_pack_frame(
                               m[0]);                    // plane
             j++;
         }
-        // padding rows: zero levels (biased nibble 0x88), qp/flags/plane
-        // zero, FAR coords
-        memset(lv4 + n * (ss / 2), 0x88, (size_t)(cap - n) * (ss / 2));
+        // padding rows: qp/flags/plane zero, FAR coords, zero prefix
         for (int k = n; k < cap; k++) {
             qf[k] = 0;
+            cw[k] = 0;
             bx[k] = (int16_t)PACK_FAR;
             by[k] = (int16_t)PACK_FAR;
         }
@@ -2549,8 +2615,7 @@ int hevc_pack_frame(
         caps_out[si * 4 + 1] = cap;
         caps_out[si * 4 + 2] = 0;          // scaling lists: Python path
         caps_out[si * 4 + 3] = n_esc;
-        o4 += cap * ss;
-        o16 += 3 * cap;
+        o16 += 4 * cap;
     }
     // ---- intra meta [8, npad] (ops/intra_fused.py pack_meta) -----------
     const int npad = round_bucket(n_ij, 1024);
@@ -2582,7 +2647,7 @@ int hevc_pack_frame(
             meta[7 * npad + i] = (int16_t)((w1 >> 16) & 1);
         }
     }
-    used_out[0] = o4 / 2;     // arena4 bytes used
+    used_out[0] = o4;         // payload arena bytes used
     used_out[1] = o16;
     used_out[2] = oe;
     used_out[3] = npad;

@@ -45,31 +45,50 @@ def _parse_streams(data):
     return fss
 
 
-def test_nibble_levels_roundtrip(rng):
-    """unpack(nibbles) + escape scatter == original int levels."""
+def _roundtrip_stream(rng, qp, smooth):
     import openhevc_tpu.models.pipeline as pl
     from openhevc_tpu.encoder.intra_enc import encode_intra_stream
     W, H = 96, 64
-    fr = make_frames(W, H, 2, rng, smooth=False)
-    data = encode_intra_stream(fr, W, H, qp=8)[0]   # dense, many escapes
+    fr = make_frames(W, H, 2, rng, smooth=smooth)
+    data = encode_intra_stream(fr, W, H, qp=qp)[0]
+    saw_byte_mode = False
     for fs in _parse_streams(data):
         buckets = pl._res_buckets(fs)
-        arena4, _a16, escs, caps = pl._pack_arena(buckets)
-        allv = np.asarray(pl._unpack_nibbles(arena4))
-        esc = escs.reshape(-1, 2)
-        off = eoff = 0
-        for s, cap, _hs, n_esc in caps:
-            if cap == 0:
-                continue
-            lv = allv[off:off + cap * s * s].copy()
-            off += cap * s * s
-            if n_esc:
-                e = esc[eoff:eoff + n_esc]
-                eoff += n_esc
-                keep = e[:, 0] >= 0
-                lv[e[keep, 0]] += e[keep, 1]
-            want = buckets[s]["levels"].reshape(-1)
-            assert np.array_equal(lv, want), s
+        arena4, a16, escs, caps = pl._pack_arena(buckets)
+        # payload must be strictly smaller than the dense nibble form
+        dense = sum(c * s * s // 2 for s, c, _h, _n in caps)
+        assert arena4.size <= pl._round_bucket(dense, 4096)
+        for (s, _cap, _hs, _ne, x, y, qpf, _sm, lv) in \
+                pl._arena_levels(arena4, a16, escs, caps):
+            b = buckets[s]
+            assert np.array_equal(np.asarray(lv), b["levels"]), s
+            assert np.array_equal(np.asarray(x), b["x"])
+            assert np.array_equal(np.asarray(y), b["y"])
+        cw_rows = _cw_rows(a16, caps)
+        saw_byte_mode |= any((row >> 12).any() for row in cw_rows)
+    return saw_byte_mode
+
+
+def _cw_rows(a16, caps):
+    rows, off = [], 0
+    for s, cap, has_sm, _ne in caps:
+        if cap == 0:
+            continue
+        rows.append(np.asarray(a16[off + 3 * cap:off + 4 * cap]))
+        off += 4 * cap + (cap * s * s if has_sm else 0)
+    return rows
+
+
+def test_scan_prefix_levels_roundtrip(rng):
+    """Device rebuild of the v2 scan-prefix payload (nibble + byte-mode
+    TUs + escape scatter) == original parsed levels."""
+    # dense, many escapes: exercises byte-mode TUs
+    assert _roundtrip_stream(rng, qp=8, smooth=False)
+
+
+def test_scan_prefix_levels_roundtrip_sparse(rng):
+    """Typical-QP content: short prefixes, nibble mode."""
+    _roundtrip_stream(rng, qp=32, smooth=True)
 
 
 def test_meta16_derivation(rng):
