@@ -133,13 +133,9 @@ def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
     a4 = np.empty(o.lvl_used + 64, np.uint8)
     a16 = np.empty(4 * (o.n_cb + o.n_cb // 2) + 4 * 4 * 528 + 16,
                    np.int16)
-    npad = 1024
-    while npad < o.n_ij:
-        npad <<= 1
-    half = npad >> 1
-    mid = half + (half >> 1)
-    npad = mid if 1024 < o.n_ij <= mid else npad
-    meta = np.empty(8 * npad, np.int16)
+    from ..ops.intra_fused import _bucket
+    npad = _bucket(int(o.n_ij))
+    meta = np.empty(5 * npad, np.int16)
     caps = np.zeros(16, np.int32)
     used = np.zeros(4, np.int32)
     esc_cap = 65536
@@ -157,18 +153,10 @@ def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
         if esc_cap > (o.lvl_used + 1) * 4:
             raise ValueError("native frame pack failed")
         esc_cap *= 8
-    # tail-pad the payload to the same geometric byte bucket as
+    # tail-pad the payload to the same 1/16-octave byte bucket as
     # _pack_arena (the arena LENGTH is part of the static jit layout)
-    def _round_bucket(n, base):
-        if n <= base:
-            return base
-        p = base
-        while p < n:
-            p <<= 1
-        mid = (p >> 1) + (p >> 2)
-        return mid if n <= mid else p
-
-    pay = np.zeros(_round_bucket(max(int(used[0]), 1), 4096), np.uint8)
+    from ..models.pipeline import _round_fine
+    pay = np.zeros(_round_fine(max(int(used[0]), 1), 4096), np.uint8)
     pay[:used[0]] = a4[:used[0]]
     return dict(
         arena4=pay,
@@ -176,7 +164,7 @@ def _pack_native(lib, o, cb_meta, cb_levels, ij_meta, ij_avail, sps):
         esc=esc[:used[2]] if used[2] else np.zeros(2, np.int32),
         caps=tuple(tuple(int(v) for v in caps[i * 4:(i + 1) * 4])
                    for i in range(4)),
-        meta=meta.reshape(8, npad),
+        meta=meta.reshape(5, npad),
         n=int(o.n_ij))
 
 

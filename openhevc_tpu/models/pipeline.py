@@ -47,6 +47,19 @@ def _round_bucket(n, base):
     return mid if n <= mid else p
 
 
+def _round_fine(n, base):
+    """1/16-octave bucket: round up to a multiple of 2^(floor(log2 n)-4)
+    (min `base`). Bounds distinct static shapes to 16 per octave while
+    wasting <= ~6% padding — used for the big wire buffers (payload
+    arena, intra meta, escapes) where the coarse pow2/1.5-pow2 buckets
+    cost real megabytes at 4K (BENCH probe: payload 4.4 -> 6.0 MiB).
+    Mirrored by round_fine in native/hevcparse.cc."""
+    if n <= base:
+        return base
+    step = 1 << max((n - 1).bit_length() - 5, 0)
+    return -(-n // step) * step
+
+
 @dataclass
 class PackedFrame:
     width: int
@@ -807,7 +820,8 @@ class JaxEngine:
             npad = _meta_bucket(n)
             if npad != n:
                 meta = np.concatenate(
-                    [meta, np.zeros((8, npad - n), meta.dtype)], axis=1)
+                    [meta, np.zeros((meta.shape[0], npad - n),
+                                    meta.dtype)], axis=1)
         meta, npad = self._stabilize_npad(meta, npad, klass)
         bounds = None
         if banded is not None:
@@ -1306,7 +1320,7 @@ def _pack_arena(buckets):
         n_pairs = len(er)
         n_esc = 0
         if n_pairs:
-            n_esc = 8 if n_pairs <= 8 else _round_bucket(n_pairs, 64)
+            n_esc = 8 if n_pairs <= 8 else _round_fine(n_pairs, 64)
             e = np.full((n_esc, 2), -1, np.int32)
             e[:n_pairs, 0] = er * ss + scan[ec]
             e[:n_pairs, 1] = diff[er, ec]
@@ -1323,7 +1337,7 @@ def _pack_arena(buckets):
         if sm is not None:
             p16.append(sm.reshape(-1).astype(np.int16))
     total = sum(x.size for x in pay)
-    arena4 = np.zeros(_round_bucket(max(total, 1), 4096), np.uint8)
+    arena4 = np.zeros(_round_fine(max(total, 1), 4096), np.uint8)
     if total:
         arena4[:total] = np.concatenate(pay)
     arena16 = np.concatenate(p16) if p16 else np.zeros(1, np.int16)
@@ -1360,13 +1374,18 @@ def _unpack_nibbles(arena4):
 
 
 def _derive_meta16(meta8, sdis, c444, strong):
-    """Rebuild the intra kernel's [16, npad] meta from the 8 uploaded rows
-    (ops/intra_fused.py pack_meta layout) — the do-filter/angle/edge rows
-    are pure functions of mode/size/plane, derived on device to halve the
-    upload on the shared host<->device wire."""
+    """Rebuild the intra kernel's [16, npad] meta from the 5 uploaded
+    rows (ops/intra_fused.py pack_meta layout: y, x,
+    sl|plane<<2|mode<<4|av_hi<<10, av_w0, av_w1) — the do-filter/angle/
+    edge rows are pure functions of mode/size/plane, derived on device
+    to cut the upload to 10 B/job on the shared host<->device wire."""
     from ..ops.intra_fused import _ANG, _INV
     m8 = meta8.astype(jnp.int32)
-    my, mx, msl, mmode, mplane, mav0, mav1, mavhi = (m8[i] for i in range(8))
+    my, mx, mpk, mav0, mav1 = (m8[i] for i in range(5))
+    msl = mpk & 3
+    mplane = (mpk >> 2) & 3
+    mmode = (mpk >> 4) & 63
+    mavhi = (mpk >> 10) & 1
     ms = 4 << msl                                    # TB size
     md = jnp.minimum(jnp.abs(mmode - 26), jnp.abs(mmode - 10))
     thr = jnp.select([ms == 8, ms == 16, ms == 32],
@@ -1428,9 +1447,11 @@ def _arena_levels(arena4, arena16, escs, caps):
     byte gather + nibble/byte select + static inverse-scan permute +
     escape scatter-add."""
     from ..ops.coeff_scan import INV_SCAN
-    pay = arena4.astype(jnp.int32)
-    a = arena16.astype(jnp.int32)
-    esc = escs.reshape(-1, 2)
+    # jnp arrays throughout: the payload gather relies on JAX's clamped
+    # out-of-bounds semantics (offsets past the last TU's payload)
+    pay = jnp.asarray(arena4).astype(jnp.int32)
+    a = jnp.asarray(arena16).astype(jnp.int32)
+    esc = jnp.asarray(escs).reshape(-1, 2)
     # pass 1: static sideband walk; global exclusive-cumsum payload offsets
     segs = []
     off = 0

@@ -2446,6 +2446,17 @@ static int32_t round_bucket(int32_t n, int32_t base) {
     return (n <= mid) ? mid : p;
 }
 
+// 1/16-octave bucket (mirrors models/pipeline.py::_round_fine): the big
+// wire buffers round to a multiple of 2^(floor(log2 n)-4) instead of the
+// coarse pow2/1.5-pow2 steps — <= ~6% padding, 16 static shapes/octave.
+static int32_t round_fine(int32_t n, int32_t base) {
+    if (n <= base) return base;
+    int bl = 32 - __builtin_clz((uint32_t)(n - 1));  // bit_length(n-1)
+    int sh = bl - 5 < 0 ? 0 : bl - 5;
+    int32_t step = 1 << sh;
+    return (n + step - 1) / step * step;
+}
+
 // Raster index of scan position i for the size-class si TU (up-right
 // diagonal 4x4 coefficient groups, diagonal within each group — the
 // ops/coeff_scan.py tables, mirrored). Built once.
@@ -2603,7 +2614,7 @@ int hevc_pack_frame(
         int n_pairs = (oe - esc_start) / 2;
         int n_esc = 0;
         if (n_pairs) {
-            n_esc = n_pairs <= 8 ? 8 : round_bucket(n_pairs, 64);
+            n_esc = n_pairs <= 8 ? 8 : round_fine(n_pairs, 64);
             if (esc_start + 2 * n_esc > esc_cap) return -1;
             for (int k = n_pairs; k < n_esc; k++) {
                 esc[esc_start + 2 * k] = -1;
@@ -2617,10 +2628,11 @@ int hevc_pack_frame(
         caps_out[si * 4 + 3] = n_esc;
         o16 += 4 * cap;
     }
-    // ---- intra meta [8, npad] (ops/intra_fused.py pack_meta) -----------
-    const int npad = round_bucket(n_ij, 1024);
-    if (8 * npad > meta_cap) return -1;
-    memset(meta, 0, (size_t)8 * npad * sizeof(int16_t));
+    // ---- intra meta [5, npad] (ops/intra_fused.py pack_meta: y, x,
+    // sl|plane<<2|mode<<4|av_hi<<10, av_w0, av_w1 — 10 B/job) ------------
+    const int npad = round_fine(n_ij, 1024);
+    if (5 * npad > meta_cap) return -1;
+    memset(meta, 0, (size_t)5 * npad * sizeof(int16_t));
     for (int i = 0; i < n_ij; i++) {
         const int32_t* m = ij_meta + i * 8;
         const uint8_t* av = ij_avail + i * 132;
@@ -2628,9 +2640,6 @@ int hevc_pack_frame(
         int log2s = s == 4 ? 2 : s == 8 ? 3 : s == 16 ? 4 : 5;
         meta[0 * npad + i] = (int16_t)(y + PACK_OY);
         meta[1 * npad + i] = (int16_t)(x + PACK_OX);
-        meta[2 * npad + i] = (int16_t)(log2s - 2);
-        meta[3 * npad + i] = (int16_t)mode;
-        meta[4 * npad + i] = (int16_t)plane;
         // availability group bits: [left s/2 | corner | top s/2], one bit
         // per 4-sample run (min-PU granularity)
         uint64_t gb = 0;
@@ -2640,12 +2649,11 @@ int hevc_pack_frame(
         gb |= (uint64_t)(av[2 * s] != 0) << g; g++;
         for (int k = 0; k < s / 2; k++, g++)
             gb |= (uint64_t)(av[2 * s + 1 + 4 * k] != 0) << g;
-        meta[5 * npad + i] = (int16_t)(uint16_t)(gb & 0xFFFF);
-        if (g > 16) {
-            uint64_t w1 = gb >> 16;
-            meta[6 * npad + i] = (int16_t)(uint16_t)(w1 & 0xFFFF);
-            meta[7 * npad + i] = (int16_t)((w1 >> 16) & 1);
-        }
+        meta[2 * npad + i] = (int16_t)((log2s - 2) | (plane << 2) |
+                                       (mode << 4) |
+                                       (int)((gb >> 32) & 1) << 10);
+        meta[3 * npad + i] = (int16_t)(uint16_t)(gb & 0xFFFF);
+        meta[4 * npad + i] = (int16_t)(uint16_t)((gb >> 16) & 0xFFFF);
     }
     used_out[0] = o4;         // payload arena bytes used
     used_out[1] = o16;

@@ -104,7 +104,8 @@ def sort_meta_by_band(meta8: np.ndarray, n: int, band_h: int, vs: int,
                       nb: int):
     """Stable-sort job columns by band index; returns (meta8 sorted,
     bounds[nb+1] int32 job-range starts per band). meta8 row 0 is the
-    buffer y (frame y + OY); row 4 the plane.  Stable order keeps decode
+    buffer y (frame y + OY); the plane rides in the packed row 2
+    (pack_meta layout). Stable order keeps decode
     order within a band, which preserves every intra dependency: top
     reference samples come only from row y-1 (at most one band up), and
     with tiles a band's cross-tile job interleaving is dependency-free
@@ -112,7 +113,7 @@ def sort_meta_by_band(meta8: np.ndarray, n: int, band_h: int, vs: int,
     if n == 0:
         return meta8, np.zeros(nb + 1, np.int32)
     y = meta8[0, :n].astype(np.int32) - OY
-    plane = meta8[4, :n]
+    plane = (meta8[2, :n] >> 2) & 3
     bh_c = band_h >> vs
     band = np.where(plane == 0, y // band_h, y // bh_c)
     order = np.argsort(band, kind="stable")
@@ -124,27 +125,26 @@ def sort_meta_by_band(meta8: np.ndarray, n: int, band_h: int, vs: int,
 
 # =========================================================================
 # Host-side packing: decode-order job meta, shipped TRANSPOSED as
-# [8, Npad] int16 (the wire is the bottleneck; the derived rows —
-# do_filter, angle, inv_angle, strong_allowed, any_avail, edge_filters —
-# are pure functions of mode/size/plane rebuilt on device in
-# models/pipeline.py::_frame_fused, which hands the kernel its full
-# [16, Npad] layout). Kernel fields:
+# [5, Npad] int16 (10 B/job on the wire — the wire is the bottleneck;
+# the derived rows — do_filter, angle, inv_angle, strong_allowed,
+# any_avail, edge_filters — are pure functions of mode/size/plane
+# rebuilt on device in models/pipeline.py::_frame_fused, which hands
+# the kernel its full [16, Npad] layout). Kernel fields:
 #   0 y(buf) 1 x(buf) 2 size_log2-2 3 mode 4 plane 5 do_filter
 #   6 avail word0 (groups 0..15) 7 avail word1 (16..31) 13 avail bit 32
 #   8 angle 9 inv_angle 10 strong_allowed 11 any_avail 12 edge_filters
-# Uploaded rows: 0 y 1 x 2 size_log2-2 3 mode 4 plane 5 av_w0 6 av_w1
-#   7 av_hi (bit 32)
+# Uploaded rows: 0 y 1 x
+#   2 size_log2-2 | plane<<2 | mode<<4 | av_hi<<10   3 av_w0 4 av_w1
 # =========================================================================
 
 def pack_meta(planes, xs, ys, szs, modes, avail_rows) -> np.ndarray:
     """avail_rows: uint8/bool [N, >=4*max_s+1] in intra_np spec layout."""
     n = len(planes)
-    meta = np.zeros((n, 8), np.int64)
+    meta = np.zeros((n, 5), np.int64)
     meta[:, 0] = ys + OY
     meta[:, 1] = xs + OX
-    meta[:, 2] = np.log2(szs).astype(np.int32) - 2
-    meta[:, 3] = modes
-    meta[:, 4] = planes
+    packed = (np.log2(szs).astype(np.int64) - 2) | (planes << 2) | \
+        (modes.astype(np.int64) << 4)
     for s in (4, 8, 16, 32):
         sel = np.nonzero(szs == s)[0]
         if not len(sel):
@@ -160,29 +160,30 @@ def pack_meta(planes, xs, ys, szs, modes, avail_rows) -> np.ndarray:
         gb = np.concatenate([left_g, corner_g, top_g], axis=1)  # [n, s+1]
         g = gb.shape[1]
         sh = np.arange(min(g, 16), dtype=np.int64)
-        meta[sel, 5] = (gb[:, :16].astype(np.int64) << sh[:gb[:, :16].shape[1]]).sum(1)
+        meta[sel, 3] = (gb[:, :16].astype(np.int64) << sh[:gb[:, :16].shape[1]]).sum(1)
         if g > 16:
             sh2 = np.arange(g - 16, dtype=np.int64)
             w1 = (gb[:, 16:].astype(np.int64) << sh2).sum(1)
-            meta[sel, 6] = w1 & 0xFFFF
-            meta[sel, 7] = (w1 >> 16) & 1
-    # shipped int16; the 17-bit avail word rides as three fields
-    # (5 lo, 6 mid, 7 hi bit), everything else fits: coords < 2^14,
-    # modes tiny. Reassembled in _frame_fused/_job.
+            meta[sel, 4] = w1 & 0xFFFF
+            packed[sel] |= ((w1 >> 16) & 1) << 10
+    meta[:, 2] = packed
+    # shipped int16; the 17-bit avail word rides as two words + the hi
+    # bit folded into the packed row, everything else fits: coords
+    # < 2^14, modes tiny. Reassembled in _derive_meta16 on device.
     return np.ascontiguousarray(meta.T.astype(np.int16))
 
 
 def pack_meta_native(raw: dict) -> np.ndarray:
     im = raw["ij_meta"]
     if not len(im):
-        return np.zeros((8, 0), np.int16)
+        return np.zeros((5, 0), np.int16)
     return pack_meta(im[:, 0], im[:, 1], im[:, 2], im[:, 3], im[:, 4],
                      raw["ij_avail"])
 
 
 def pack_meta_objects(jobs) -> np.ndarray:
     if not jobs:
-        return np.zeros((8, 0), np.int16)
+        return np.zeros((5, 0), np.int16)
     n = len(jobs)
     planes = np.array([j.plane for j in jobs], np.int32)
     xs = np.array([j.x for j in jobs], np.int32)
@@ -649,14 +650,13 @@ def _build_banded(hl, wl, hc, wc, npad, bd, band_h, vs, nbands):
 
 
 def _bucket(n: int) -> int:
+    """1/16-octave meta width bucket (matches models/pipeline._round_fine
+    and native round_fine: the meta wire buffer is 10 B/job, so coarse
+    pow2 rounding costs ~0.5 MB/frame at 4K)."""
     if n <= 1024:
         return 1024
-    p = 1024
-    while p < n:
-        p <<= 1
-    half = p >> 1
-    mid = half + (half >> 1)
-    return mid if n <= mid else p
+    step = 1 << max((n - 1).bit_length() - 5, 0)
+    return -(-n // step) * step
 
 
 def intra_reconstruct_fused(luma, chroma, res_l, res_c, meta: np.ndarray,

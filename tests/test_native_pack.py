@@ -49,7 +49,8 @@ def _assert_pack_matches(fs):
     npad = _bucket(n)
     if npad != n:
         meta = np.concatenate(
-            [meta, np.zeros((8, npad - n), meta.dtype)], axis=1)
+            [meta, np.zeros((meta.shape[0], npad - n), meta.dtype)],
+            axis=1)
     assert np.array_equal(meta, npk["meta"])
 
 
