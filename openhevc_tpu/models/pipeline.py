@@ -386,6 +386,57 @@ def weight_grids(fs):
                                       wt["chroma_log2_denom"]))
 
 
+@partial(jax.jit, static_argnames=("layout",))
+def _split_upload(buf, *, layout):
+    """Device-side split of one coalesced upload buffer into the
+    per-segment arrays: layout = ((dtype_name, shape, byte_off,
+    nbytes), ...) — static, so distinct layouts are distinct (tiny)
+    programs. Each segment is a static slice + bitcast; the copies are
+    HBM-local and cheap. Motivation: on the tunneled runtime every
+    host->device transfer pays ~8 ms fixed once any D2H has occurred
+    in the process (the runtime drops to a ~40 MB/s synchronized
+    mode), so a frame's 6-10 small uploads cost ~10x more as separate
+    device_puts than as one buffer."""
+    outs = []
+    for dt, shape, off, nb in layout:
+        seg = buf[off:off + nb]
+        d = np.dtype(dt)
+        if d.itemsize > 1:
+            seg = jax.lax.bitcast_convert_type(
+                seg.reshape(-1, d.itemsize), jnp.dtype(d))
+        elif dt == "bool":
+            seg = seg.astype(jnp.bool_)
+        elif dt != "uint8":
+            seg = jax.lax.bitcast_convert_type(seg, jnp.dtype(d))
+        outs.append(seg.reshape(shape))
+    return tuple(outs)
+
+
+def upload_group(arrs, wire=None):
+    """Coalesce host numpy arrays into ONE device transfer; returns
+    device arrays in input order (see _split_upload). Segments are
+    aligned to their itemsize."""
+    layout = []
+    parts = []
+    off = 0
+    for a in arrs:
+        a = np.ascontiguousarray(a)
+        dt = a.dtype
+        name = "bool" if dt == np.bool_ else dt.name
+        pad = (-off) % max(dt.itemsize, 1)
+        if pad:
+            parts.append(np.zeros(pad, np.uint8))
+            off += pad
+        b = a.view(np.uint8).reshape(-1)
+        layout.append((name, a.shape, off, b.size))
+        parts.append(b)
+        off += b.size
+    buf = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    if wire is not None:
+        wire.h2d(buf.nbytes)
+    return _split_upload(jnp.asarray(buf), layout=tuple(layout))
+
+
 class WireStats:
     """Host<->device byte accounting (BASELINE.md: the tunneled wire is
     THE budget). Counts intended payload bytes of the decode path's
@@ -725,15 +776,11 @@ class JaxEngine:
         Hc, Wc = H >> vs, W >> hs
         bd = sps.bit_depth
         smap = ccp_scale_map(fs)
-        ccp_dev = None
-        if smap is not None:
-            ccp_dev = jnp.asarray(smap)
-            self.wire.h2d(smap.nbytes)
         plan = self._fused_plan(fs)
         hl, wl, hc, wc = plan[1]
         banded = None if plan[0] == "whole" else (plan[2], plan[3])
 
-        # ---- residual arenas: two small uploads for the whole frame -------
+        # ---- host-side frame prep (everything that crosses the wire) ------
         np_ = fs.native_pack
         if np_ is not None:
             arena4, arena16, escs, caps = (np_["arena4"], np_["arena16"],
@@ -744,70 +791,6 @@ class JaxEngine:
         arena4, arena16, escs, caps = self._stabilize_caps(
             arena4, arena16, escs, caps, klass)
 
-        # ---- base planes (PCM prefill; inter prediction if present) -------
-        prefill = True
-        dev_arenas = None
-        if fs.inter_pbs:
-            inter = self._pack_inter(fs, ref_planes)
-            if inter is not None and inter["hf"][0] is not None and \
-                    not fs.pcm_blocks:
-                # all-device prefill: residual from the shared arena +
-                # two-stage MC over the device-resident DPB stacks; no
-                # frame-sized host upload for inter frames. Kept as a
-                # SEPARATE dispatch from _frame_fused: merging the MC
-                # gather into the same XLA program as the Pallas banded
-                # kernel measured ~12x slower on device (XLA scheduling
-                # pathology), vs ~166ms+81ms split.
-                dev_arenas = (jnp.asarray(arena4), jnp.asarray(arena16),
-                              jnp.asarray(escs))
-                self.wire.h2d(arena4.nbytes + arena16.nbytes + escs.nbytes)
-                wt = inter.get("wt")
-                wt_dev = None
-                denoms = None
-                if wt is not None:
-                    wt_dev = (jnp.asarray(wt["wg"]), jnp.asarray(wt["og"]))
-                    denoms = tuple(wt["denoms"])
-                    self.wire.h2d(wt["wg"].nbytes + wt["og"].nbytes)
-                md = inter["md"]
-                self.wire.h2d(md["idx"].nbytes + md["vals"].nbytes)
-                luma, chroma = _inter_prefill(
-                    dev_arenas[0], dev_arenas[1], dev_arenas[2],
-                    jnp.asarray(md["idx"]), jnp.asarray(md["vals"]),
-                    inter["hf"][0], inter["hf"][1], inter["hf"][2],
-                    wt=wt_dev, ccp=ccp_dev, caps=caps, H=H, W=W,
-                    Hc=Hc, Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc, bd=bd,
-                    hs=hs, vs=vs, h4=md["h4"], w4=md["w4"],
-                    denoms=denoms,
-                    pairs=inter.get("pairs", False))
-                self._dbg("inter_prefill", (luma, chroma))
-            else:
-                # PCM+inter mix or no usable reference: legacy packed path
-                pf = pack_frame(fs)
-                pf.inter = inter
-                pf.ccp = smap
-                planes4 = self._run_inter_only(pf)   # [4, H, W] post-inter
-                self.wire.h2d(pf.planes0.nbytes)
-                luma = _embed_luma(planes4, hl, wl, H, W)
-                chroma = _embed_chroma(planes4, hc, wc, Hc, Wc)
-        elif fs.pcm_blocks:
-            p0 = np.zeros((hl, wl), np.int32)
-            c0 = np.zeros((2, hc, wc), np.int32)
-            for p in fs.pcm_blocks:
-                s_ = p.size
-                p0[OY + p.y:OY + p.y + s_, OX + p.x:OX + p.x + s_] = \
-                    p.samples_y
-                cy, cx = p.y >> vs, p.x >> hs
-                ch_, cw_ = s_ >> vs, s_ >> hs
-                c0[0, OY + cy:OY + cy + ch_, OX + cx:OX + cx + cw_] = \
-                    p.samples_cb
-                c0[1, OY + cy:OY + cy + ch_, OX + cx:OX + cx + cw_] = \
-                    p.samples_cr
-            luma, chroma = jnp.asarray(p0), jnp.asarray(c0)
-        else:
-            prefill = False
-            luma = chroma = None
-
-        # ---- single dispatch: residual + fused intra + crop ---------------
         if np_ is not None:
             meta, n = np_["meta"], np_["n"]
             npad = meta.shape[1]
@@ -830,25 +813,117 @@ class JaxEngine:
         # in-loop filters on device when the whole-frame formulation is
         # exact for this stream (ops/filters_jax.device_filters_ok)
         from ..ops.filters_jax import device_filters_ok, prep_filters
-        fargs = None
+        fargs_np = None
         fmask = 0
         want_filters = (not fs.deblock_disabled or fs.sao_luma or
                         fs.sao_chroma)
         if want_filters and device_filters_ok(fs):
             pff = prep_filters(fs)
             if pff is not None:
-                fmask = (1 if pff["do_deblock"] else 0) |                         (2 if pff["do_sao"] else 0)
+                fmask = (1 if pff["do_deblock"] else 0) | \
+                        (2 if pff["do_sao"] else 0)
                 from ..ops.filters_jax import fargs_arrays
-                fargs = tuple(jnp.asarray(a) for a in fargs_arrays(pff))
-        if dev_arenas is not None:
-            arena4, arena16, escs = dev_arenas
+                fargs_np = [np.asarray(a) for a in fargs_arrays(pff)]
+
+        inter = None
+        fast_inter = False
+        if fs.inter_pbs:
+            inter = self._pack_inter(fs, ref_planes)
+            fast_inter = (inter is not None and inter["hf"][0] is not None
+                          and not fs.pcm_blocks)
+
+        # ---- ONE coalesced upload for the whole frame ---------------------
+        # (the tunneled runtime charges ~8 ms fixed per device_put once
+        # any D2H has happened; see upload_group)
+        group = [arena4, arena16, escs, meta,
+                 np.full((1, 1), n, np.int32)]
+        gi = {"bounds": None, "ccp": None, "md": None, "wt": None,
+              "fargs": None}
+        if bounds is not None:
+            gi["bounds"] = len(group)
+            group.append(bounds)
+        if smap is not None:
+            gi["ccp"] = len(group)
+            group.append(smap)
+        if fast_inter:
+            md = inter["md"]
+            gi["md"] = len(group)
+            group.append(md["idx"])
+            group.append(md["vals"])
+            wt = inter.get("wt")
+            if wt is not None:
+                gi["wt"] = len(group)
+                group.append(wt["wg"])
+                group.append(wt["og"])
+        if fargs_np is not None:
+            gi["fargs"] = len(group)
+            group.extend(fargs_np)
+        dev = upload_group(group, wire=self.wire)
+        arena4_d, arena16_d, escs_d, meta_d, nn_d = dev[:5]
+        bounds_d = dev[gi["bounds"]] if gi["bounds"] is not None else None
+        ccp_dev = dev[gi["ccp"]] if gi["ccp"] is not None else None
+        fargs = tuple(dev[gi["fargs"]:gi["fargs"] + len(fargs_np)]) \
+            if gi["fargs"] is not None else None
+
+        # ---- base planes (PCM prefill; inter prediction if present) -------
+        prefill = True
+        if fast_inter:
+            # all-device prefill: residual from the shared arena +
+            # two-stage MC over the device-resident DPB stacks; no
+            # frame-sized host upload for inter frames. Kept as a
+            # SEPARATE dispatch from _frame_fused: merging the MC
+            # gather into the same XLA program as the Pallas banded
+            # kernel measured ~12x slower on device (XLA scheduling
+            # pathology), vs ~166ms+81ms split.
+            md = inter["md"]
+            wt = inter.get("wt")
+            wt_dev = None
+            denoms = None
+            if wt is not None:
+                wt_dev = (dev[gi["wt"]], dev[gi["wt"] + 1])
+                denoms = tuple(wt["denoms"])
+            luma, chroma = _inter_prefill(
+                arena4_d, arena16_d, escs_d,
+                dev[gi["md"]], dev[gi["md"] + 1],
+                inter["hf"][0], inter["hf"][1], inter["hf"][2],
+                wt=wt_dev, ccp=ccp_dev, caps=caps, H=H, W=W,
+                Hc=Hc, Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc, bd=bd,
+                hs=hs, vs=vs, h4=md["h4"], w4=md["w4"],
+                denoms=denoms,
+                pairs=inter.get("pairs", False))
+            self._dbg("inter_prefill", (luma, chroma))
+        elif fs.inter_pbs:
+            # PCM+inter mix or no usable reference: legacy packed path
+            pf = pack_frame(fs)
+            pf.inter = inter
+            pf.ccp = smap
+            planes4 = self._run_inter_only(pf)   # [4, H, W] post-inter
+            self.wire.h2d(pf.planes0.nbytes)
+            luma = _embed_luma(planes4, hl, wl, H, W)
+            chroma = _embed_chroma(planes4, hc, wc, Hc, Wc)
+        elif fs.pcm_blocks:
+            p0 = np.zeros((hl, wl), np.int32)
+            c0 = np.zeros((2, hc, wc), np.int32)
+            for p in fs.pcm_blocks:
+                s_ = p.size
+                p0[OY + p.y:OY + p.y + s_, OX + p.x:OX + p.x + s_] = \
+                    p.samples_y
+                cy, cx = p.y >> vs, p.x >> hs
+                ch_, cw_ = s_ >> vs, s_ >> hs
+                c0[0, OY + cy:OY + cy + ch_, OX + cx:OX + cx + cw_] = \
+                    p.samples_cb
+                c0[1, OY + cy:OY + cy + ch_, OX + cx:OX + cx + cw_] = \
+                    p.samples_cr
+            luma, chroma = upload_group([p0, c0], wire=self.wire)
         else:
-            self.wire.h2d(arena4.nbytes + arena16.nbytes + escs.nbytes)
-        self.wire.h2d(meta.nbytes)
-        flat = _frame_fused(arena4, arena16, escs, meta,
-                            np.full((1, 1), n, np.int32),
+            prefill = False
+            luma = chroma = None
+
+        # ---- single dispatch: residual + fused intra + crop ---------------
+        flat = _frame_fused(arena4_d, arena16_d, escs_d, meta_d,
+                            nn_d,
                             luma, chroma, fargs,
-                            None if bounds is None else jnp.asarray(bounds),
+                            bounds_d,
                             ccp_dev,
                             caps=caps, hl=hl, wl=wl,
                             hc=hc, wc=wc, H=H, W=W, Hc=Hc, Wc=Wc, bd=bd,
@@ -868,16 +943,19 @@ class JaxEngine:
         # device-resident DPB entry. OPENHEVC_PACK_OUTPUT=0 disables
         # (PCIe hosts where the unpack CPU cost outweighs wire savings).
         packed = _maybe_pack_out(flat, bd, self.pack_output)
+        wire_form = _wire_norm(flat if packed is None else packed)
         if self.fetch_outputs:
             lp = LazyPlanes(flat, H, W, Hc, Wc, pool=self._fetch_pool,
-                            wire=self.wire, packed=packed, bd=bd)
+                            wire=self.wire, packed=packed, bd=bd,
+                            wire_form=wire_form)
             self._fetch_pool.add(lp)
         else:
             # SHVC base layer: outputs are never displayed — planes stay
             # device-resident (IL upsample + MC read them there); a host
             # materialization only happens on an explicit get()
             lp = LazyPlanes(flat, H, W, Hc, Wc, pool=None,
-                            wire=self.wire, packed=packed, bd=bd)
+                            wire=self.wire, packed=packed, bd=bd,
+                            wire_form=wire_form)
         lp.device_filtered = fmask != 0
         return lp
 
@@ -1120,6 +1198,18 @@ class FetchPool:
                 p._fail(e)
 
 
+@jax.jit
+def _wire_norm(a):
+    """Identity copy through its own tiny program. _frame_fused's fused
+    output keeps whatever layout XLA chose for the big program — which
+    the tunneled runtime fetches at ~2 MB/s (padded/tiled layout,
+    element-granular readback). The standalone copy gets the compact
+    default layout and fetches at the link's full ~35 MB/s. Applied to
+    the WIRE form only; the original array stays as the device-resident
+    DPB entry."""
+    return a + jnp.zeros((), a.dtype)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _pack_bits_dev(flat, k):
     """uint16 samples -> tight wire form: low-8-bit plane followed by
@@ -1199,7 +1289,8 @@ class LazyPlanes:
     device_filtered = False
 
     def __init__(self, flat, H, W, Hc, Wc, pool: FetchPool | None = None,
-                 wire: WireStats | None = None, packed=None, bd=8):
+                 wire: WireStats | None = None, packed=None, bd=8,
+                 wire_form=None):
         import threading
         self._flat = flat
         # the flat device output stays referenced while this picture
@@ -1209,6 +1300,10 @@ class LazyPlanes:
         # optional bit-packed wire form of the same samples (>8-bit
         # streams): fetched instead of `flat`, unpacked host-side
         self._packed = packed
+        # layout-normalized copy that actually crosses the wire
+        # (_wire_norm: the fused program's own output layout fetches
+        # ~20x slower through the tunnel)
+        self._wire_form = wire_form
         self._bd = bd
         self._dims = (H, W, Hc, Wc)
         self._mat = None
@@ -1220,6 +1315,8 @@ class LazyPlanes:
     @property
     def _wire_arr(self):
         """The device array that crosses the wire at fetch time."""
+        if self._wire_form is not None:
+            return self._wire_form
         return self._flat if self._packed is None else self._packed
 
     def _set_host(self, host):
@@ -1229,6 +1326,7 @@ class LazyPlanes:
         if self._packed is not None:
             host = _unpack_out(host, H * W + 2 * Hc * Wc, self._bd)
             self._packed = None
+        self._wire_form = None
         # keep the wire dtype (uint8/uint16): the splits are views, so
         # materialization costs zero host copies — every consumer
         # (filters, MC upload, hashing) widens for itself

@@ -260,6 +260,41 @@ struct MvField {
     int32_t poc[2];
 };
 
+// --- phase profiling (OPENHEVC_PARSE_PROF=1; meaningful with
+// parse_threads=1 — counters are plain globals). Cycle counters around
+// the parse hot phases, read from Python via hevc_prof_read. ---------
+static uint64_t prof_cyc[8];
+static uint64_t prof_cnt[8];
+static int prof_on = -1;
+static inline bool prof_enabled() {
+    if (prof_on < 0) {
+        const char* e = getenv("OPENHEVC_PARSE_PROF");
+        prof_on = (e && e[0] == '1') ? 1 : 0;
+    }
+    return prof_on == 1;
+}
+struct ProfScope {
+    int i = -1;
+    uint64_t t0 = 0;
+    explicit ProfScope(int idx) {
+        if (prof_enabled()) { i = idx; t0 = __builtin_ia32_rdtsc(); }
+    }
+    ~ProfScope() {
+        if (i >= 0) {
+            prof_cyc[i] += __builtin_ia32_rdtsc() - t0;
+            prof_cnt[i]++;
+        }
+    }
+};
+extern "C" void hevc_prof_read(uint64_t* cyc8, uint64_t* cnt8) {
+    memcpy(cyc8, prof_cyc, sizeof(prof_cyc));
+    memcpy(cnt8, prof_cnt, sizeof(prof_cnt));
+}
+extern "C" void hevc_prof_reset() {
+    memset(prof_cyc, 0, sizeof(prof_cyc));
+    memset(prof_cnt, 0, sizeof(prof_cnt));
+}
+
 static inline int imin(int a, int b) { return a < b ? a : b; }
 static inline int imax(int a, int b) { return a > b ? a : b; }
 static inline int iclip(int v, int lo, int hi) {
@@ -554,7 +589,7 @@ struct Parser {
             }
             if (P.sao_enabled && (P.slice_sao_luma || P.slice_sao_chroma))
                 sao_params(x0, y0);
-            coding_quadtree(x0, y0, P.log2_ctb, 0);
+            { ProfScope _pq(4); coding_quadtree(x0, y0, P.log2_ctb, 0); }
             ctb_tile_rs++;
             if (wpp && (ctb_tile_rs % tw == 2 ||
                         (tw == 2 && ctb_tile_rs % tw == 0))) {
@@ -602,7 +637,7 @@ struct Parser {
             int x0 = x * cs, y0 = row * cs;
             if (P.sao_enabled && (P.slice_sao_luma || P.slice_sao_chroma))
                 sao_params(x0, y0);
-            coding_quadtree(x0, y0, P.log2_ctb, 0);
+            { ProfScope _pq(4); coding_quadtree(x0, y0, P.log2_ctb, 0); }
             if (x == 1) {
                 memcpy(S->row_snapshot[row].data(), ctx, CTX_STATE_BYTES);
                 S->snapshot_ready[row].store(1, std::memory_order_release);
@@ -646,7 +681,7 @@ struct Parser {
             int y0 = (rs / ctbs_w) * cs;
             if (P.sao_enabled && (P.slice_sao_luma || P.slice_sao_chroma))
                 sao_params(x0, y0);
-            coding_quadtree(x0, y0, P.log2_ctb, 0);
+            { ProfScope _pq(4); coding_quadtree(x0, y0, P.log2_ctb, 0); }
             int end = cab.terminate();
             if (ts == n_ctb - 1) { if (end != 1) err = true; }
             else if (end) err = true;
@@ -673,6 +708,7 @@ struct Parser {
 
     // ---------------- SAO ----------------
     void sao_params(int x0, int y0) {
+        ProfScope _prof(3);
         int rx = x0 >> P.log2_ctb, ry = y0 >> P.log2_ctb;
         int16_t* dst = O->sao + (ry * ctbs_w + rx) * 18;
         if (x0 > 0 &&
@@ -1509,6 +1545,7 @@ struct Parser {
     bool prediction_unit(int x0, int y0, int w, int h, int part_mode,
                          int part_idx, int log2_cb, int cu_x, int cu_y,
                          bool is_skip) {
+        ProfScope _prof(1);
         MvField f;
         memset(&f, 0, sizeof(f));
         bool merge = true;
@@ -1754,6 +1791,7 @@ struct Parser {
 
     // ---------------- intra job emission ----------------
     void emit_intra_job(int plane, int x, int y, int size, int mode) {
+        ProfScope _prof(2);
         if (O->n_ij >= O->ij_cap) { err = true; return; }
         int32_t* m = O->ij_meta + O->n_ij * 8;
         int filt = ((plane == 0 || P.chroma_format_idc == 3) &&
@@ -1846,6 +1884,7 @@ struct Parser {
 
     void residual(int x0, int y0, int log2_tr, int c_idx,
                   int pred_mode_intra, int cross_scale = 0) {
+        ProfScope _prof(0);
         if (err) return;
         int size = 1 << log2_tr;
         if (O->n_cb >= O->cb_cap ||

@@ -106,23 +106,25 @@ def main():
         arena4, arena16, escs, caps = _pack_arena(_res_buckets(fs))
     a4, a16, esc = (jnp.asarray(arena4), jnp.asarray(arena16),
                     jnp.asarray(escs))
-    pf4, mv, slot = (jnp.asarray(inter["pf4"]), jnp.asarray(inter["mv"]),
-                     jnp.asarray(inter["slot"]))
+    md = inter["md"]
+    midx, mvals = jnp.asarray(md["idx"]), jnp.asarray(md["vals"])
     hf = inter["hf"]
-    jax.block_until_ready((a4, a16, esc, pf4, mv, slot, hf))
+    jax.block_until_ready((a4, a16, esc, midx, mvals, hf))
 
     pairs = inter.get("pairs", False)
     print("mc mode:", "pairs" if pairs else "taps")
-    ms = t(lambda: _inter_prefill(
-        a4, a16, esc, pf4, mv, slot, hf[0], hf[1], hf[2],
-        caps=caps, H=H, W=W, Hc=Hc, Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc,
-        bd=bd, hs=sps.hshift1, vs=sps.vshift1, pairs=pairs))
+
+    def run_prefill():
+        return _inter_prefill(
+            a4, a16, esc, midx, mvals, hf[0], hf[1], hf[2],
+            caps=caps, H=H, W=W, Hc=Hc, Wc=Wc, hl=hl, wl=wl, hc=hc,
+            wc=wc, bd=bd, hs=sps.hshift1, vs=sps.vshift1,
+            h4=md["h4"], w4=md["w4"], pairs=pairs)
+
+    ms = t(run_prefill)
     print(f"_inter_prefill (residual+MC+combine): {ms:.1f} ms")
 
-    luma, chroma = _inter_prefill(
-        a4, a16, esc, pf4, mv, slot, hf[0], hf[1], hf[2],
-        caps=caps, H=H, W=W, Hc=Hc, Wc=Wc, hl=hl, wl=wl, hc=hc, wc=wc,
-        bd=bd, hs=sps.hshift1, vs=sps.vshift1, pairs=pairs)
+    luma, chroma = run_prefill()
     jax.block_until_ready((luma, chroma))
 
     np_ = fs.native_pack
@@ -135,7 +137,8 @@ def main():
         npad = _bucket(n)
         if npad != n:
             meta = np.concatenate(
-                [meta, np.zeros((8, npad - n), meta.dtype)], axis=1)
+                [meta, np.zeros((meta.shape[0], npad - n), meta.dtype)],
+                axis=1)
     npad = meta.shape[1]
     plan = plan0
     band_h, nb, hl2, wl2, hc2, wc2 = plan
