@@ -132,6 +132,21 @@ def gen_ra_tiles():
     return data
 
 
+def gen_ra_main10_4k():
+    """4K Main10 hierarchical-B with tiles + in-loop filters: the
+    north-star inter config (real-time 4K Main10; the reference's MC
+    hot path, hevc.c:1968 + hevcdsp_template.c:610-1608). Exercises the
+    >2.6 MP tap-mode MC path no other config reaches."""
+    from openhevc_tpu.encoder.inter_enc import encode_ra_stream
+    W, H = 3840, 2160
+    data, _ = encode_ra_stream(_frames(W, H, 9, ten_bit=True), W, H,
+                               qp=35, gop=8, ctb_log2=6, min_cb_log2=4,
+                               seed=0, tmvp=True, bit_depth=10,
+                               tile_cols=4, tile_rows=2,
+                               sao=True, deblock=True)
+    return data
+
+
 CONFIGS = [
     ("i_main_832x480", gen_i_main, "single", 12),
     ("ra_main_1080p", gen_ra_main, "single", 9),
@@ -139,6 +154,7 @@ CONFIGS = [
     ("rext_444_832x480", gen_rext444, "single", 6),
     ("shvc_2layer_832x480", gen_shvc, "shvc", 12),
     ("ra_tiles_1080p", gen_ra_tiles, "single", 9),
+    ("ra_main10_4k", gen_ra_main10_4k, "single", 9),
 ]
 
 
@@ -233,11 +249,47 @@ def _wire_stats(dec, n):
         return {}
 
 
-def bench_mine(kind, data, want_hashes, reps=2):
+def bench_decode_only(kind, data, reps=2):
+    """Decode with outputs left device-resident (the MD5-only
+    conformance-run role, hevc.c:4045; a production consumer that feeds
+    the frames to further on-device processing). MUST run before any
+    host fetch has happened in this process: the tunneled runtime
+    latches into a ~40 MB/s synchronized-transfer mode on the first
+    D2H, which a fetch-free pipeline never enters. Returns (fps, pics)
+    — the last run's pictures are kept device-resident so the caller
+    can verify them bit-exact AFTER all timing is done."""
+    import jax
     dec = _mk_dec(kind)                      # warm-up (jit compiles)
+    for sub in ([dec] if kind != "shvc" else [dec.bl, dec.el]):
+        sub._no_output_fetch = True
+    pics = dec.decode(data) + dec.flush()
+    jax.block_until_ready([p.planes._dev for p in pics
+                           if getattr(p.planes, "_dev", None) is not None])
+    best = 0.0
+    for _ in range(reps):
+        dec = _mk_dec(kind)
+        for sub in ([dec] if kind != "shvc" else [dec.bl, dec.el]):
+            sub._no_output_fetch = True
+        t0 = time.perf_counter()
+        pics = dec.decode(data) + dec.flush()
+        devs = [p.planes._dev for p in pics
+                if getattr(p.planes, "_dev", None) is not None]
+        jax.block_until_ready(devs)          # decode truly complete
+        dt = time.perf_counter() - t0
+        best = max(best, len(pics) / dt)
+    return best, pics
+
+
+def bench_delivery(kind, data, want_hashes, reps=3):
+    """Delivery: every output materialized on the host (the
+    main_hm/main.c:304 fps contract). Runs in the latched transfer mode
+    any delivering process is in. Returns (fps, bit_exact, stages,
+    wire, rep_times)."""
+    dec = _mk_dec(kind)                      # warm-up
     pics = dec.decode(data) + dec.flush()
     ok = _hash_pics(pics) == want_hashes
     best, stages, wire = 0.0, {}, {}
+    rep_times = []
     for _ in range(reps):
         dec = _mk_dec(kind)
         t0 = time.perf_counter()
@@ -245,26 +297,39 @@ def bench_mine(kind, data, want_hashes, reps=2):
         for p in pics:
             np.asarray(p.planes[0])          # materialize lazy fetches
         dt = time.perf_counter() - t0
+        rep_times.append(round(dt, 3))
         if len(pics) / dt > best:
             best = len(pics) / dt
             t = dec.timers if kind != "shvc" else dec.el.timers
             stages = t.summary() if hasattr(t, "summary") else {}
             wire = _wire_stats(dec, len(pics))
-    return best, ok, stages, wire
+    return best, ok, stages, wire, rep_times
 
 
-def bench_reference(data):
+def bench_reference(data, reps=2):
     try:
         from tools.refdec import RefDecoder, ensure_built
         ensure_built()
-        dec = RefDecoder(nb_threads=1, thread_type=1)
-        t0 = time.perf_counter()
-        out = dec.decode_stream(data)
-        dt = time.perf_counter() - t0
-        dec.close()
-        return (len(out) / dt) if out else None
+        best = None
+        for _ in range(reps):
+            dec = RefDecoder(nb_threads=1, thread_type=1)
+            t0 = time.perf_counter()
+            out = dec.decode_stream(data)
+            dt = time.perf_counter() - t0
+            dec.close()
+            if out:
+                best = max(best or 0.0, len(out) / dt)
+        return best
     except Exception:
         return None
+
+
+# steady-state aggregate wire rate of the tunneled link (MB/s), measured
+# by the round-5 probes (upload+compute+fetch pipeline, see
+# tools/proto_gather.py): the delivery fps of every config is bounded by
+# wire_bytes/frame at this rate. Published per config as
+# wire_bound_fps/bound_frac so overlap losses are visible.
+WIRE_MBPS = 30.0
 
 
 def main():
@@ -274,6 +339,7 @@ def main():
     results = {}
     headline = None
     head_stages = {}
+    todo = []
     for (name, gen, kind, nframes) in CONFIGS:
         if only and only not in name:
             continue
@@ -281,16 +347,47 @@ def main():
         if gen_only:
             golden(name, data)       # pre-warm the oracle hashes too
             continue
-        want = golden(name, data)
-        fps, ok, stages, wire = bench_mine(kind, data, want)
+        todo.append((name, kind, data, golden(name, data)))
+    # ---- pass A: decode-only for EVERY config, before the process's
+    # first host fetch latches the tunnel into its slow transfer mode.
+    # The last run's device-resident outputs are kept for verification.
+    kept = {}
+    for (name, kind, data, want) in todo:
+        fps_d, pics = bench_decode_only(kind, data)
+        kept[name] = (fps_d, pics)
+        log(f"[bench] {name}: decode-only {fps_d:.2f} fps")
+    # ---- verify the decode-only outputs bit-exact (first fetch —
+    # latches the process, as any delivering consumer is latched)
+    for (name, kind, data, want) in todo:
+        fps_d, pics = kept[name]
+        cs_ok = _hash_pics(pics) == want
+        kept[name] = (fps_d, cs_ok)
+    # ---- pass B: delivery + reference, per config ---------------------
+    for (name, kind, data, want) in todo:
+        fps_d, cs_ok = kept[name]
+        fps, ok, stages, wire, rep_times = bench_delivery(kind, data,
+                                                          want)
         ref_fps = bench_reference(data)
         vs = (fps / ref_fps) if ref_fps else 0.0
+        vs_d = (fps_d / ref_fps) if ref_fps else 0.0
+        wb = wire.get("h2d_bytes_per_frame", 0) + \
+            wire.get("d2h_bytes_per_frame", 0)
+        bound = (WIRE_MBPS * 1e6 / wb) if wb else 0.0
         results[name] = {"fps": round(fps, 4),
+                         "fps_decode_only": round(fps_d, 4),
                          "ref_fps": round(ref_fps or 0.0, 4),
                          "vs_baseline": round(vs, 4),
-                         "bit_exact": bool(ok), **wire}
-        log(f"[bench] {name}: {fps:.2f} fps (ref {ref_fps or 0:.2f}, "
-            f"x{vs:.3f}, exact={ok})")
+                         "vs_baseline_decode_only": round(vs_d, 4),
+                         "bit_exact": bool(ok),
+                         "decode_only_exact": bool(cs_ok),
+                         "wire_bound_fps": round(bound, 3),
+                         "bound_frac": round(fps / bound, 3) if bound
+                         else 0.0,
+                         "rep_times_s": rep_times, **wire}
+        log(f"[bench] {name}: {fps:.2f} fps delivery / {fps_d:.2f} "
+            f"decode-only (ref {ref_fps or 0:.2f}, x{vs:.3f}/x{vs_d:.3f},"
+            f" exact={ok}/{cs_ok}, bound_frac="
+            f"{results[name]['bound_frac']})")
         if name.startswith("i_main"):
             headline = (fps, vs, ok)
             head_stages = stages
@@ -308,6 +405,8 @@ def main():
         "vs_baseline": round(vs, 4),
         "configs": results,
         "stages_ms": head_stages,
+        "load_avg": [round(v, 2) for v in os.getloadavg()],
+        "wire_mbps_assumed": WIRE_MBPS,
     }))
 
 
