@@ -45,6 +45,15 @@ def split_nals(data: bytes):
     return out
 
 
+class _IlRef:
+    """Wave-refs shim: an inter-layer reference rides the pinned-refs
+    map like a DecodedPicture (only .planes is read at wave recon)."""
+    __slots__ = ("planes",)
+
+    def __init__(self, planes):
+        self.planes = planes
+
+
 @dataclass
 class DecodedPicture:
     poc: int
@@ -539,27 +548,33 @@ class Decoder:
         # WaveScheduler then flushes and starts a new wave). In a
         # hierarchical-B GOP the same-level B pictures form waves.
         if self.mesh is not None and self.engine == "jax":
-            if not il:
-                if self._wave_sched is None:
-                    from .parallel import WaveScheduler
-                    self._wave_sched = WaveScheduler(self._wave_max())
-                used = (set(fs.ref_poc_l0) | set(fs.ref_poc_l1)) \
-                    if fs.inter_pbs else set()
-                src = self.ref_pics if pins is None else \
-                    {**self.ref_pics, **pins}
-                refs_pin = {p: src[p] for p in used if p in src}
-                w = self._wave_sched
-                if len(w) and w._wave[0][1][0].sps is not sps:
-                    self._flush_wave()
-                flushed = w.add(id(pic),
-                                {id(o) for o in refs_pin.values()},
-                                (fs, pic, refs_pin))
-                if flushed:
-                    self._recon_wave(flushed)
-                if len(w) >= self._wave_max():
-                    self._recon_wave(w.flush())
-                return
-            self._flush_wave()      # wave members are candidate refs
+            if self._wave_sched is None:
+                from .parallel import WaveScheduler
+                self._wave_sched = WaveScheduler(self._wave_max())
+            used = (set(fs.ref_poc_l0) | set(fs.ref_poc_l1)) \
+                if fs.inter_pbs else set()
+            src = self.ref_pics if pins is None else \
+                {**self.ref_pics, **pins}
+            refs_pin = {p: src[p] for p in used if p in src}
+            if il:
+                # SHVC EL: the inter-layer reference is an already-
+                # upsampled planes object of the SAME AU — never a wave
+                # member of THIS decoder, so it adds no wave dependency
+                # and EL pictures batch like any others (the
+                # pthread_frame.c:516-624 concurrent-layer analogue)
+                for p, pl in il.items():
+                    refs_pin[p] = _IlRef(pl)
+            w = self._wave_sched
+            if len(w) and w._wave[0][1][0].sps is not sps:
+                self._flush_wave()
+            flushed = w.add(id(pic),
+                            {id(o) for o in refs_pin.values()},
+                            (fs, pic, refs_pin))
+            if flushed:
+                self._recon_wave(flushed)
+            if len(w) >= self._wave_max():
+                self._recon_wave(w.flush())
+            return
         src = self.ref_pics if pins is None else \
             {**self.ref_pics, **pins}
         refs = {p: rp.planes for p, rp in src.items()
@@ -670,12 +685,11 @@ class Decoder:
             # production path: upsample the BL picture ON DEVICE from
             # its device-resident planes and keep the IL reference
             # device-resident for the EL's MC (no host round trip)
-            from .models.pipeline import JaxEngine, DevicePlanes
+            from .models.pipeline import DevicePlanes
             from .ops.upsample import upsample_il_frame_dev
-            if self._jax_engine is None:
-                self._jax_engine = JaxEngine()
-            bl_dev = [self._jax_engine._ref_plane_dev(bl_pic.planes, c,
-                                                      el_sps.bit_depth)
+            eng = self._engine()
+            bl_dev = [eng._ref_plane_dev(bl_pic.planes, c,
+                                         el_sps.bit_depth)
                       for c in range(3)]
             planes = DevicePlanes(upsample_il_frame_dev(
                 bl_dev, el_sps.width, el_sps.height,
@@ -768,10 +782,10 @@ class Decoder:
             l1 = []
         return [l0, l1]
 
-    def _reconstruct(self, fs, refs):
-        if self.engine == "np":
-            from .models.recon_np import reconstruct
-            return reconstruct(fs, ref_planes=refs)
+    def _engine(self):
+        """The lazily created JaxEngine with every config knob applied
+        (single construction point — _make_il_ref used to build a bare
+        engine and silently dropped the no-output-fetch flag)."""
         from .models.pipeline import JaxEngine
         if self._jax_engine is None:
             self._jax_engine = JaxEngine()
@@ -784,7 +798,13 @@ class Decoder:
                 self._jax_engine._fetch_pool.BATCH_WAIT_S = c.fetch_wait_s
             if c.pack_output is not None:
                 self._jax_engine.pack_output = c.pack_output
-        return self._jax_engine.reconstruct(fs, ref_planes=refs)
+        return self._jax_engine
+
+    def _reconstruct(self, fs, refs):
+        if self.engine == "np":
+            from .models.recon_np import reconstruct
+            return reconstruct(fs, ref_planes=refs)
+        return self._engine().reconstruct(fs, ref_planes=refs)
 
     def _sps_for(self, rbsp, nal_type):
         # peek pps id from slice header start to find sps

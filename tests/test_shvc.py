@@ -122,3 +122,50 @@ def test_shvc_il_motion_is_live():
                                       np.asarray(recons[i][0])))
                for i in range(len(recons)))
     assert diff > 0
+
+
+def test_shvc_el_waves_mesh():
+    """EL pictures batch into multi-picture mesh waves (the
+    pthread_frame.c:516-624 concurrent-layer analogue): the IL
+    reference is a same-AU planes object, never a wave member, so it
+    must not serialize the wave. Asserts bit-exactness vs the
+    sequential decode AND that at least one EL wave held >= 2
+    pictures."""
+    import jax
+    from jax.sharding import Mesh
+    from openhevc_tpu.config import DecoderConfig
+    from openhevc_tpu.parallel.mesh import MeshFrameDecoder
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("needs virtual CPU devices")
+    rng = np.random.default_rng(61)
+    n = 6
+    blf = _frames(32, 32, n, rng)
+    elf = _frames(64, 64, n, rng)
+    data, recons = encode_shvc_stream(blf, elf, (32, 32), (64, 64),
+                                      qp=30, seed=61)
+    wave_sizes = []
+    orig = MeshFrameDecoder.reconstruct_wave
+
+    def spy(self, fs_list, refs_list=None):
+        wave_sizes.append(len(fs_list))
+        return orig(self, fs_list, refs_list)
+
+    MeshFrameDecoder.reconstruct_wave = spy
+    try:
+        mesh = Mesh(np.array(devs[:4]), ("frame",))
+        cfg = DecoderConfig.from_env(engine="jax", mesh=mesh)
+        d = ShvcDecoder("jax", config=cfg)
+        mine = d.decode(data) + d.flush()
+    finally:
+        MeshFrameDecoder.reconstruct_wave = orig
+    ref = ShvcDecoder("np")
+    want = ref.decode(data) + ref.flush()
+    assert len(mine) == len(want) == n
+    for i in range(n):
+        for p in range(3):
+            assert np.array_equal(
+                np.asarray(mine[i].cropped()[p], np.int64),
+                np.asarray(want[i].cropped()[p], np.int64)), (i, p)
+    assert max(wave_sizes, default=0) >= 2, wave_sizes
