@@ -12,7 +12,7 @@ import subprocess
 
 import numpy as np
 
-from ..symbols import FrameSymbols, CoeffBlock, IntraJob, PcmBlock, InterPb
+from ..symbols import FrameSymbols, CoeffBlock, IntraJob, PcmBlock
 from .slice import I_SLICE
 from .syntax import zscan_grid
 from .mvs import MotionContext
@@ -456,12 +456,9 @@ def _parse_native(segments, sps, pps, nal_type, poc, ref_list, ss_starts,
         off += csz_h * csz_v
         fs.pcm_blocks.append(PcmBlock(int(m[0]), int(m[1]), cb,
                                       ys, cbs, crs))
-    # inter pbs
-    for i in range(o.n_pb):
-        m = pb[i * 14:(i + 1) * 14]
-        fs.inter_pbs.append(InterPb(
-            x=int(m[0]), y=int(m[1]), w=int(m[2]), h=int(m[3]),
-            l0=(int(m[5]), int(m[6]), int(m[7])) if m[4] else None,
-            l1=(int(m[9]), int(m[10]), int(m[11])) if m[8] else None,
-            r0=int(m[12]), r1=int(m[13])))
+    # inter pbs: lazy list over the flat [n_pb, 14] records — only the
+    # np-engine oracle materializes InterPb objects
+    from ..symbols import LazyPbList
+    # copy: a view would pin the whole pb_cap arena for the fs lifetime
+    fs.inter_pbs = LazyPbList(pb[:o.n_pb * 14].copy(), int(o.n_pb))
     return fs

@@ -979,17 +979,20 @@ class JaxEngine:
         pocs = sorted({p for p in
                        set(fs.ref_poc_l0) | set(fs.ref_poc_l1)
                        if p in ref_planes})
-        slot_of = {p: i for i, p in enumerate(pocs)}
         h4, w4 = mc.pred_flag.shape
         pf4 = np.asarray(mc.pred_flag, np.uint8)
-        # drop lists whose referenced picture is unavailable (robustness)
+        # poc -> pool slot via one searchsorted per list (pocs sorted);
+        # unknown pocs map to 0, matching the prior per-poc loop
+        # (robustness: lists whose picture is unavailable)
         slot = np.zeros((2, h4, w4), np.uint8)
-        for lx in range(2):
-            pocg = np.asarray(mc.refpoc[:, :, lx])
-            s = np.zeros((h4, w4), np.uint8)
-            for p, i in slot_of.items():
-                s[pocg == p] = i
-            slot[lx] = s
+        if pocs:
+            keys = np.asarray(pocs)
+            for lx in range(2):
+                pocg = np.asarray(mc.refpoc[:, :, lx])
+                idx = np.clip(np.searchsorted(keys, pocg), 0,
+                              len(keys) - 1)
+                slot[lx] = np.where(keys[idx] == pocg, idx,
+                                    0).astype(np.uint8)
         mv = np.asarray(mc.mv, np.int16)          # [h4,w4,2,2] (qpel MVs
         # are spec-bounded to +-2^15, hevc.h Mv int16 — exact in int16)
         bd = sps.bit_depth

@@ -74,6 +74,41 @@ struct InvScans {
 };
 static const InvScans INV_SC;
 
+// --- phase profiling (OPENHEVC_PARSE_PROF=1; meaningful with
+// parse_threads=1 — counters are plain globals). Cycle counters around
+// the parse hot phases, read from Python via hevc_prof_read. ---------
+static uint64_t prof_cyc[8];
+static uint64_t prof_cnt[8];
+static int prof_on = -1;
+static inline bool prof_enabled() {
+    if (prof_on < 0) {
+        const char* e = getenv("OPENHEVC_PARSE_PROF");
+        prof_on = (e && e[0] == '1') ? 1 : 0;
+    }
+    return prof_on == 1;
+}
+struct ProfScope {
+    int i = -1;
+    uint64_t t0 = 0;
+    explicit ProfScope(int idx) {
+        if (prof_enabled()) { i = idx; t0 = __builtin_ia32_rdtsc(); }
+    }
+    ~ProfScope() {
+        if (i >= 0) {
+            prof_cyc[i] += __builtin_ia32_rdtsc() - t0;
+            prof_cnt[i]++;
+        }
+    }
+};
+extern "C" void hevc_prof_read(uint64_t* cyc8, uint64_t* cnt8) {
+    memcpy(cyc8, prof_cyc, sizeof(prof_cyc));
+    memcpy(cnt8, prof_cnt, sizeof(prof_cnt));
+}
+extern "C" void hevc_prof_reset() {
+    memset(prof_cyc, 0, sizeof(prof_cyc));
+    memset(prof_cnt, 0, sizeof(prof_cnt));
+}
+
 struct Cabac {
     // 64-bit bit-cache front end: `cache` holds the next `ncache` stream
     // bits in its MSBs (positions [bitpos, bitpos+ncache)); renorm pulls
@@ -120,6 +155,7 @@ struct Cabac {
         offset = take(9);
     }
     inline int decode_bin(uint8_t* __restrict ctx, int idx) {
+        if (__builtin_expect(prof_on == 1, 0)) prof_cnt[6]++;
         // branchless regular bin: combined-state transition tables
         // (NEXT_MPS/NEXT_LPS over the packed (p_state<<1|mps) byte) and
         // cmov-style selects; the only branch left is the renorm, whose
@@ -259,41 +295,6 @@ struct MvField {
     int8_t  ref[2];
     int32_t poc[2];
 };
-
-// --- phase profiling (OPENHEVC_PARSE_PROF=1; meaningful with
-// parse_threads=1 — counters are plain globals). Cycle counters around
-// the parse hot phases, read from Python via hevc_prof_read. ---------
-static uint64_t prof_cyc[8];
-static uint64_t prof_cnt[8];
-static int prof_on = -1;
-static inline bool prof_enabled() {
-    if (prof_on < 0) {
-        const char* e = getenv("OPENHEVC_PARSE_PROF");
-        prof_on = (e && e[0] == '1') ? 1 : 0;
-    }
-    return prof_on == 1;
-}
-struct ProfScope {
-    int i = -1;
-    uint64_t t0 = 0;
-    explicit ProfScope(int idx) {
-        if (prof_enabled()) { i = idx; t0 = __builtin_ia32_rdtsc(); }
-    }
-    ~ProfScope() {
-        if (i >= 0) {
-            prof_cyc[i] += __builtin_ia32_rdtsc() - t0;
-            prof_cnt[i]++;
-        }
-    }
-};
-extern "C" void hevc_prof_read(uint64_t* cyc8, uint64_t* cnt8) {
-    memcpy(cyc8, prof_cyc, sizeof(prof_cyc));
-    memcpy(cnt8, prof_cnt, sizeof(prof_cnt));
-}
-extern "C" void hevc_prof_reset() {
-    memset(prof_cyc, 0, sizeof(prof_cyc));
-    memset(prof_cnt, 0, sizeof(prof_cnt));
-}
 
 static inline int imin(int a, int b) { return a < b ? a : b; }
 static inline int imax(int a, int b) { return a > b ? a : b; }

@@ -66,6 +66,52 @@ class InterPb:
     r1: int = 0
 
 
+class LazyPbList:
+    """List-like view over the native parser's flat [N, 14] PB records.
+    The device path only ever asks `if fs.inter_pbs:`; materializing
+    thousands of InterPb objects per frame cost real milliseconds on
+    the parse thread, so the objects build lazily on first indexed/
+    iterated access (the np-engine oracle's path)."""
+
+    __slots__ = ("_pb", "_n", "_mat")
+
+    def __init__(self, pb, n):
+        self._pb = pb          # np.int32 [n*14] (native `pb` arena view)
+        self._n = n
+        self._mat = None
+
+    def _list(self):
+        if self._mat is None:
+            pb = self._pb
+            out = []
+            for i in range(self._n):
+                m = pb[i * 14:(i + 1) * 14]
+                out.append(InterPb(
+                    x=int(m[0]), y=int(m[1]), w=int(m[2]), h=int(m[3]),
+                    l0=(int(m[5]), int(m[6]), int(m[7])) if m[4] else None,
+                    l1=(int(m[9]), int(m[10]), int(m[11])) if m[8]
+                    else None,
+                    r0=int(m[12]), r1=int(m[13])))
+            self._mat = out
+        return self._mat
+
+    def __len__(self):
+        return self._n
+
+    def __bool__(self):
+        return self._n > 0
+
+    def __iter__(self):
+        return iter(self._list())
+
+    def __getitem__(self, i):
+        return self._list()[i]
+
+    def append(self, pb):            # symmetry with the plain-list path
+        self._list().append(pb)
+        self._n = len(self._mat)
+
+
 @dataclass
 class FrameSymbols:
     sps: object
