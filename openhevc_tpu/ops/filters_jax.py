@@ -139,19 +139,13 @@ def device_filters_ok(fs) -> bool:
     schedule including PCM/transquant-bypass no-filter blocks (per-edge
     write suppression + post-SAO restore, restore_tqb_pixels behavior)
     and the 16x16-CTB SAO chroma-halo timing (vertical-stage sourcing,
-    sao_np.py docstring). Chroma-format-generic (4:2:0/4:2:2/4:4:4,
-    hevc_filter.c:345's 8*h / 8*v edge spacing); the 16x16-CTB halo
-    simulation is 4:2:0-only, so those streams fall back via
-    prep_filters returning None."""
+    sao_np.py docstring). Fully chroma-format-generic
+    (4:2:0/4:2:2/4:4:4, hevc_filter.c:345's 8*h / 8*v edge spacing),
+    including the CTB-16 halo simulation (_chroma_stale_reads); streams
+    whose halo pattern falls outside the modeled +x offsets fall back
+    via prep_filters returning None."""
     sps = fs.sps
-    if sps.chroma_format_idc not in (1, 2, 3):
-        return False
-    if sps.log2_ctb == 4 and sps.chroma_format_idc != 1:
-        # _chroma_stale_reads models the 16x16-CTB SAO halo for 4:2:0
-        # geometry only; other formats take the scalar schedule
-        return not (not fs.deblock_disabled and
-                    (fs.sao_luma or fs.sao_chroma))
-    return True
+    return sps.chroma_format_idc in (1, 2, 3)
 
 
 def _nofilter_grids(fs, nf, H, W):
@@ -225,24 +219,29 @@ def _chroma_stale_reads(fs):
     sps = fs.sps
     ctb = 1 << sps.log2_ctb
     W, H = sps.width, sps.height
-    Hc, Wc = H >> 1, W >> 1
+    hs, vs = sps.hshift1, sps.vshift1
+    ch, cv = 1 << hs, 1 << vs
+    Hc, Wc = H >> vs, W >> hs
     h_time = np.full((Hc, Wc), -1, np.int64)
     sao_t = np.full((sps.ctbs_h, sps.ctbs_w), 1 << 60, np.int64)
     step = 0
 
     def deblock_times(x0, y0, t):
+        # mirror of filters_sched's horizontal-chroma loop geometry:
+        # edges every 8 chroma samples (8*ch / 8*cv luma), last 8*ch
+        # luma columns deferred unless at the picture edge
         x_end = min(x0 + ctb, W)
         y_end = min(y0 + ctb, H)
         x_end2 = x_end
         if x_end2 != W:
-            x_end = x_end2 - 16
-        for y in range(y0 if y0 else 16, y_end, 16):
-            for x in range(x0 - 16 if x0 else 0, x_end, 16):
-                for sub in (0, 8):
+            x_end = x_end2 - 8 * ch
+        for y in range(y0 if y0 else 8 * cv, y_end, 8 * cv):
+            for x in range(x0 - 8 * ch if x0 else 0, x_end, 8 * ch):
+                for sub in (0, 4 * ch):
                     xx = x + sub
                     if xx >= W:
                         continue
-                    cy, cx = y >> 1, xx >> 1
+                    cy, cx = y >> vs, xx >> hs
                     h_time[cy - 1, cx:cx + 4] = t
                     if cy < Hc:
                         h_time[cy, cx:cx + 4] = t
@@ -279,8 +278,8 @@ def _chroma_stale_reads(fs):
         hls_filter(x, y, t)
 
     yy, xx = np.mgrid[0:Hc, 0:Wc]
-    ry = np.minimum(yy * 2 // ctb, sps.ctbs_h - 1)
-    rx = np.minimum(xx * 2 // ctb, sps.ctbs_w - 1)
+    ry = np.minimum((yy << vs) // ctb, sps.ctbs_h - 1)
+    rx = np.minimum((xx << hs) // ctb, sps.ctbs_w - 1)
     reader_t = sao_t[ry, rx]
     masks = {}
     any_bad = False

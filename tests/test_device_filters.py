@@ -109,6 +109,9 @@ def _frames_fmt(W, H, n, rng, fmt):
     (3, 64, 64, 5, 37, False, True, True, True),    # 4:4:4 + tqb
     (3, 64, 64, 5, 38, False, False, True, False),  # 4:4:4 SAO only
     (2, 64, 64, 4, 39, False, False, False, True),  # 4:2:2 ctb16 dbk-only
+    (2, 64, 64, 4, 40, False, False, True, True),   # 4:2:2 ctb16 + SAO
+    (3, 96, 64, 4, 41, False, False, True, True),   # 4:4:4 ctb16 + SAO
+    (2, 96, 64, 4, 42, True, False, True, True),    # 4:2:2 ctb16+SAO+PCM
 ])
 def test_device_filters_chroma_formats(fmt, W, H, ctb, seed, pcm, tqb,
                                        sao, dbk):
@@ -126,9 +129,10 @@ def test_device_filters_chroma_formats(fmt, W, H, ctb, seed, pcm, tqb,
                 (c, np.argwhere(got[c].astype(np.int64) != truth[c])[:5])
 
 
-def test_device_filters_ok_gates():
-    """ctb16 + SAO + deblock stays host-side for non-4:2:0 (the stale
-    halo simulation is 4:2:0 geometry)."""
+def test_device_filters_ok_unconditional():
+    """The CTB-16 + non-4:2:0 + SAO carve-out is closed: the stale-halo
+    simulation is chroma-format-generic, so device filtering is
+    available for every supported format."""
     from openhevc_tpu.ops.filters_jax import device_filters_ok
     rng = np.random.default_rng(40)
     frames = _frames_fmt(64, 64, 1, rng, 2)
@@ -136,4 +140,4 @@ def test_device_filters_ok_gates():
                                   seed=40, sao=True, deblock=True,
                                   chroma_format_idc=2, min_cb_log2=3)
     for pre, fs, _truth in _capture_frames(data):
-        assert not device_filters_ok(fs)
+        assert device_filters_ok(fs)
