@@ -336,6 +336,8 @@ def main():
     argv = sys.argv[1:]
     gen_only = "--gen" in argv
     only = argv[argv.index("--only") + 1] if "--only" in argv else None
+    if only is None and not gen_only:
+        return main_orchestrate()
     results = {}
     headline = None
     head_stages = {}
@@ -403,6 +405,59 @@ def main():
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(vs, 4),
+        "configs": results,
+        "stages_ms": head_stages,
+        "load_avg": [round(v, 2) for v in os.getloadavg()],
+        "wire_mbps_assumed": WIRE_MBPS,
+    }))
+
+
+def main_orchestrate():
+    """Full run: one SUBPROCESS per config (`--only <name>`), each with
+    a hard timeout. Isolation serves two purposes: (a) every config's
+    decode-only pass runs in a fresh process (pre-latch transfer mode)
+    regardless of config order, and (b) a single config hanging in the
+    tunnel's remote-compile service cannot take down the whole bench —
+    it is recorded as an error and the rest still report. Compiled
+    programs persist across the subprocesses via the XLA compilation
+    cache."""
+    import subprocess
+    budget_s = int(os.environ.get("OPENHEVC_BENCH_CONFIG_TIMEOUT",
+                                  "1500"))
+    results = {}
+    headline = None
+    head_stages = {}
+    for (name, gen, kind, nframes) in CONFIGS:
+        try:
+            cp = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--only", name],
+                capture_output=True, text=True, timeout=budget_s)
+            last = cp.stdout.strip().splitlines()[-1]
+            sub = json.loads(last)
+            results.update(sub.get("configs", {}))
+            if name.startswith("i_main"):
+                head_stages = sub.get("stages_ms", {})
+            for line in cp.stderr.splitlines():
+                if line.startswith("[bench]"):
+                    log(line)
+        except subprocess.TimeoutExpired:
+            log(f"[bench] {name}: TIMEOUT after {budget_s}s — skipped")
+            results[name] = {"error": f"timeout_{budget_s}s"}
+        except Exception as e:                     # noqa: BLE001
+            log(f"[bench] {name}: FAILED ({e})")
+            results[name] = {"error": str(e)[:200]}
+    hk = next((k for k in results if k.startswith("i_main")
+               and "fps" in results[k]), None)
+    if hk is None:
+        hk = next((k for k in results if "fps" in results[k]), None)
+    r = results.get(hk, {})
+    ok = bool(r.get("bit_exact"))
+    print(json.dumps({
+        "metric": "i_main_832x480_intra_fps" + ("" if ok else "_MISMATCH"),
+        "value": r.get("fps", 0.0),
+        "unit": "frames/s",
+        "vs_baseline": r.get("vs_baseline", 0.0),
         "configs": results,
         "stages_ms": head_stages,
         "load_avg": [round(v, 2) for v in os.getloadavg()],

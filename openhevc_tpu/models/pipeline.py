@@ -467,11 +467,16 @@ class JaxEngine:
     # recon+residual buffers; beyond this fall back to the per-level path
     # until the banded variant lands)
     FUSED_VMEM_BUDGET = 12 * 2 ** 20
-    # plane-size gate for the all-phase-pair MC prefilter (~200 MB/ref
-    # at 1080p 4:2:0; 4K would be ~2 GB/ref -> tap path instead)
-    MC_PAIRS_MAX_PIXELS = 2_600_000
+    # plane-size gate for the all-phase-pair MC prefilter (~830 MB/ref
+    # at 4K 4:2:0 across the three planes). 4K now takes the pair path
+    # too: the taps-mode stage-2 program (8 unrolled frame-sized
+    # gathers per plane per list) stalled the tunnel's remote-compile
+    # service for >45 min at 4K, while the single-gather pair program
+    # compiles fine; HBM affords ~4 in-flight 4K refs under the LRU
+    # budget below (v5e: 16 GB)
+    MC_PAIRS_MAX_PIXELS = 8_500_000
     # LRU byte budget for the per-reference prefilter cache
-    HF_CACHE_BUDGET = 1600 * 2 ** 20
+    HF_CACHE_BUDGET = 5200 * 2 ** 20
 
     def __init__(self):
         self._cache = {}

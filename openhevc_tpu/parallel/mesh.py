@@ -303,11 +303,16 @@ class MeshFrameDecoder:
             out[s] = nf
         return out
 
-    def _stack_wave(self, fs_list):
+    def _stack_wave(self, fs_list, want_intra=True):
         from ..models.pipeline import pack_frame
         pfs = [pack_frame(fs) for fs in fs_list]
-        grids = [self._intra_grid(pf, fs)
-                 for pf, fs in zip(pfs, fs_list)]
+        if want_intra:
+            grids = [self._intra_grid(pf, fs)
+                     for pf, fs in zip(pfs, fs_list)]
+        else:
+            # fused-kernel wave: intra rides the [5, npad] meta stack
+            # (_stack_fused_meta); skip the per-level grid build
+            grids = [({s: None for s in SIZES}, 0) for _ in pfs]
         for pf, (g, nl) in zip(pfs, grids):
             pf.intra = g
             pf.n_levels = nl
@@ -422,9 +427,81 @@ class MeshFrameDecoder:
                     for k in FARG_KEYS)
         return pfs, npad, res, intra, planes0, fstack, fmask, n_levels
 
+    def _fused_wave_plan(self, sps):
+        """(hl, wl, hc, wc, banded) for the fused Pallas intra kernel
+        over this SPS, or None when unavailable (mirrors
+        JaxEngine._fused_plan without the engine). Gates on the MESH
+        devices' platform — the process default backend is the TPU
+        even when the mesh is built from virtual CPU devices (the test
+        rig), and Mosaic only targets real TPUs."""
+        try:
+            plat = next(iter(self.mesh.devices.flat)).platform
+        except Exception:
+            return None
+        if plat not in ("tpu", "axon"):
+            return None
+        from ..ops.intra_fused import padded_dims, band_plan
+        from ..models.pipeline import JaxEngine
+        H, W = sps.height, sps.width
+        Hc, Wc = H >> sps.vshift1, W >> sps.hshift1
+        hl, wl = padded_dims(H, W)
+        hc, wc = padded_dims(Hc, Wc)
+        if (hl * wl + 2 * hc * wc) * 4 * 2 <= JaxEngine.FUSED_VMEM_BUDGET:
+            return (hl, wl, hc, wc, None)
+        plan = band_plan(H, W, Hc, Wc, sps.ctb_size, sps.vshift1)
+        if plan is None:
+            return None
+        band_h, nb, hl, wl, hc, wc = plan
+        return (hl, wl, hc, wc, (band_h, nb))
+
+    def _stack_fused_meta(self, fs_list, npad, sps, banded):
+        """[npad_frames, 5, npad_m] meta stack + [npad_frames, 1, 1]
+        job counts (+ band bounds when banded) for the fused wave
+        path."""
+        from ..ops.intra_fused import (pack_meta_native,
+                                       pack_meta_objects,
+                                       sort_meta_by_band, _bucket)
+        metas, nns, bounds = [], [], []
+        vs = sps.vshift1
+        for fs in fs_list:
+            np_ = fs.native_pack
+            if np_ is not None:
+                meta, n = np_["meta"], np_["n"]
+            else:
+                if fs.native_raw is not None:
+                    meta = pack_meta_native(fs.native_raw)
+                else:
+                    fs.ensure_objects()
+                    meta = pack_meta_objects(fs.intra_jobs)
+                n = meta.shape[1]
+            metas.append(np.asarray(meta))
+            nns.append(n)
+        npad_m = _bucket(max((m.shape[1] for m in metas), default=1))
+        out_m, out_b = [], []
+        for meta, n in zip(metas, nns):
+            if meta.shape[1] < npad_m:
+                meta = np.concatenate(
+                    [meta, np.zeros((meta.shape[0],
+                                     npad_m - meta.shape[1]),
+                                    meta.dtype)], axis=1)
+            if banded is not None:
+                meta, bnd = sort_meta_by_band(meta, n, banded[0], vs,
+                                              banded[1])
+                out_b.append(bnd)
+            out_m.append(meta)
+        out_m += [out_m[-1]] * (npad - len(out_m))
+        nns += [0] * (npad - len(nns))
+        if banded is not None:
+            out_b += [out_b[-1]] * (npad - len(out_b))
+        return (np.stack(out_m),
+                np.asarray(nns, np.int32).reshape(-1, 1, 1),
+                np.stack(out_b) if banded is not None else None,
+                npad_m)
+
     # ---- device program ---------------------------------------------------
     def _program(self, key, sps, sizes, isizes, fmask, has_sm, n_levels,
-                 has_inter=False, tiled=False, has_wt=False):
+                 has_inter=False, tiled=False, has_wt=False,
+                 fused=None):
         if key in self._progs:
             return self._progs[key]
         import jax
@@ -502,8 +579,48 @@ class MeshFrameDecoder:
                     cur = planes[c, :ph, :pw]
                     planes = planes.at[c, :ph, :pw].set(
                         jnp.where(pf > 0, out, cur))
-            xs = {s: intra[s] for s in isizes}
-            if isizes and n_levels:
+            if fused is not None:
+                # fused Pallas intra: same kernel as the single-chip
+                # path (pipeline._frame_fused) — embed the post-inter
+                # planes + residual maps into the padded buffers, run
+                # every intra TU in decode order, crop back
+                from ..ops.intra_fused import _build, _build_banded, \
+                    OY, OX
+                from ..models.pipeline import _derive_meta16
+                hl, wl, hc, wc, banded_p, npad_m = fused
+                meta16 = _derive_meta16(
+                    intra["meta"], bool(getattr(
+                        sps, "intra_smoothing_disabled", 0)),
+                    sps.chroma_format_idc == 3, strong)
+                lu = jnp.zeros((hl, wl), jnp.int32).at[
+                    OY:OY + H, OX:OX + W].set(planes[0, :H, :W])
+                chp = jnp.zeros((2, hc, wc), jnp.int32)
+                chp = chp.at[0, OY:OY + Hc, OX:OX + Wc].set(
+                    planes[1, :Hc, :Wc])
+                chp = chp.at[1, OY:OY + Hc, OX:OX + Wc].set(
+                    planes[2, :Hc, :Wc])
+                rl = jnp.zeros((hl, wl), jnp.int32).at[
+                    OY:OY + H, OX:OX + W].set(res_planes[0, :H, :W])
+                rc = jnp.zeros((2, hc, wc), jnp.int32).at[
+                    :, OY:OY + Hc, OX:OX + Wc].set(
+                    res_planes[1:3, :Hc, :Wc])
+                if banded_p is None:
+                    lu, chp = _build(hl, wl, hc, wc, npad_m, bd)(
+                        meta16, intra["nn"], lu, chp, rl, rc)
+                else:
+                    band_h, nb = banded_p
+                    vsc = 0 if Hc == H else 1
+                    lu, chp = _build_banded(hl, wl, hc, wc, npad_m,
+                                            bd, band_h, vsc, nb)(
+                        meta16, intra["bounds"], lu, chp, rl, rc)
+                planes = planes.at[0, :H, :W].set(
+                    lu[OY:OY + H, OX:OX + W])
+                planes = planes.at[1, :Hc, :Wc].set(
+                    chp[0, OY:OY + Hc, OX:OX + Wc])
+                planes = planes.at[2, :Hc, :Wc].set(
+                    chp[1, OY:OY + Hc, OX:OX + Wc])
+            elif isizes and n_levels:
+                xs = {s: intra[s] for s in isizes}
                 if tiled:
                     # intra job arrays vary over the tile axis; mark the
                     # carried planes tile-varying so the scan types agree
@@ -625,20 +742,27 @@ class MeshFrameDecoder:
                     planes0[i],
                     {s: {k: sq(v[i]) for k, v in res[s].items()}
                      for s in sizes},
-                    {s: {k: sq(v[i]) for k, v in intra[s].items()}
-                     for s in isizes},
+                    {k: v[i] for k, v in intra.items()} if fused
+                    else {s: {k: sq(v[i]) for k, v in intra[s].items()}
+                          for s in isizes},
                     fa, mo, hf,
                     gmaps[i] if tiled else None))
             return jnp.stack(outs)
 
         res_spec = P("frame", "tile") if tiled else P("frame")
+        if fused is not None:
+            ispec = {"meta": P("frame"), "nn": P("frame")}
+            if fused[4] is not None:
+                ispec["bounds"] = P("frame")
+        else:
+            ispec = {s: {k: res_spec for k in
+                         ("valid", "plane", "x", "y", "mode", "avail",
+                          "filt")} for s in isizes}
         spec_in = (P("frame"),
                    {s: {k: res_spec for k in
                         (("levels", "qp", "flags", "plane", "bx", "by") +
                          (("sm",) if has_sm else ()))} for s in sizes},
-                   {s: {k: res_spec for k in
-                        ("valid", "plane", "x", "y", "mode", "avail",
-                         "filt")} for s in isizes})
+                   ispec)
         spec_f = (tuple(P("frame") for _ in range(22)),) if fmask \
             else ((),)
         mkeys = ("pf4", "mv", "slot") + \
@@ -658,8 +782,18 @@ class MeshFrameDecoder:
                          hf if has_inter else None,
                          gm if tiled else None)
 
-        fn = shard_map(entry, mesh=self.mesh, in_specs=spec_in,
-                       out_specs=P("frame"))
+        kw = {}
+        if fused is not None:
+            # pallas_call output avals carry no varying-manual-axes
+            # info; disable the vma check for the fused-kernel program
+            # (jax >= 0.9 shard_map; older versions lack the kwarg)
+            kw = {"check_vma": False}
+        try:
+            fn = shard_map(entry, mesh=self.mesh, in_specs=spec_in,
+                           out_specs=P("frame"), **kw)
+        except TypeError:
+            fn = shard_map(entry, mesh=self.mesh, in_specs=spec_in,
+                           out_specs=P("frame"))
         prog = jax.jit(fn)
         self._progs[key] = prog
         return prog
@@ -674,14 +808,18 @@ class MeshFrameDecoder:
         applies host filters when fmask == 0 and filters are wanted)."""
         import jax.numpy as jnp
         sps = fs_list[0].sps
+        tiled = self.n_tile > 1
+        # fused Pallas intra per wave member (the single-chip kernel;
+        # VERDICT r04 item 6) — TPU backend, untiled waves; tiled waves
+        # keep the per-level path (their jobs group per tile shard)
+        fplan = None if tiled else self._fused_wave_plan(sps)
         (pfs, npad, res, intra, planes0, fstack, fmask,
-         n_levels) = self._stack_wave(fs_list)
+         n_levels) = self._stack_wave(fs_list, want_intra=fplan is None)
         if refs_list is None:
             refs_list = [None] * len(fs_list)
         hf_pool, motion = self._stack_inter(fs_list, refs_list, pfs,
                                             npad, sps)
         has_inter = motion is not None
-        tiled = self.n_tile > 1
         gmaps = None
         if tiled:
             gm = [self._tile_group_map(fs) for fs in fs_list]
@@ -690,22 +828,35 @@ class MeshFrameDecoder:
             intra = self._group_intra_tiles(intra, gmaps, sps)
             res = self._split_res_tiles(res, self.n_tile, gmaps, sps)
         sizes = tuple(sorted(res))
-        isizes = tuple(sorted(intra))
+        fused = None
+        if fplan is not None:
+            fmeta, fnn, fbounds, npad_m = self._stack_fused_meta(
+                fs_list, npad, sps, fplan[4])
+            intra = {"meta": fmeta, "nn": fnn}
+            if fbounds is not None:
+                intra["bounds"] = fbounds
+            fused = fplan[:4] + (fplan[4], npad_m)
+            isizes = ()
+            ikey = ("fused", npad_m, fplan)
+        else:
+            isizes = tuple(sorted(intra))
+            ikey = tuple(intra[s]["x"].shape[-1] for s in isizes)
         has_sm = any("sm" in res[s] for s in sizes)
         has_wt = has_inter and "wg" in motion
         key = (sps.sps_id, sps.width, sps.height, sizes, isizes,
                tuple(res[s]["qp"].shape[-1] for s in sizes),
-               tuple(intra[s]["x"].shape[-1] for s in isizes),
+               ikey,
                n_levels, fmask, has_sm, npad,
                len(hf_pool[0]) if has_inter else 0, has_wt)
         prog = self._program(key, sps, sizes, isizes, fmask, has_sm,
                              n_levels, has_inter=has_inter, tiled=tiled,
-                             has_wt=has_wt)
+                             has_wt=has_wt, fused=fused)
         args = (jnp.asarray(planes0),
                 {s: {k: jnp.asarray(v) for k, v in res[s].items()}
                  for s in sizes},
-                {s: {k: jnp.asarray(v) for k, v in intra[s].items()}
-                 for s in isizes})
+                {k: jnp.asarray(v) for k, v in intra.items()} if fused
+                else {s: {k: jnp.asarray(v) for k, v in intra[s].items()}
+                      for s in isizes})
         args = args + ((tuple(jnp.asarray(f) for f in fstack),)
                        if fmask else ((),))
         if has_inter:

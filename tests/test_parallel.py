@@ -169,3 +169,39 @@ def test_wave_weighted_pred_ra():
         MeshFrameDecoder.reconstruct_wave = orig
     wt_waves = [w for w in waves if any(w) and len(w) >= 3]
     assert wt_waves, f"no multi-picture weighted waves formed: {waves}"
+
+
+@pytest.mark.slow
+def test_mesh_1080p_tiled_bitexact():
+    """Production-resolution multi-chip coverage (VERDICT r04 item 7):
+    the ra_tiles bench stream (1920x1080 hierarchical-B, 4x2 HEVC
+    tiles, deblock+SAO) decoded on the 2-D frame x tile mesh, hashed
+    against the reference-decoder oracle md5 sidecar. Exercises the
+    tile-grouped residual path and band-sharded filters at real CTB
+    counts (hevc.c:2917,2967)."""
+    import hashlib
+    import pathlib
+    import jax
+    from jax.sharding import Mesh
+
+    p = (pathlib.Path(__file__).parent.parent / "bench_streams" /
+         "r4a_ra_tiles_1080p.265")
+    if not p.exists():
+        pytest.skip("bench stream not present")
+    want = (p.parent / (p.name + ".md5")).read_text().split()
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("frame", "tile"))
+    d = Decoder("jax", mesh=mesh)
+    pics = d.decode(p.read_bytes()) + d.flush()
+    assert len(pics) == 9
+    hs = []
+    for pic in pics:
+        y, u, v = pic.cropped()
+        h = hashlib.md5()
+        h.update(np.ascontiguousarray(np.asarray(y, np.uint8)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(u, np.uint8)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(v, np.uint8)).tobytes())
+        hs.append(h.hexdigest())
+    assert hs == want[:9]
