@@ -458,6 +458,11 @@ def main_orchestrate():
         "value": r.get("fps", 0.0),
         "unit": "frames/s",
         "vs_baseline": r.get("vs_baseline", 0.0),
+        # chip-throughput headline (outputs device-resident, verified
+        # bit-exact): the delivery number above is capped by the bench
+        # rig's tunneled host link, see BASELINE.md
+        "value_decode_only": r.get("fps_decode_only", 0.0),
+        "vs_baseline_decode_only": r.get("vs_baseline_decode_only", 0.0),
         "configs": results,
         "stages_ms": head_stages,
         "load_avg": [round(v, 2) for v in os.getloadavg()],
