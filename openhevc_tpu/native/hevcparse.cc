@@ -74,6 +74,27 @@ struct InvScans {
 };
 static const InvScans INV_SC;
 
+// sig_coeff_flag context increments per (scan, map_row) in scan-position
+// order: folds the off_scan position loads + SIG_CTX_MAP lookup out of
+// the hottest bin loop in residual coding.
+struct SigInc {
+    uint8_t t[3][5 * 16];
+    SigInc() {
+        const uint8_t* offs[3] = {SCAN4_DIAG, SCAN4_HORIZ, SCAN4_VERT};
+        for (int s = 0; s < 3; s++)
+            for (int r = 0; r < 5; r++)
+                for (int n = 0; n < 16; n++) {
+                    int xc = offs[s][n * 2], yc = offs[s][n * 2 + 1];
+                    t[s][r * 16 + n] =
+                        SIG_CTX_MAP[r * 16 + yc * 4 + xc];
+                }
+    }
+};
+static const SigInc SIG_INC;
+static inline const uint8_t* sig_inc_lut(int scan_idx) {
+    return SIG_INC.t[scan_idx];
+}
+
 // --- phase profiling (OPENHEVC_PARSE_PROF=1; meaningful with
 // parse_threads=1 — counters are plain globals). Cycle counters around
 // the parse hot phases, read from Python via hevc_prof_read. ---------
@@ -1999,10 +2020,15 @@ struct Parser {
                     else { map_row = prev_sig + 1;
                            base_off += log2_tr == 3 ? 9 : 12; }
                 }
+                // per-(scan, map_row) context increments in scan order,
+                // precomputed once (SIG_INC below): the sig-flag loop
+                // is the hottest bin loop in the parse — drop the
+                // two scan-position loads + map lookup per bin
+                const uint8_t* si =
+                    sig_inc_lut(scan_idx) + map_row * 16;
+                uint8_t* base_ctx = ctx + CTX_SIG_COEFF_FLAG + base_off;
                 for (int n = n_end; n > 0; n--) {
-                    int xc = off_scan[n * 2], yc = off_scan[n * 2 + 1];
-                    int inc = SIG_CTX_MAP[map_row * 16 + yc * 4 + xc] + base_off;
-                    if (bin(CTX_SIG_COEFF_FLAG, inc)) {
+                    if (cab.decode_bin(base_ctx, si[n])) {
                         sig_idx[n_sig++] = n;
                         implicit_nz = 0;
                     }
