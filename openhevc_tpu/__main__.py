@@ -25,9 +25,15 @@ def main(argv=None):
         description="TPU-native HEVC decoder (openHEVC CLI parity)")
     ap.add_argument("-i", "--input", required=True,
                     help="Annex-B .265/.bin or .mp4/.mov (HEVC track)")
-    ap.add_argument("-o", "--output", help="write decoded planar YUV")
+    ap.add_argument("-o", "--output",
+                    help="write decoded video: planar YUV, or yuv4mpeg2"
+                         " when the name ends in .y4m")
     ap.add_argument("-n", "--no-display", action="store_true",
-                    help="no display (accepted for parity; no SDL here)")
+                    help="no display (parity with the reference CLI)")
+    ap.add_argument("-s", "--display", action="store_true",
+                    help="play the stream in the terminal (ANSI "
+                         "half-block renderer, paced to the stream "
+                         "frame rate — the sdl.c role)")
     ap.add_argument("-c", "--no-check-md5", action="store_true",
                     help="disable SEI MD5 verification (default on)")
     ap.add_argument("-p", "--threads", type=int, default=1,
@@ -74,6 +80,8 @@ def main(argv=None):
         data = b"".join(samples)
 
     out_f = open(args.output, "wb") if args.output else None
+    y4m = bool(args.output) and args.output.endswith(".y4m")
+    disp = None
     n_frames = 0
     t0 = time.perf_counter()
     try:
@@ -84,8 +92,27 @@ def main(argv=None):
             if frame is None:
                 break
             n_frames += 1
+            fi = frame.frame_info
+            if args.display and not args.no_display and disp is None:
+                from .display import TerminalDisplay
+                num, den = fi.frameRate
+                disp = TerminalDisplay(fps=(num / den) if num and den
+                                       else 25.0)
+            if disp is not None:
+                disp.show(frame.planes, fi.nBitDepth)
             if out_f is not None:
-                bd = frame.frame_info.nBitDepth
+                bd = fi.nBitDepth
+                if y4m:
+                    from .display import y4m_header, y4m_frame
+                    if n_frames == 1:
+                        num, den = fi.frameRate
+                        hsv = {0: (1, 1), 1: (1, 0),
+                               2: (0, 0)}[fi.chromat_format]
+                        out_f.write(y4m_header(
+                            fi.nWidth, fi.nHeight, num or 25, den or 1,
+                            hs=hsv[0], vs=hsv[1], bit_depth=bd))
+                    out_f.write(y4m_frame(frame.planes, bd))
+                    continue
                 dt = "<u2" if bd > 8 else np.uint8
                 for plane in frame.planes:
                     out_f.write(np.asarray(plane).astype(dt).tobytes())
